@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join, the operator Spark lacks natively.
+  *
+  * For each left row, attaches the right row with the greatest `rightOn`
+  * value ≤ (or < when `strict`) the left row's `leftOn`, within matching
+  * `by` keys. Implemented Spark-first as union + running-max window:
+  * ONE shuffle on the `by` keys, no per-key driver loops, no range
+  * cross-join blowup — at 100 TB both inputs shuffle once and each
+  * partition is processed with a single ordered pass (sort-based
+  * window), so skew/AQE handling applies as usual.
+  *
+  * Right payload columns ride along inside a struct whose first field is
+  * the ordering key, so `max` picks the latest-by-time row (ties broken
+  * by the payload fields' own ordering, deterministically).
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      rightPayload: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      (by.map(col) :+ col(rightOn).as(leftOn)) ++ rightPayload.map(col): _*)
+      .withColumn("__side", lit(1))
+    val lTagged = left.withColumn("__side", lit(0))
+    val combined = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val upper = if (strict) -1L else 0L
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(leftOn))
+      .rangeBetween(Window.unboundedPreceding, upper)
+    val asofStruct = max(when(col("__side") === 1,
+      struct((col(leftOn).as("__on") +: rightPayload.map(col)): _*))).over(w)
+
+    val outCols = leftCols.map(col) ++
+      (col("__asof.__on").as(s"asof_$rightOn") +:
+        rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c")))
+    combined
+      .withColumn("__asof", asofStruct)
+      .filter(col("__side") === 0)
+      .select(outCols: _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.util.Tables.load
+import graft.util.Cols.dec4
+import graft.ops.AsOfJoin
+
+/** Event-stream operator surface over the `events` table: tumbling
+  * window aggregation, gap-based sessionization, backward as-of join,
+  * and a Structured Streaming variant whose result must equal the
+  * batch oracle (stream/batch parity).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); read as long nanos (see
+  * [[graft.util.Tables]]) and floored to microseconds (`ts_us`) — the
+  * same floor the DuckDB oracle applies via epoch_ns(ts)//1000.
+  */
+object Events {
+
+  /** events + `ts_us` (long, µs) + `t` (TimestampType, UTC session). */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("t", timestamp_micros($"ts_us"))
+  }
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- tumbling-window (hourly) aggregation ----
+    "q17_hourly_counts" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy(date_format($"t", "yyyy-MM-dd").as("day"),
+          hour($"t").cast("long").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .orderBy($"day", $"h", $"event_type")
+    },
+
+    // ---- gap-based sessionization (30-min inactivity gap) ----
+    "q18_sessions" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(s, d)
+        .withColumn("prev", lag($"ts_us", 1).over(w))
+        .withColumn("is_new",
+          when($"prev".isNull || $"ts_us" - $"prev" > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"),
+          max($"ts_us").as("end_us"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+
+    // ---- backward as-of join: last click strictly before a purchase ----
+    "q19_asof_purchase_click" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"event_id", $"user_id", $"event_type", $"ts_us")
+      val purchases = e.filter($"event_type" === "purchase")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+          leftOn = "ts_us", rightOn = "ts_us", strict = true)
+        .select($"event_id", $"user_id", $"ts_us", $"asof_ts_us")
+        .orderBy($"event_id")
+    },
+
+    // ---- Structured Streaming parity: q17 through a streaming plan ----
+    "q20_stream_hourly" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      // file-stream source needs a directory or glob, not a bare file path
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("t", timestamp_micros($"ts_us"))
+        .groupBy(date_format($"t", "yyyy-MM-dd").as("day"),
+          hour($"t").cast("long").as("h"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+      val q = stream.writeStream
+        .format("memory").queryName("q20_stream_hourly_sink")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q20_stream_hourly_sink")
+        .orderBy($"day", $"h", $"event_type")
+    }
+  )
+
+  private val hourlySql =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS h, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q17_hourly_counts" -> hourlySql,
+    "q20_stream_hourly" -> hourlySql,
+
+    "q18_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT *, lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |n AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS is_new FROM p),
+        |sids AS (
+        |  SELECT *, CAST(SUM(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sids GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q19_asof_purchase_click" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events WHERE event_type IN ('purchase','click'))
+        |SELECT event_id, user_id, ts_us, asof_ts_us FROM (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts_us
+        |  FROM e) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
-      (graft.queries.Events.queries, graft.queries.Events.oracle)
+      (graft.queries.Events.queries, graft.queries.Events.oracle),
+      (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

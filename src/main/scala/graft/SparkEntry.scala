@@ -16,7 +16,8 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
-      (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle)
+      (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
+      (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** CDC apply: collapse change events to the latest per primary key and
+  * merge them into the current table state with soft deletes —
+  * the downstream contract of the reference pipeline
+  * (docs/OracleDatastream-cdcSource.md:114-119: `_is_deleted`,
+  * `_sequence_num`, last-writer-wins by sort keys; e2e validation
+  * ValidationHelper.java:38-56).
+  *
+  * Scale: `collapse` is one window over the PK hash partitioning;
+  * `merge` is one full-outer shuffle join on the PK. Both AQE/skew-safe
+  * and free of driver-side loops. With at-least-once, out-of-order
+  * delivery (the reference's 3-day rescan), replays are idempotent:
+  * an event only wins if its sort_key is strictly greater than the
+  * state's recorded `_sort_key`.
+  */
+object Apply {
+
+  val MetaCols: Seq[String] = Seq("_is_deleted", "_sequence_num", "_sort_key")
+
+  private def pkCol(c: String): Column = col(s"row.$c")
+
+  /** Reduce a batch to at most one event per PK: the latest by
+    * sort_key. A full sort-key tie (same transaction/statement) breaks
+    * DELETE-wins — the conservative choice; real Datastream events
+    * differ at least in ssn, so this is a corner-case guard. */
+  def collapse(events: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(pkCol): _*)
+      .orderBy(col("sort_key").desc,
+        when(col("op") === "DELETE", 1).otherwise(0).desc)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Merge collapsed events into `state`.
+    *
+    * State schema = payload columns ++ (_is_deleted, _sequence_num,
+    * _sort_key). An empty/absent state is represented by `None`.
+    * Returns the new state. Payload schema drift is handled by
+    * aligning both sides to the union of their payload fields
+    * (missing → null), i.e. mergeSchema semantics.
+    */
+  def merge(state: Option[DataFrame], events: DataFrame,
+      pkCols: Seq[String], sequenceNum: Long): DataFrame = {
+    val collapsed = collapse(events, pkCols)
+    val incoming = collapsed.select(
+      col("row.*") +:
+        (col("op") === "DELETE").as("_is_deleted") +:
+        lit(sequenceNum).as("_sequence_num") +:
+        col("sort_key").as("_sort_key") +: Nil: _*)
+
+    state match {
+      case None => incoming
+      case Some(cur) =>
+        // schema drift: align payload columns on both sides
+        val curPayload = cur.columns.filterNot(MetaCols.contains)
+        val newPayload = incoming.columns.filterNot(MetaCols.contains)
+        val allPayload = (curPayload ++ newPayload.filterNot(curPayload.contains)).toSeq
+        def align(df: DataFrame, have: Seq[String]): DataFrame = {
+          val tpe = (incoming.schema ++ cur.schema).map(f => f.name -> f.dataType).toMap
+          df.select(allPayload.map(c =>
+            if (have.contains(c)) col(c)
+            else lit(null).cast(tpe(c)).as(c)) ++ MetaCols.map(col): _*)
+        }
+        val s = align(cur, curPayload.toSeq).as("s")
+        val e = align(incoming, newPayload.toSeq).as("e")
+        val joinCond = pkCols.map(c => col(s"s.$c") <=> col(s"e.$c")).reduce(_ && _)
+        val eWins = col("s._sort_key").isNull ||
+          (col("e._sort_key").isNotNull && col("e._sort_key") > col("s._sort_key"))
+        val merged = s.join(e, joinCond, "full_outer").select(
+          (allPayload ++ MetaCols).map(c =>
+            when(eWins, col(s"e.$c")).otherwise(col(s"s.$c")).as(c)): _*)
+        merged
+    }
+  }
+
+  /** Live view of a state DataFrame (hide soft-deleted rows and
+    * bookkeeping columns). */
+  def liveView(state: DataFrame): DataFrame =
+    state.filter(!coalesce(col("_is_deleted"), lit(false)))
+      .drop(MetaCols: _*)
+}

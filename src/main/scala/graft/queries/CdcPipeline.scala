@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Apply, CdcTable, Decode}
+import graft.util.Tables.load
+
+/** CDC pipeline surface as driver-checkable queries:
+  *
+  *  - c01: envelope decode of the reference's snapshot fixture
+  *  - c02: the full SURVEY §7.2 replay (snapshot + CDC + PK-update +
+  *    delete) through the merge, dumping the final state
+  *  - c05: the event-collapse operator applied to the events table
+  *    (latest row per key by sort key) — DuckDB-oracled
+  *  - c06: a state+changes merge with soft deletes built from the
+  *    customer/orders tables — DuckDB-oracled full-outer semantics
+  *
+  * c01/c02 oracles are generated VALUES literals (regression locks;
+  * the semantic assertions live in CdcDecodeSpec/CdcApplySpec against
+  * the reference-documented expectations).
+  */
+object CdcPipeline {
+
+  private val fixtures = "/root/reference/src/test/resources"
+
+  /** events table lifted into the engine's change-event shape. */
+  private def eventsAsChanges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(
+        struct($"user_id", $"event_type", $"value").as("row"),
+        lit("UPDATE").as("op"),
+        struct($"ts_us".as("ts_ms"), $"event_id".as("scn"),
+          lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "c01_decode_dump" -> { (s, _) =>
+      import s.implicits._
+      Decode.fromAvro(s, s"$fixtures/dump.avro")
+        .select($"row.EMPLOYEE_ID".as("employee_id"),
+          $"row.LAST_NAME".as("last_name"),
+          $"row.SALARY".cast("double").as("salary"),
+          $"op", $"is_snapshot", $"row_id")
+        .orderBy($"row_id")
+    },
+
+    "c02_cdc_final_state" -> { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdc")
+      val table = new CdcTable(s, dir.toString, Seq("EMPLOYEE_ID"))
+      Seq("dump.avro", "insert.avro", "update.avro",
+        "update-pk.avro", "delete.avro").zipWithIndex.foreach {
+        case (f, i) =>
+          table.applyBatch(Decode.fromAvro(s, s"$fixtures/$f"), i.toLong)
+      }
+      table.state.get
+        .select($"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+        .orderBy($"employee_id")
+    },
+
+    "c05_event_collapse" -> { (s, d) =>
+      import s.implicits._
+      Apply.collapse(eventsAsChanges(s, d), Seq("user_id"))
+        .select($"row.user_id".as("user_id"),
+          $"row.event_type".as("event_type"),
+          $"row.value".as("value"),
+          $"sort_key.ts_ms".as("ts_us"))
+        .orderBy($"user_id")
+    },
+
+    "c06_merge_soft_delete" -> { (s, d) =>
+      import s.implicits._
+      // state v0: every customer, sort_key 0
+      val base = load(s, d, "customer").select(
+        struct($"c_custkey", $"c_acctbal".as("bal")).as("row"),
+        lit("INSERT").as("op"),
+        struct(lit(0L).as("ts_ms"), lit(0L).as("scn"),
+          lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+      // batch 1: each customer's latest order updates the balance;
+      // a final-status ('F') latest order soft-deletes the customer
+      val changes = load(s, d, "orders").select(
+        struct($"o_custkey".as("c_custkey"), $"o_totalprice".as("bal")).as("row"),
+        when($"o_orderstatus" === "F", "DELETE").otherwise("UPDATE").as("op"),
+        struct(unix_millis($"o_orderdate".cast("timestamp")).as("ts_ms"),
+          $"o_orderkey".as("scn"), lit("").as("rs_id"), lit(0L).as("ssn"))
+          .as("sort_key"))
+      val v0 = Apply.merge(None, base, Seq("c_custkey"), 0L)
+      val v1 = Apply.merge(Some(v0), changes, Seq("c_custkey"), 1L)
+      v1.select($"c_custkey", $"bal", $"_is_deleted".as("deleted"))
+        .orderBy($"c_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c05_event_collapse" ->
+      """SELECT user_id, event_type, value, ts_us FROM (
+        |  SELECT user_id, event_type, value, epoch_ns(ts)//1000 AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "c06_merge_soft_delete" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_totalprice, o_orderstatus FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) x WHERE rn = 1)
+        |SELECT c_custkey,
+        |  COALESCE(l.o_totalprice, c.c_acctbal) AS bal,
+        |  (l.o_custkey IS NOT NULL AND l.o_orderstatus = 'F') AS deleted
+        |FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+        |ORDER BY c_custkey""".stripMargin
+  ) ++ CdcGoldenOracles.map
+}

@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.math.{BigInteger, BigDecimal => JBigDecimal}
+import java.nio.ByteBuffer
+import java.time.{Instant, LocalDate}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema => AvroSchema}
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.AvroSchemaConverter
+
+/** Reads Datastream-style Avro container files into DataFrames.
+  *
+  * The runtime ships no spark-avro module, so this is a thin source
+  * built on Spark's `binaryFile` format + the core avro-1.12 jar that
+  * IS on the classpath: files are listed/read distributed (one task
+  * per file/split), and each task decodes its files' records with
+  * `DataFileStream`, converting to Spark rows under a fixed target
+  * schema (reference wire format: FIXTURES.md §1, consumed at
+  * DatastreamEventConsumer.java:222-258 in the reference — re-expressed
+  * here as a vectorizable DataFrame source instead of a row callback).
+  *
+  * Scale: listing and decode parallelize per file across executors;
+  * per-file schema is honored independently (drift-safe — a field
+  * missing in an old file is null), matching the reference's
+  * file-granularity schema keys. Decoding is the only non-codegen step;
+  * everything downstream is columnar/codegen.
+  */
+object DatastreamAvro {
+
+  /** Column appended to every decoded row with the source file path. */
+  val FilePathCol = "_file_path"
+
+  /** Read the writer schema embedded in one local avro file. */
+  def writerSchema(path: String): AvroSchema = {
+    val in = new java.io.FileInputStream(stripScheme(path))
+    val reader = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    try reader.getSchema finally { reader.close(); in.close() }
+  }
+
+  /** Spark schema for a set of files (from one sample file's writer
+    * schema) + the file-path column. */
+  def sparkSchema(samplePath: String): StructType = {
+    val st = AvroSchemaConverter.toStructType(writerSchema(samplePath))
+    StructType(st.fields :+ StructField(FilePathCol, StringType, nullable = false))
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  /** Batch read: all avro files matching `glob`, decoded under the
+    * given target schema (defaults to the first listed file's schema). */
+  def read(spark: SparkSession, glob: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val binary = spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val target = schema.getOrElse {
+      val first = binary.select("path").orderBy("path").head.getString(0)
+      sparkSchema(first)
+    }
+    decodeBinary(spark, binary, target)
+  }
+
+  /** Streaming read over a directory of avro files (binaryFile stream
+    * source underneath; exactly-once per file from the stream log). */
+  def readStream(spark: SparkSession, pathGlob: String,
+      schema: StructType): DataFrame = {
+    val binary = spark.readStream.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    decodeBinary(spark, binary, schema)
+  }
+
+  /** Decode a (path, content) DataFrame (batch or streaming) into rows
+    * of `target` (whose last column must be [[FilePathCol]]). */
+  def decodeBinary(spark: SparkSession, binary: DataFrame,
+      target: StructType): DataFrame = {
+    val enc = Encoders.row(target)
+    val dataFields = target.fields.dropRight(1)
+    binary.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        val path = r.getString(0)
+        val content = r.getAs[Array[Byte]](1)
+        decodeFile(content, path, dataFields)
+      }
+    }(enc)
+  }
+
+  private def decodeFile(content: Array[Byte], path: String,
+      dataFields: Array[StructField]): Iterator[Row] = {
+    val in = new ByteArrayInputStream(content)
+    val reader = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    val writer = reader.getSchema
+    val fieldSchemas = dataFields.map(f =>
+      Option(writer.getField(f.name)).map(_.schema()).orNull)
+    val records = new Iterator[GenericRecord] {
+      def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+      def next(): GenericRecord = reader.next()
+    }
+    records.map { rec =>
+      val vals = new Array[Any](dataFields.length + 1)
+      var i = 0
+      while (i < dataFields.length) {
+        vals(i) =
+          if (fieldSchemas(i) == null) null
+          else convert(rec.get(dataFields(i).name), fieldSchemas(i),
+            dataFields(i).dataType)
+        i += 1
+      }
+      vals(dataFields.length) = path
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+  }
+
+  /** Pick the union branch describing `v` (2-branch null unions). */
+  private def unwrapUnion(s: AvroSchema, v: Any): AvroSchema =
+    if (s.getType != AvroSchema.Type.UNION) s
+    else {
+      val nonNull = s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL)
+      if (nonNull.size == 1) nonNull.head
+      else s // heterogeneous union: callers fall back to toString
+    }
+
+  /** Avro runtime value → Spark external value under the target type,
+    * guided by the writer-side avro schema (needed to recover logical
+    * types — DataFileStream returns raw longs/bytes). */
+  private def convert(v: Any, avro0: AvroSchema, dt: DataType): Any = {
+    if (v == null) return null
+    val avro = unwrapUnion(avro0, v)
+    (v, dt) match {
+      case (r: GenericRecord, st: StructType) =>
+        Row.fromSeq(st.fields.map { f =>
+          val af = Option(avro.getField(f.name))
+          af.map(x => convert(r.get(f.name), x.schema(), f.dataType)).orNull
+        }.toIndexedSeq)
+      case (x, StringType) => x.toString // Utf8, enum, hetero-union values
+      case (x: java.lang.Long, TimestampType) =>
+        // Row encoders expect java.sql externals by default
+        java.sql.Timestamp.from(avro.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis =>
+            Instant.ofEpochMilli(x)
+          case _ => microsToInstant(x)
+        })
+      case (x: java.lang.Integer, DateType) =>
+        java.sql.Date.valueOf(LocalDate.ofEpochDay(x.toLong))
+      case (x: java.lang.Integer, IntegerType) => x
+      case (x: java.lang.Long, LongType) => x
+      case (x: java.lang.Integer, LongType) => x.toLong
+      case (x: java.lang.Float, FloatType) => x
+      case (x: java.lang.Double, DoubleType) => x
+      case (x: java.lang.Boolean, BooleanType) => x
+      case (x: ByteBuffer, BinaryType) => byteBufferToArray(x)
+      case (x: GenericFixed, BinaryType) => x.bytes().clone()
+      case (x: ByteBuffer, d: DecimalType) =>
+        new JBigDecimal(new BigInteger(byteBufferToArray(x)), d.scale)
+      case (x: GenericFixed, d: DecimalType) =>
+        new JBigDecimal(new BigInteger(x.bytes()), d.scale)
+      case (x: java.util.Map[_, _], MapType(_, vt, _)) =>
+        val vs = avro.getValueType
+        x.asScala.map { case (k, value) => k.toString -> convert(value, vs, vt) }.toMap
+      case (x: java.util.Collection[_], ArrayType(et, _)) =>
+        val es = avro.getElementType
+        x.asScala.map(convert(_, es, et)).toSeq
+      case (x, _) => x
+    }
+  }
+
+  private def byteBufferToArray(b: ByteBuffer): Array[Byte] = {
+    val dup = b.duplicate()
+    val arr = new Array[Byte](dup.remaining())
+    dup.get(arr)
+    arr
+  }
+
+  private def microsToInstant(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+}

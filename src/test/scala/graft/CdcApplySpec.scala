@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Apply, CdcTable, Decode}
+
+/** SURVEY §7.2 minimum end-to-end slice: replay the reference's
+  * fixture sequence into a merged table and assert the final state
+  * implied by DatastreamEventConsumerTest + the merge contract of
+  * docs/OracleDatastream-cdcSource.md:114-119. */
+class CdcApplySpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/src/test/resources"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshTable(): CdcTable = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "cdc-replay")
+    new CdcTable(spark, dir.toString, Seq("EMPLOYEE_ID"))
+  }
+
+  private def replay(table: CdcTable, files: Seq[String]): Unit =
+    files.zipWithIndex.foreach { case (f, i) =>
+      table.applyBatch(Decode.fromAvro(spark, s"$fixtures/$f"), i.toLong)
+    }
+
+  test("fixture replay: 211 live at 12131.00, 210 soft-deleted") {
+    val table = freshTable()
+    replay(table, Seq("dump.avro", "insert.avro", "update.avro",
+      "update-pk.avro", "delete.avro"))
+    val st = table.state.get.collect()
+      .map(r => r.getAs[Long]("EMPLOYEE_ID") -> r).toMap
+
+    val e210 = st(210L)
+    assert(e210.getAs[Boolean]("_is_deleted"))
+    val e211 = st(211L)
+    assert(!e211.getAs[Boolean]("_is_deleted"))
+    assert(e211.getAs[java.math.BigDecimal]("SALARY")
+      .compareTo(new java.math.BigDecimal("12131.00")) == 0)
+    assert(e211.getAs[String]("FIRST_NAME") == "Sean")
+
+    val live = table.live.get
+    val ids = live.select("EMPLOYEE_ID").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(211L) && !ids.contains(210L))
+    assert(live.count() == 108 + 1) // dump rows + resurrected-as-211
+    assert(!live.columns.contains("_is_deleted"))
+  }
+
+  test("replaying an old batch is a no-op (idempotent, ordered by sort key)") {
+    val table = freshTable()
+    replay(table, Seq("dump.avro", "insert.avro", "update.avro",
+      "update-pk.avro", "delete.avro"))
+    val before = table.state.get.orderBy("EMPLOYEE_ID").collect().toSeq
+    // re-apply earlier files out of order — sort-key guard must hold
+    replay(table, Seq("insert.avro", "update.avro"))
+    val after = table.state.get.orderBy("EMPLOYEE_ID").collect().toSeq
+    assert(before.map(_.toString) == after.map(_.toString))
+  }
+
+  test("collapse keeps only the latest event per PK within a batch") {
+    val all = Decode.fromAvro(spark, s"$fixtures/{insert,update}.avro")
+    assert(all.count() == 2)
+    val collapsed = Apply.collapse(all, Seq("EMPLOYEE_ID"))
+    val rows = collapsed.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Row]("row")
+      .getAs[java.math.BigDecimal]("SALARY")
+      .compareTo(new java.math.BigDecimal("8888.00")) == 0)
+  }
+
+  test("schema drift: new payload column widens state with nulls") {
+    import org.apache.spark.sql.functions._
+    val base = Decode.fromAvro(spark, s"$fixtures/insert.avro")
+    val t = freshTable()
+    t.applyBatch(base, 0L)
+    // simulate a drifted file: extra column in the payload struct
+    val drifted = Decode.fromAvro(spark, s"$fixtures/update.avro")
+      .withColumn("row", struct(col("row.*"), lit("x").as("NEW_COL")))
+    t.applyBatch(drifted, 1L)
+    val st = t.state.get
+    assert(st.columns.contains("NEW_COL"))
+    val r = st.collect().head
+    assert(r.getAs[String]("NEW_COL") == "x")
+  }
+}

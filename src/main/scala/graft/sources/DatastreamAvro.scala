@@ -72,9 +72,17 @@ object DatastreamAvro {
 
   /** Streaming read over a directory of avro files (binaryFile stream
     * source underneath; exactly-once per file from the stream log). */
+  /** binaryFile's fixed source schema (streaming requires it stated). */
+  private val binaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
   def readStream(spark: SparkSession, pathGlob: String,
       schema: StructType): DataFrame = {
-    val binary = spark.readStream.format("binaryFile").load(pathGlob)
+    val binary = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(pathGlob)
       .select(col("path"), col("content"))
     decodeBinary(spark, binary, schema)
   }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.cdc.{CdcTable, Decode}
+import graft.sources.DatastreamAvro
+
+/** Structured-Streaming CDC pipeline: avro file stream → decode →
+  * per-batch soft-delete merge, with exactly-once per file from the
+  * stream checkpoint (replacing the reference's hand-rolled offset
+  * state machine, DatastreamEventReader.java:302-370).
+  *
+  * Design notes vs the reference:
+  *  - 30 s default trigger = the reference's scan cadence
+  *    (DatastreamEventReader.java:95,170); tests use AvailableNow.
+  *  - No snapshot→CDC phase machine: the merge's strictly-greater
+  *    sort-key guard makes apply order-insensitive, so backfill and
+  *    CDC files can interleave freely (the reference needed dump-first
+  *    gating only because it emitted events in arrival order,
+  *    ":429-467"). Late files within the 3-day SLA window simply
+  *    replay idempotently.
+  *  - One stream can host many tables (partitioned by table name) —
+  *    at 100 TB / thousands of tables, per-table driver state is the
+  *    scaling bottleneck the reference would hit; here state lives in
+  *    the checkpoint + the merge targets.
+  */
+object CdcStream {
+
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("30 seconds")
+
+  case class Pipeline(query: StreamingQuery, table: CdcTable)
+
+  /** Start streaming `sourceGlob` avro files into `table`.
+    *
+    * @param schema envelope schema (from
+    *        [[DatastreamAvro.sparkSchema]] of a sample file — explicit,
+    *        never runtime-inferred, per the reference's declared-schema
+    *        policy)
+    */
+  def start(
+      spark: SparkSession,
+      sourceGlob: String,
+      schema: StructType,
+      table: CdcTable,
+      checkpoint: String,
+      decodeOpts: Decode.Options = Decode.Options(),
+      trigger: Trigger = Trigger.AvailableNow()): Pipeline = {
+    val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema)
+    val events = Decode.changeEvents(envelope, decodeOpts)
+    val query = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) { table.applyBatch(batch, id); () }
+      }
+      .start()
+    Pipeline(query, table)
+  }
+
+  /** Run a pipeline to completion over currently-available files
+    * (micro-batch drain; used by tests and backfills). */
+  def drain(p: Pipeline): Unit = {
+    p.query.processAllAvailable()
+    p.query.stop()
+    p.query.awaitTermination()
+  }
+}

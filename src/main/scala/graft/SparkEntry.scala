@@ -17,7 +17,8 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
       (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
-      (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle)
+      (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),
+      (graft.queries.Text.queries, graft.queries.Text.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+import graft.ops.TextAnalysis._
+import graft.util.Tables.load
+
+/** Text-analysis surface over the documents table (t01-t05), each
+  * mirrored by DuckDB list/regex SQL. All per-row transforms are
+  * codegen'd expression trees; aggregations (fingerprint groups,
+  * bigram counts) are ordinary hash aggregates with partial
+  * aggregation — linear scans at 100 TB.
+  */
+object Text {
+
+  private val markersSql: Map[String, String] =
+    TextAnalysis.LangMarkers.toMap.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString(", ")
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- tokenization statistics ----
+    "t01_token_stats" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          tokenCount($"text").as("n_tokens"),
+          uniqueTokenCount($"text").as("n_uniq"),
+          avgTokenLen($"text").as("avg_len"),
+          $"n_chars")
+        .orderBy($"doc_id")
+    },
+
+    // ---- quality scoring ----
+    "t02_quality" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          hitCount($"text", TextAnalysis.LangMarkers.flatMap(_._2)).as("stop_hits"),
+          qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- language identification (function-word heuristic) ----
+    "t03_langid" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", $"lang",
+          langId($"text").as("pred_lang"))
+        .withColumn("is_match", $"pred_lang" === $"lang")
+        .orderBy($"doc_id")
+    },
+
+    // ---- document fingerprinting (exact-dup clusters) ----
+    "t04_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+        .orderBy($"fp")
+    },
+
+    // ---- n-gram extraction: top-20 bigrams ----
+    "t05_top_bigrams" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select(explode(bigrams($"text")).as("bg"))
+        .groupBy($"bg")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bg")
+        .limit(20)
+    }
+  )
+
+  private def hitsSql(listSql: String) =
+    s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_uniq,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_len,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" -> {
+      val all = markersSql.values.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    ${hitsSql(all)} AS stop_hits,
+         |    len(string_split(text,' ')) AS n_tokens,
+         |    CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         |      / len(string_split(text,' ')) AS avg_len
+         |  FROM documents)
+         |SELECT doc_id, stop_hits,
+         |  CAST(stop_hits AS DOUBLE) / n_tokens * 0.3 +
+         |    CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0
+         |         THEN 0.7 ELSE 0.2 END AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+
+    "t03_langid" -> {
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    ${hitsSql(markersSql("en"))} AS h_en,
+         |    ${hitsSql(markersSql("es"))} AS h_es,
+         |    ${hitsSql(markersSql("fr"))} AS h_fr,
+         |    ${hitsSql(markersSql("de"))} AS h_de
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'unknown'
+         |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+         |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+         |       WHEN h_fr >= h_de THEN 'fr'
+         |       ELSE 'de' END AS pred_lang,
+         |  (CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'unknown'
+         |       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+         |       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+         |       WHEN h_fr >= h_de THEN 'fr'
+         |       ELSE 'de' END) = lang AS is_match
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "t04_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "t05_top_bigrams" ->
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents)
+        |SELECT u.bg, COUNT(*) AS n
+        |FROM t, unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) u(bg)
+        |GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""".stripMargin
+  )
+}

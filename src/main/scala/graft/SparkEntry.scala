@@ -18,7 +18,8 @@ object SparkEntry {
       (graft.queries.Events.queries, graft.queries.Events.oracle),
       (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
       (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),
-      (graft.queries.Text.queries, graft.queries.Text.oracle)
+      (graft.queries.Text.queries, graft.queries.Text.oracle),
+      (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

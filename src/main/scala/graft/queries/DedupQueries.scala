@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.ops.Dedup
+import graft.util.Tables.load
+
+/** Deduplication surface (d01-d05) over documents/embeddings.
+  *
+  * The DuckDB oracles verify SEMANTICS, not mechanism: d02's oracle is
+  * a brute-force all-pairs Jaccard scan, while the Spark side answers
+  * through MinHash LSH + verification — at 64 hashes / 16 bands the
+  * probability of LSH missing a Jaccard≥0.8 pair is < 1e-5, and every
+  * surviving candidate is exact-verified, so the two agree. d03
+  * (SimHash) is hash-defined and has no SQL oracle (rows-only check).
+  */
+object DedupQueries {
+
+  // single-line: embedded into stripMargin'd SQL, so no leading "||"
+  private val shingleSql =
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] " +
+      "|| ' ' || string_split(text,' ')[i+2]))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact dedup by content fingerprint+metadata group ----
+    "d01_exact_dedup" -> { (s, d) =>
+      import s.implicits._
+      Dedup.exactDedup(load(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .select($"lang", $"source", $"doc_id", $"n_dups")
+        .orderBy($"lang", $"source")
+    },
+
+    // ---- MinHash LSH near-dup pairs, exact-verified ----
+    "d02_minhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
+    // ---- SimHash near-dup pairs (hash-defined; rows-only check) ----
+    "d03_simhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      Dedup.simhashPairs(load(s, d, "documents"), "doc_id", "text")
+        .orderBy($"a", $"b")
+    },
+
+    // ---- blocked n-gram Jaccard pairs ----
+    "d04_blocked_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val sets = load(s, d, "documents")
+        .select($"doc_id", $"lang", $"source",
+          Dedup.shingleSet($"text").as("sh"))
+      val l = sets.as("l"); val r = sets.as("r")
+      l.join(r, col("l.lang") === col("r.lang") &&
+          col("l.source") === col("r.source") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          Dedup.jaccard(col("l.sh"), col("r.sh")).as("j"))
+        .filter($"j" >= 0.5)
+        .select($"a", $"b", round($"j", 6).as("jaccard"))
+        .orderBy($"a", $"b")
+    },
+
+    // ---- embedding cosine near-dup pairs (exact, fused expression) ----
+    "d05_cosine_pairs" -> { (s, d) =>
+      import s.implicits._
+      val e = load(s, d, "embeddings")
+      val l = e.select($"vec_id".as("a"), $"embedding".as("va"))
+      val r = e.select($"vec_id".as("b"), $"embedding".as("vb"))
+      l.join(r, $"a" < $"b")
+        .withColumn("cos", round(Vectors.cosine($"va", $"vb"), 6))
+        .filter($"cos" >= 0.45)
+        .select($"a", $"b", $"cos")
+        .orderBy($"a", $"b")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT lang, source, doc_id, n_dups FROM (
+        |  SELECT lang, source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS n_dups
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+
+    "d02_minhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    "d04_blocked_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $shingleSql AS sh
+         |           FROM documents)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |  AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "d05_cosine_pairs" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY a, b""".stripMargin
+  )
+}

@@ -19,7 +19,8 @@ object SparkEntry {
       (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
       (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),
       (graft.queries.Text.queries, graft.queries.Text.oracle),
-      (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracle)
+      (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracle),
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

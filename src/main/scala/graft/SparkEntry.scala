@@ -20,7 +20,8 @@ object SparkEntry {
       (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),
       (graft.queries.Text.queries, graft.queries.Text.oracle),
       (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracle),
-      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracle)
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracle),
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.util.Tables.load
+
+/** Multimodal surface (m01-m03): the documents' text bytes stand in
+  * for media payloads (ASCII ⇒ 1 byte/char, so DuckDB's VARCHAR
+  * functions mirror the Spark side's real binary operations exactly).
+  * m03 exercises the batched stub decoder — hash/impl-defined, so
+  * rows-only.
+  */
+object MultimodalQueries {
+
+  private val FrameSize = 32
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- binary payload + typed metadata struct ----
+    "m01_media_meta" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          Multimodal.asMedia(encode($"text", "UTF-8"), "text/fake").as("media"))
+        .select($"doc_id",
+          $"media.meta.kind".as("kind"),
+          $"media.meta.n_bytes".as("n_bytes"),
+          $"media.meta.sha256".as("sha"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- frame sampling over the binary payload ----
+    "m02_frame_sample" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .select($"doc_id",
+          size(Multimodal.sampleFrames($"payload", FrameSize)).cast("long")
+            .as("n_frames"),
+          lower(sha2($"payload".substr(lit(1), lit(FrameSize)), 256))
+            .as("first_frame_sha"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- batched (stub) feature extraction; rows-only check ----
+    "m03_fake_features" -> { (s, d) =>
+      import s.implicits._
+      val media = load(s, d, "documents")
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "payload")
+        .select($"id".as("doc_id"),
+          round(element_at($"features", 7).cast("double"), 6).as("f7"),
+          round(element_at($"features", 8).cast("double"), 6).as("f8"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id, 'text/fake' AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_frame_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(ceil(octet_length(encode(text)) / $FrameSize.0) AS BIGINT)
+         |    AS n_frames,
+         |  sha256(substring(text, 1, $FrameSize)) AS first_frame_sha
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -48,9 +48,24 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** Exact Jaccard over two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Shingle set hashed to distinct longs: set operations over
+    * primitive arrays skip per-pair string hashing/allocation, and a
+    * 64-bit collision (~1e-19 per pair) is the only semantic delta. */
+  def hashedShingleSet(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingleSet(text, k), sh => xxhash64(sh)))
+
+  /** Exact Jaccard over two distinct-element arrays. One intersection
+    * only: |A∪B| = |A|+|B|-|A∩B| (array_intersect is O(|A|·|B|); the
+    * union would double the pairwise work). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Cheap necessary condition for jaccard(a,b) >= t: set sizes within
+    * ratio t of each other. Applied before any O(|A|·|B|) work. */
+  def sizeCompatible(a: Column, b: Column, t: Double): Column =
+    size(a) >= size(b) * t && size(b) >= size(a) * t
 
   // ---- MinHash + LSH ----
 
@@ -82,8 +97,14 @@ object Dedup {
       threshold: Double, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPer = numHashes / bands
-    val sets = df.select(col(idCol).cast("long").as("id"),
-      shingleSet(col(textCol), k).as("sh"))
+    // small-file inputs arrive as one partition; per-row shingle/hash
+    // work is CPU-bound, so spread it across the cluster first
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // the set relation feeds the signature pass AND both verification
+    // joins — persist so shingling runs once, not three times
+    val sets = df.repartition(par).select(col(idCol).cast("long").as("id"),
+      hashedShingleSet(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sets, numHashes)
     val bandCols = (0 until bands).map { b =>
       (0 until rowsPer).map(r => col(s"m${b * rowsPer + r}"))
@@ -103,6 +124,7 @@ object Dedup {
     candidates
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .filter(sizeCompatible(col("sha"), col("shb"), threshold))
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
@@ -110,28 +132,34 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 32-bit SimHash of the token multiset: per-bit majority vote over
-    * xxhash64 token hashes, assembled without shift ops (mask array →
-    * codegen-friendly). */
-  def simhash32(text: Column): Column = {
-    val th = transform(split(text, " "), t => xxhash64(t))
-    val masks = array((0 until 32).map(i => lit(1L << i)): _*)
-    val bitVotes = transform(masks, m =>
-      aggregate(th, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
-    aggregate(
-      zip_with(masks, bitVotes, (m, v) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  /** 32-bit SimHash per row: per-bit majority vote over xxhash64
+    * token hashes. Explode + 32 conditional-sum aggregates (map-side
+    * partial) — the same shape as MinHash signatures; a single giant
+    * nested-array expression stalls planning/codegen. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 32).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val agg = tokenHashes.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 32).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a + b)
+    agg.select(col("id"), sig.as("sig"))
   }
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs by SimHash: block on the full 32-bit value's high
-    * 16 bits, compare hamming distance within blocks. */
+  /** Near-dup pairs by SimHash: block on the signature's high 16 bits,
+    * compare hamming distance within blocks. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 4): DataFrame = {
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      simhash32(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol)
       .withColumn("block", shiftright(col("sig"), 16))
     val l = sigs.as("l"); val r = sigs.as("r")
     l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))

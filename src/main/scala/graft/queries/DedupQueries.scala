@@ -53,12 +53,14 @@ object DedupQueries {
     "d04_blocked_jaccard" -> { (s, d) =>
       import s.implicits._
       val sets = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", $"lang", $"source",
-          Dedup.shingleSet($"text").as("sh"))
+          Dedup.hashedShingleSet($"text").as("sh"))
       val l = sets.as("l"); val r = sets.as("r")
       l.join(r, col("l.lang") === col("r.lang") &&
           col("l.source") === col("r.source") &&
           col("l.doc_id") < col("r.doc_id"))
+        .filter(Dedup.sizeCompatible(col("l.sh"), col("r.sh"), 0.5))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
           Dedup.jaccard(col("l.sh"), col("r.sh")).as("j"))
         .filter($"j" >= 0.5)

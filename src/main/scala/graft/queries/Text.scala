@@ -68,6 +68,7 @@ object Text {
     "t05_top_bigrams" -> { (s, d) =>
       import s.implicits._
       load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(bigrams($"text")).as("bg"))
         .groupBy($"bg")
         .agg(count(lit(1)).as("n"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that keep the engine fast at
+  * 100 TB, asserted so regressions fail CI rather than a cluster.
+  *
+  *  - filters/projections reach the parquet scan (PushedFilters /
+  *    ReadSchema pruning)
+  *  - small dimensions broadcast (no shuffle of the fact side)
+  *  - top-k compiles to TakeOrderedAndProject (no global sort)
+  *  - aggregations are partial (map-side combine before the shuffle)
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val qe = SparkEntry.queries("q02_filter_project")(spark, sf).queryExecution
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // date-cast predicates are rewritten into pushable NTZ bounds
+    assert(p.contains("LessThan(l_quantity,3.0)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(p.contains("l_shipdate") && !p.contains("l_returnflag"), p)
+  }
+
+  test("q05: all four dimension joins broadcast; fact side not shuffled for joins") {
+    val p = plan("q05_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q10: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q10_topk_lineitems")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q07: semi join stays a join, not a filter-subquery rescan") {
+    val p = plan("q07_exists_bigqty")
+    assert(p.contains("LeftSemi"), p)
+  }
+}

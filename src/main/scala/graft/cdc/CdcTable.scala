@@ -1,46 +1,122 @@
 package graft.cdc
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Minimal versioned parquet table used as the CDC merge target.
+/** Bucket-partitioned, versioned parquet table used as the CDC merge
+  * target — a deliberately tiny stand-in for a lakehouse format (the
+  * runtime ships no Delta/Iceberg jars) that still has the property
+  * that matters at 100 TB: **a micro-batch rewrites only the PK
+  * buckets it touches**, never the whole table.
   *
-  * Each `applyBatch` writes a new immutable version directory
-  * (`v<N>/`) and atomically advances a `_LATEST` pointer file —
-  * a deliberately tiny stand-in for a real lakehouse table format
-  * (the runtime ships no Delta/Iceberg jars); same
-  * read-current/merge/write-next/commit shape, so swapping in
-  * `MERGE INTO` later is a one-liner. Readers always see a complete
-  * version. Old versions are retained (time travel / debugging) —
-  * a production deployment would vacuum by TTL, mirroring the
-  * reference's 30-day purge lifecycle (util/Utils.java:860-899).
+  * Layout:
+  * {{{
+  *   path/
+  *     _LATEST                  // current manifest version (atomic move)
+  *     manifest-<v>.json        // bucket id -> immutable bucket dir
+  *     b<bucket>-v<version>/    // parquet for one PK hash bucket
+  * }}}
+  *
+  * `applyBatch` hashes incoming PKs into `numBuckets`, reads ONLY the
+  * touched buckets' current dirs (partition pruning by construction),
+  * merges, writes new immutable dirs for those buckets, and commits a
+  * new manifest that re-points touched buckets and carries untouched
+  * ones forward. Readers resolve the manifest and union bucket dirs —
+  * always a complete, consistent version; old versions remain for time
+  * travel until vacuumed (the reference's 30-day purge analog).
   */
-class CdcTable(spark: SparkSession, path: String, pkCols: Seq[String]) {
+class CdcTable(
+    spark: SparkSession,
+    path: String,
+    pkCols: Seq[String],
+    numBuckets: Int = 16) {
 
   private val dir = Paths.get(path)
   private val latestFile = dir.resolve("_LATEST")
   Files.createDirectories(dir)
+
+  private def bucketCol =
+    pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
 
   def currentVersion: Option[Long] =
     if (Files.exists(latestFile))
       Some(new String(Files.readAllBytes(latestFile)).trim.toLong)
     else None
 
-  def state: Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(s"$path/v$v"))
+  /** bucket id → relative dir name, for a manifest version. */
+  private def manifest(v: Long): Map[Int, String] = {
+    val txt = new String(Files.readAllBytes(dir.resolve(s"manifest-$v.json")))
+    // minimal parser for the {"0":"b0-v1",...} shape we write
+    "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2)).toMap
+  }
 
-  /** Merge one micro-batch of decoded change events and commit a new
-    * version. Returns the committed version number. */
-  def applyBatch(events: DataFrame, batchId: Long): Long = {
-    val next = currentVersion.getOrElse(-1L) + 1
-    val merged = Apply.merge(state, events, pkCols, sequenceNum = batchId)
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/v$next")
-    val tmp = dir.resolve(s"_LATEST.tmp$next")
-    Files.write(tmp, next.toString.getBytes)
-    Files.move(tmp, latestFile, StandardCopyOption.ATOMIC_MOVE,
+  private def writeManifest(v: Long, m: Map[Int, String]): Unit = {
+    val body = m.toSeq.sortBy(_._1)
+      .map { case (b, p) => s""""$b": "$p"""" }
+      .mkString("{", ", ", "}")
+    val tmp = dir.resolve(s"manifest-$v.json.tmp")
+    Files.write(tmp, body.getBytes)
+    Files.move(tmp, dir.resolve(s"manifest-$v.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val lt = dir.resolve(s"_LATEST.tmp$v")
+    Files.write(lt, v.toString.getBytes)
+    Files.move(lt, latestFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readBuckets(dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$path/$d"): _*))
+
+  /** Full current state (all buckets), None before the first commit. */
+  def state: Option[DataFrame] =
+    currentVersion.flatMap(v => readBuckets(manifest(v).values.toSeq))
+
+  /** Merge one micro-batch of decoded change events; rewrites only the
+    * PK buckets present in the batch. Returns the committed version. */
+  def applyBatch(events: DataFrame, batchId: Long): Long = {
+    val cur = currentVersion
+    val curManifest = cur.map(manifest).getOrElse(Map.empty)
+    val next = cur.getOrElse(-1L) + 1
+
+    val eventBuckets = events.select(
+      pmod(xxhash64(pkCols.map(c => col(s"row.$c")): _*), lit(numBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val touchedState = readBuckets(
+      eventBuckets.flatMap(b => curManifest.get(b)).toSeq.distinct)
+
+    val merged = Apply.merge(touchedState, events, pkCols, sequenceNum = batchId)
+      .withColumn("_bucket", bucketCol)
+
+    // write touched buckets as new immutable dirs via one partitioned write
+    val staging = s"$path/_staging-v$next"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(staging)
+    val stagingPath = Paths.get(staging)
+    val newDirs = Files.list(stagingPath).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_bucket="))
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
+        val dest = s"b$b-v$next"
+        Files.move(p, dir.resolve(dest), StandardCopyOption.ATOMIC_MOVE)
+        b -> dest
+      }.toMap
+    deleteRecursively(stagingPath)
+
+    writeManifest(next, curManifest ++ newDirs)
     next
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** Current live rows (soft-deleted hidden, bookkeeping dropped). */

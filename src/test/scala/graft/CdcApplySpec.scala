@@ -75,6 +75,31 @@ class CdcApplySpec extends AnyFunSuite {
       .compareTo(new java.math.BigDecimal("8888.00")) == 0)
   }
 
+  test("single-PK batch rewrites only its bucket; others carried forward") {
+    val dirPath = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "cdc-bucket")
+    val table = new CdcTable(spark, dirPath.toString, Seq("EMPLOYEE_ID"),
+      numBuckets = 8)
+    table.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val v0Dirs = java.nio.file.Files.list(dirPath).iterator()
+    val before = new String(java.nio.file.Files.readAllBytes(
+      dirPath.resolve("manifest-0.json")))
+    // one-row batch touches exactly one bucket
+    table.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    val after = new String(java.nio.file.Files.readAllBytes(
+      dirPath.resolve("manifest-1.json")))
+    val changed = "\"(\\d+)\": \"([^\"]+)\"".r.findAllMatchIn(after)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val orig = "\"(\\d+)\": \"([^\"]+)\"".r.findAllMatchIn(before)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val rewritten = changed.filter { case (b, d) => orig.get(b) != Some(d) }
+    assert(rewritten.size == 1, s"expected 1 rewritten bucket: $rewritten")
+    // untouched buckets point at the SAME v0 dirs
+    assert((changed -- rewritten.keySet) == (orig -- rewritten.keySet))
+    // and the merged view is intact
+    assert(table.state.get.count() == 109)
+  }
+
   test("schema drift: new payload column widens state with nulls") {
     import org.apache.spark.sql.functions._
     val base = Decode.fromAvro(spark, s"$fixtures/insert.avro")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Decode
+import graft.sources.{DatastreamAvro, DatastreamJson}
+
+class ExtensionsAndJsonSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/src/test/resources"
+
+  lazy val spark: SparkSession = {
+    // builder extensions are ignored when another suite's session is
+    // already live (getOrCreate), so install on the session directly
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("cosine_similarity is callable from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(cast(1.0 as float), cast(0.0 as float)),
+        |  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("JSON envelope round-trips through the same decode pipeline") {
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
+    val avroEnv = DatastreamAvro.read(spark, s"$fixtures/insert.avro")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "json-env")
+    val jsonDir = s"${dir.toString}/events"
+    avroEnv.drop(DatastreamAvro.FilePathCol)
+      .write.mode("overwrite").json(jsonDir)
+
+    val jsonEnv = DatastreamJson.read(spark, s"$jsonDir/*.json", schema)
+    val decoded = Decode.changeEvents(jsonEnv).collect()
+    assert(decoded.length == 1)
+    val e = decoded.head
+    assert(e.getAs[String]("op") == "INSERT")
+    val row = e.getAs[Row]("row")
+    assert(row.getAs[Long]("EMPLOYEE_ID") == 210L)
+    assert(row.getAs[String]("FIRST_NAME") == "Sean")
+    assert(row.getAs[java.math.BigDecimal]("SALARY")
+      .compareTo(new java.math.BigDecimal("12131.00")) == 0)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Sessionize
+
+/** Streaming semantics beyond the CDC path: watermarked append-mode
+  * windows and the custom stateful sessionizer. */
+class StreamingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // offset from epoch: an event at exactly the initial watermark (0)
+  // would be dropped as late data
+  private val base = 1699999200000L // multiple of 30 min: aligned windows
+  private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+
+  test("watermark + append mode emits only finalized windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("t", "value")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window($"t", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts(1), 1.0), (ts(5), 1.0), (ts(31), 1.0))
+      q.processAllAvailable() // watermark now 31-10=21min: nothing final
+      assert(spark.table("wm_sink").count() == 0)
+      input.addData((ts(55), 1.0)) // watermark 45min: [0,30) finalizes
+      q.processAllAvailable()
+      val rows = spark.table("wm_sink").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n") == 2) // the two events in [0,30)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes by gap and by timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "t", "value")
+      .withWatermark("t", "1 minute")
+    val sessions = Sessionize.sessions(df, java.time.Duration.ofMinutes(30))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1: two sessions split by a 40-min gap inside one batch
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_sink")
+        .as[Sessionize.SessionOut].collect()
+      assert(afterBatch1.length == 1) // first session closed by the gap
+      assert(afterBatch1.head.n_events == 2 && afterBatch1.head.total_value == 3.0)
+
+      // advance the watermark far past user 1's open session → timeout
+      input.addData((2L, ts(200), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(300), 9.0)) // push watermark again
+      q.processAllAvailable()
+      val all = spark.table("sess_sink").as[Sessionize.SessionOut].collect()
+      val u1 = all.filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(u1.length == 2)
+      assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
+    } finally q.stop()
+  }
+}

@@ -16,6 +16,7 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracle),
+      (graft.queries.Relational3.queries, graft.queries.Relational3.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
       (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
       (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Bucket-partitioned, versioned parquet table used as the CDC merge
   * target — a deliberately tiny stand-in for a lakehouse format (the
@@ -85,6 +86,29 @@ class CdcTable(
     val curManifest = cur.map(manifest).getOrElse(Map.empty)
     val next = cur.getOrElse(-1L) + 1
 
+    // DDL surface (reference: CREATE_TABLE before first data,
+    // ALTER_TABLE on schema drift — DatastreamEventReader.java:558-570,
+    // :652-674): recorded in an append-only _ddl.jsonl next to the data
+    val incomingPayload = events.schema("row").dataType.asInstanceOf[StructType]
+    val ddlEvent: Option[String] = cur match {
+      case None =>
+        Some(s"""{"version": $next, "event": "CREATE_TABLE", """ +
+          s""""pk": ${pkCols.map(c => s"\"$c\"").mkString("[", ",", "]")}, """ +
+          s""""schema": ${incomingPayload.json}}""")
+      case Some(_) =>
+        val curPayload = StructType(state.get.schema.fields
+          .filterNot(f => Apply.MetaCols.contains(f.name)))
+        SchemaDrift.diff(curPayload, incomingPayload).map { changes =>
+          val widened = SchemaDrift.widen(curPayload, changes) // validates
+          val added = changes.collect {
+            case SchemaDrift.AddColumn(f) => s"\"${f.name}\""
+          }
+          s"""{"version": $next, "event": "ALTER_TABLE", """ +
+            s""""added": ${added.mkString("[", ",", "]")}, """ +
+            s""""schema": ${widened.json}}"""
+        }
+    }
+
     val eventBuckets = events.select(
       pmod(xxhash64(pkCols.map(c => col(s"row.$c")): _*), lit(numBuckets))
         .cast("int").as("b"))
@@ -110,8 +134,19 @@ class CdcTable(
     deleteRecursively(stagingPath)
 
     writeManifest(next, curManifest ++ newDirs)
+    ddlEvent.foreach { line =>
+      Files.write(dir.resolve("_ddl.jsonl"), (line + "\n").getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     next
   }
+
+  /** The table's DDL history (CREATE_TABLE / ALTER_TABLE lines). */
+  def ddlEvents: Seq[String] =
+    if (!Files.exists(dir.resolve("_ddl.jsonl"))) Nil
+    else new String(Files.readAllBytes(dir.resolve("_ddl.jsonl")))
+      .split("\n").toSeq.filter(_.nonEmpty)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.load
+import graft.util.Cols.dec4
+
+/** Third wave: pivot, funnel analysis, approximate sketches, and a
+  * salted skew-join (result-equivalent to the plain join — its oracle
+  * IS the plain join's SQL). */
+object Relational3 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- pivot (wide conditional aggregation) ----
+    "q28_pivot" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec4($"l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .withColumn("qty_f", coalesce($"qty_f", lit(0.0)))
+        .withColumn("qty_o", coalesce($"qty_o", lit(0.0)))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- funnel: view → click → purchase per user, strictly ordered ----
+    "q29_funnel" -> { (s, d) =>
+      import s.implicits._
+      val e = load(s, d, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select($"user_id", $"event_type", $"ts_us")
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("t1"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts_us" > $"t1")
+        .groupBy($"user_id").agg(min($"ts_us").as("t2"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts_us" > $"t2")
+        .groupBy($"user_id").agg(min($"ts_us").as("t3"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+    },
+
+    // ---- approximate sketches (impl-defined values; rows-only gate,
+    //      error bounds asserted in SketchSpec) ----
+    "q30_approx_sketches" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- salted skew join: result equals the plain join ----
+    "q31_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val part = load(s, d, "part").select($"p_partkey", $"p_brand")
+      graft.ops.Salting.saltedJoin(li, part, "l_partkey", "p_partkey",
+          saltFrom = $"l_orderkey" * 8 + $"l_linenumber", n = 8)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"l_extendedprice")).cast("double").as("total"))
+        .orderBy($"p_brand")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q28_pivot" ->
+      """SELECT l_returnflag,
+        |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_f,
+        |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |           FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+        |      JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+        |      JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click_after,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_after""".stripMargin,
+
+    "q31_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  )
+}

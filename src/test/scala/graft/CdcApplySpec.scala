@@ -100,6 +100,25 @@ class CdcApplySpec extends AnyFunSuite {
     assert(table.state.get.count() == 109)
   }
 
+  test("DDL log: CREATE_TABLE on first batch, ALTER_TABLE on drift") {
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 0L)
+    val afterCreate = t.ddlEvents
+    assert(afterCreate.size == 1 && afterCreate.head.contains("CREATE_TABLE"))
+    assert(afterCreate.head.contains("EMPLOYEE_ID"))
+    // same schema again → no new DDL
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/update.avro"), 1L)
+    assert(t.ddlEvents.size == 1)
+    // drifted payload → ALTER_TABLE with the added column
+    val drifted = Decode.fromAvro(spark, s"$fixtures/delete.avro")
+      .withColumn("row", struct(col("row.*"), lit("x").as("NEW_COL")))
+    t.applyBatch(drifted, 2L)
+    val afterAlter = t.ddlEvents
+    assert(afterAlter.size == 2 && afterAlter.last.contains("ALTER_TABLE"))
+    assert(afterAlter.last.contains("NEW_COL"))
+  }
+
   test("schema drift: new payload column widens state with nulls") {
     import org.apache.spark.sql.functions._
     val base = Decode.fromAvro(spark, s"$fixtures/insert.avro")

@@ -156,4 +156,40 @@ class CdcTable(
 
   /** Current live rows (soft-deleted hidden, bookkeeping dropped). */
   def live: Option[DataFrame] = state.map(Apply.liveView)
+
+  /** Compaction (OPTIMIZE analog): rewrite every current bucket as a
+    * single coalesced file set and commit a new manifest. Run
+    * periodically where streaming produces many small files per batch
+    * (the reference rotates source files every 15 s / 1 MB; the same
+    * small-file pressure lands here). */
+  def compact(): Option[Long] = currentVersion.map { v =>
+    val next = v + 1
+    val m = manifest(v)
+    val rewritten = m.map { case (b, d) =>
+      val dest = s"b$b-v$next"
+      spark.read.parquet(s"$path/$d").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
+      b -> dest
+    }
+    writeManifest(next, rewritten)
+    next
+  }
+
+  /** Vacuum (purge-lifecycle analog of the reference's 30-day bucket
+    * TTL, util/Utils.java:860-899): delete bucket dirs not referenced
+    * by the manifests of the latest `keepVersions` versions. */
+  def vacuum(keepVersions: Int = 1): Seq[String] = currentVersion match {
+    case None => Nil
+    case Some(v) =>
+      val keep = (math.max(0L, v - keepVersions + 1) to v)
+        .filter(k => Files.exists(dir.resolve(s"manifest-$k.json")))
+        .flatMap(k => manifest(k).values).toSet
+      val removed = Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("b") &&
+          p.getFileName.toString.contains("-v") &&
+          !keep.contains(p.getFileName.toString))
+        .map { p => deleteRecursively(p); p.getFileName.toString }
+        .toSeq
+      removed.sorted
+  }
 }

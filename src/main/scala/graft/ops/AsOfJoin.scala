@@ -20,6 +20,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** Forward as-of join: for each left row, the right row with the
+    * smallest `rightOn` ≥ (or > when `strict`) the left's `leftOn`.
+    * Same single-shuffle union+window shape as [[backward]]. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      rightPayload: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      (by.map(col) :+ col(rightOn).as(leftOn)) ++ rightPayload.map(col): _*)
+      .withColumn("__side", lit(1))
+    val lTagged = left.withColumn("__side", lit(0))
+    val combined = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val lower = if (strict) 1L else 0L
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(leftOn))
+      .rangeBetween(lower, Window.unboundedFollowing)
+    val asofStruct = min(when(col("__side") === 1,
+      struct((col(leftOn).as("__on") +: rightPayload.map(col)): _*))).over(w)
+
+    val outCols = leftCols.map(col) ++
+      (col("__asof.__on").as(s"asof_$rightOn") +:
+        rightPayload.map(c => col(s"__asof.$c").as(s"asof_$c")))
+    combined
+      .withColumn("__asof", asofStruct)
+      .filter(col("__side") === 0)
+      .select(outCols: _*)
+  }
+
   def backward(
       left: DataFrame,
       right: DataFrame,

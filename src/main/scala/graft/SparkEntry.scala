@@ -17,6 +17,8 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.Relational2.queries, graft.queries.Relational2.oracle),
       (graft.queries.Relational3.queries, graft.queries.Relational3.oracle),
+      (graft.queries.Relational4.queries, graft.queries.Relational4.oracle),
+      (graft.queries.Relational5.queries, graft.queries.Relational5.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
       (graft.queries.CdcTypes.queries, graft.queries.CdcTypes.oracle),
       (graft.queries.CdcPipeline.queries, graft.queries.CdcPipeline.oracle),

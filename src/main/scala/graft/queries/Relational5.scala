@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TopKByCount
+import graft.util.Tables.load
+import graft.util.Cols.dec4
+
+/** Fifth wave: the typed-Aggregator UDAF surface and window-frame
+  * breadth (running totals, moving averages). */
+object Relational5 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- custom typed Aggregator (UDAF): top-5 types per brand ----
+    "q36_topk_udaf" -> { (s, d) =>
+      import s.implicits._
+      val topk = udaf(TopKByCount(5))
+      load(s, d, "part")
+        .groupBy($"p_brand")
+        .agg(topk($"p_type").as("top_types"))
+        .select($"p_brand", explode($"top_types").as("type_count"))
+        .orderBy($"p_brand", $"type_count")
+    },
+
+    // ---- window frames: running total + moving average ----
+    "q37_window_frames" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      load(s, d, "lineitem")
+        .filter($"l_suppkey" <= 10)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum(dec4($"l_quantity"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_qty"),
+          (sum(dec4($"l_extendedprice")).over(w.rowsBetween(-6, 0))
+            .cast("double") /
+            count(lit(1)).over(w.rowsBetween(-6, 0))).as("moving_avg7"))
+        .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_topk_udaf" ->
+      """SELECT p_brand, p_type || ':' || CAST(n AS VARCHAR) AS type_count
+        |FROM (
+        |  SELECT p_brand, p_type, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY COUNT(*) DESC, p_type) AS rn
+        |  FROM part GROUP BY p_brand, p_type) t
+        |WHERE rn <= 5 ORDER BY p_brand, type_count""".stripMargin,
+
+    "q37_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER
+        |    (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg7
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -155,6 +155,45 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---- dup-cluster resolution ----
+
+  /** Connected components over an undirected pair list (a,b):
+    * iterative min-label propagation — each round every node adopts
+    * the smallest label among itself and its neighbors, until no
+    * label changes. Rounds = graph diameter (near-dup clusters are
+    * shallow: usually 1-3), each round one join + one aggregate on
+    * the edge list — no driver-side graph.
+    *
+    * Returns (id, cluster) where cluster = min node id reachable. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "a", bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("y") === labels("id"))
+        .groupBy(col("x").as("id"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = updated.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("id")).filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs by SimHash: block on the signature's high 16 bits,
     * compare hamming distance within blocks. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -68,6 +68,16 @@ object DedupQueries {
         .orderBy($"a", $"b")
     },
 
+    // ---- dup clusters: connected components over near-dup pairs ----
+    "d06_dup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val pairs = Dedup.minhashPairs(load(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"cluster")
+        .orderBy($"doc_id")
+    },
+
     // ---- embedding cosine near-dup pairs (exact, fused expression) ----
     "d05_cosine_pairs" -> { (s, d) =>
       import s.implicits._
@@ -112,6 +122,21 @@ object DedupQueries {
          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
          |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    "d06_dup_clusters" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges) n
+         |  UNION
+         |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x)
+         |SELECT x AS doc_id, MIN(label) AS cluster
+         |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

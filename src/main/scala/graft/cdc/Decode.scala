@@ -61,6 +61,15 @@ object Decode {
         coalesce(col("source_metadata.scn"), lit(0L)).as("scn"),
         coalesce(col("source_metadata.rs_id"), lit("")).as("rs_id"),
         coalesce(col("source_metadata.ssn"), lit(0L)).as("ssn")).as("sort_key"),
+      // filename-embedded metadata (reference parses both from paths:
+      // schema_key = first "_" token of the filename,
+      // DatastreamEventReader.java:647-650; source time = the
+      // yyyy/MM/dd/HH/mm folder path, ":676-678")
+      coalesce(col("schema_key"),
+        regexp_extract(col(DatastreamAvro.FilePathCol),
+          "([^/_]+)_[^/]*$", 1)).as("schema_key"),
+      regexp_extract(col(DatastreamAvro.FilePathCol),
+        "(\\d{4}/\\d{2}/\\d{2}/\\d{2}/\\d{2})", 1).as("source_time_path"),
       col(DatastreamAvro.FilePathCol))
       // previous_row := row for UPDATE (PK unchanged by construction:
       // PK updates arrive as a DELETE+UPDATE pair)

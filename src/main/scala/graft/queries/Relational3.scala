@@ -54,7 +54,7 @@ object Relational3 {
         .agg(
           approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median"))
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy($"l_returnflag")
     },
 

@@ -84,6 +84,46 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the
+    * `nlist` lowest-id corpus vectors act as centroids — partitions
+    * the corpus by nearest centroid; queries search only their
+    * `nprobe` nearest cells, ranked exactly within candidates. Same
+    * contract as [[annTopK]]; compared to sign-LSH the cells adapt to
+    * the data distribution. (A production build would learn centroids
+    * with k-means; the deterministic seed keeps results replayable
+    * and oracle-friendly.) */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = broadcast(corpus.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cid"), col("vec").as("cvec")))
+
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
+        n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cid"))
+      df.crossJoin(centroids)
+        .withColumn("sim", Vectors.cosine(col(vecCol), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+        .select(col(idCol), col(vecCol), col("cid"))
+    }
+
+    val corpusCells = nearestCells(
+      corpus.select(col("id"), col("vec")), "id", "vec", 1)
+    val queryCells = nearestCells(
+      queries.select(col("qid").as("qid"), col("qvec")), "qid", "qvec", nprobe)
+
+    val cand = queryCells.join(corpusCells, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** kNN majority-vote classification from a top-k result joined to
     * labels: per qid the most frequent label, smallest label on ties. */
   def knnClassify(topk: DataFrame, labels: DataFrame): DataFrame = {

@@ -25,6 +25,13 @@ object Relational5 {
         .orderBy($"p_brand", $"type_count")
     },
 
+    // ---- the SQL-string interface: identical text on both engines ----
+    "q38_sql_interface" -> { (s, d) =>
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(sharedSql)
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -43,7 +50,17 @@ object Relational5 {
     }
   )
 
+  /** One SQL text, two engines: the same string runs through
+    * spark.sql over temp views AND as its own DuckDB oracle. */
+  val sharedSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val oracle: Map[String, String] = Map(
+    "q38_sql_interface" -> sharedSql,
     "q36_topk_udaf" ->
       """SELECT p_brand, p_type || ':' || CAST(n AS VARCHAR) AS type_count
         |FROM (

@@ -53,6 +53,14 @@ object SimilarityQueries {
       Similarity.annTopK(queriesDf(s, d),
           corpusDf(s, d).select($"id", $"vec"), K)
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- IVF ANN (deterministic coarse quantizer; rows-only) ----
+    "s04_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      Similarity.ivfTopK(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), K)
+        .orderBy($"qid", $"rank")
     }
   )
 

@@ -65,8 +65,14 @@ class VectorSpec extends AnyFunSuite {
     val ann = Similarity.annTopK(qs, corpus, 10)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
-    info(s"ANN recall@10 = $recall (candidates probed: hamming<=1 of 8 bits)")
+    info(s"sign-LSH recall@10 = $recall (hamming<=1 probes of 8 bits)")
     assert(recall > 0.2) // multi-probe over 256 buckets on 500 vecs
     assert(ann.nonEmpty)
+
+    val ivf = Similarity.ivfTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $ivfRecall (nprobe=4 of 16 cells)")
+    assert(ivfRecall > 0.2)
   }
 }

@@ -32,6 +32,12 @@ object Relational5 {
       s.sql(sharedSql)
     },
 
+    // ---- GROUPING SETS via the shared-SQL path ----
+    "q39_grouping_sets" -> { (s, d) =>
+      load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(groupingSetsSql)
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -50,6 +56,15 @@ object Relational5 {
     }
   )
 
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY flag, status"""
+
   /** One SQL text, two engines: the same string runs through
     * spark.sql over temp views AND as its own DuckDB oracle. */
   val sharedSql: String =
@@ -61,6 +76,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
+    "q39_grouping_sets" -> groupingSetsSql,
     "q36_topk_udaf" ->
       """SELECT p_brand, p_type || ':' || CAST(n AS VARCHAR) AS type_count
         |FROM (

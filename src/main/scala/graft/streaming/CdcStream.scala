@@ -46,14 +46,25 @@ object CdcStream {
       table: CdcTable,
       checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),
-      trigger: Trigger = Trigger.AvailableNow()): Pipeline = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintenanceEvery: Int = 0): Pipeline = {
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema)
     val events = Decode.changeEvents(envelope, decodeOpts)
     val query = events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        if (!batch.isEmpty) { table.applyBatch(batch, id); () }
+        if (!batch.isEmpty) {
+          table.applyBatch(batch, id)
+          // periodic in-stream maintenance: the reference runs its
+          // TTL/cleanup task every 3 scan cycles (90 s vs 30 s); here
+          // compaction+vacuum piggyback on every Nth commit
+          if (maintenanceEvery > 0 && (id + 1) % maintenanceEvery == 0) {
+            table.compact()
+            table.vacuum(keepVersions = 2)
+          }
+          ()
+        }
       }
       .start()
     Pipeline(query, table)

@@ -38,6 +38,23 @@ object Relational5 {
       s.sql(groupingSetsSql)
     },
 
+    // ---- small-order-quantity revenue (TPC-H Q17 shape):
+    //      correlated per-part average via a derived aggregate ----
+    "q40_small_qty_revenue" -> { (s, d) =>
+      import s.implicits._
+      val li = load(s, d, "lineitem")
+      val part = load(s, d, "part").filter($"p_brand" === "Brand#1")
+        .select($"p_partkey")
+      val avgQty = li.groupBy($"l_partkey".as("pk"))
+        .agg((sum(dec4($"l_quantity")).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(avgQty, li("l_partkey") === avgQty("pk"))
+        .filter($"l_quantity" < $"avg_qty" * 0.5)
+        .agg((sum(dec4($"l_extendedprice")).cast("double") / 7.0)
+          .as("avg_yearly"))
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -76,6 +93,16 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
+    "q40_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN (SELECT l_partkey AS pk,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |          / COUNT(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
     "q39_grouping_sets" -> groupingSetsSql,
     "q36_topk_udaf" ->
       """SELECT p_brand, p_type || ':' || CAST(n AS VARCHAR) AS type_count

@@ -64,6 +64,30 @@ object Text {
         .orderBy($"fp")
     },
 
+    // ---- stopword removal / normalization ----
+    "t06_stopword_removal" -> { (s, d) =>
+      import s.implicits._
+      val stops = TextAnalysis.LangMarkers.flatMap(_._2)
+      load(s, d, "documents")
+        .select($"doc_id",
+          filter(tokens(lower($"text")), t => !t.isin(stops.map(lit(_)): _*))
+            .as("kept"))
+        .select($"doc_id",
+          size($"kept").cast("long").as("n_kept"),
+          element_at($"kept", 1).as("first_kept"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- character n-gram profile ----
+    "t07_char_trigrams" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          size(array_distinct(transform(sequence(lit(1), length($"text") - 2),
+            i => $"text".substr(i, lit(3))))).cast("long").as("n_uniq_tri"))
+        .orderBy($"doc_id")
+    },
+
     // ---- n-gram extraction: top-20 bigrams ----
     "t05_top_bigrams" -> { (s, d) =>
       import s.implicits._
@@ -132,6 +156,22 @@ object Text {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "t06_stopword_removal" -> {
+      val all = markersSql.values.mkString(", ")
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(lower(text),' '),
+         |      x -> x NOT IN ($all))) AS n_kept,
+         |  list_filter(string_split(lower(text),' '),
+         |      x -> x NOT IN ($all))[1] AS first_kept
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t07_char_trigrams" ->
+      """SELECT doc_id,
+        |  len(list_distinct(list_transform(range(1, length(text) - 1),
+        |    i -> substring(text, i, 3)))) AS n_uniq_tri
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t05_top_bigrams" ->
       """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents)

@@ -58,4 +58,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q07_exists_bigqty")
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "partitioned").toString
+    graft.util.Tables.load(spark, sf, "events")
+      .withColumn("day",
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"day" === "2024-01-05")
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter present and the pruned count is tiny
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), scan)
+    val parts = q.select(input_file_name()).distinct().collect()
+      .map(_.getString(0)).map(_.split("/day=")(1).split("/")(0)).distinct
+    assert(parts.toSeq == Seq("2024-01-05"))
+  }
 }

@@ -102,6 +102,23 @@ object DatastreamAvro {
     }(enc)
   }
 
+  /** Decode one file by path (any Hadoop-visible filesystem) under
+    * `target`; executor-side entry point for the DSv2 source. */
+  def decodeLocalFile(path: String, target: StructType): Iterator[Row] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    decodeFile(bytes, path, target.fields.dropRight(1))
+  }
+
   private def decodeFile(content: Array[Byte], path: String,
       dataFields: Array[StructField]): Iterator[Row] = {
     val in = new ByteArrayInputStream(content)

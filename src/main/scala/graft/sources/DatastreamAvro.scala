@@ -70,8 +70,6 @@ object DatastreamAvro {
     decodeBinary(spark, binary, target)
   }
 
-  /** Streaming read over a directory of avro files (binaryFile stream
-    * source underneath; exactly-once per file from the stream log). */
   /** binaryFile's fixed source schema (streaming requires it stated). */
   private val binaryFileSchema = StructType(Seq(
     StructField("path", StringType),
@@ -79,6 +77,8 @@ object DatastreamAvro {
     StructField("length", LongType),
     StructField("content", BinaryType)))
 
+  /** Streaming read over a directory of avro files (binaryFile stream
+    * source underneath; exactly-once per file from the stream log). */
   def readStream(spark: SparkSession, pathGlob: String,
       schema: StructType): DataFrame = {
     val binary = spark.readStream.format("binaryFile")
@@ -92,12 +92,11 @@ object DatastreamAvro {
   def decodeBinary(spark: SparkSession, binary: DataFrame,
       target: StructType): DataFrame = {
     val enc = Encoders.row(target)
-    val dataFields = target.fields.dropRight(1)
     binary.mapPartitions { it: Iterator[Row] =>
       it.flatMap { r =>
         val path = r.getString(0)
         val content = r.getAs[Array[Byte]](1)
-        decodeFile(content, path, dataFields)
+        decodeFile(content, path, target)
       }
     }(enc)
   }
@@ -116,32 +115,38 @@ object DatastreamAvro {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       } finally in.close()
-    decodeFile(bytes, path, target.fields.dropRight(1))
+    decodeFile(bytes, path, target)
   }
 
+  /** Decode records under `target`; the [[FilePathCol]] column (any
+    * position, or absent when pruned away) is filled from `path`,
+    * every other column from the record — so column pruning simply
+    * shrinks `target` and unread envelope fields are never converted. */
   private def decodeFile(content: Array[Byte], path: String,
-      dataFields: Array[StructField]): Iterator[Row] = {
+      target: StructType): Iterator[Row] = {
     val in = new ByteArrayInputStream(content)
     val reader = new DataFileStream[GenericRecord](
       in, new GenericDatumReader[GenericRecord]())
     val writer = reader.getSchema
-    val fieldSchemas = dataFields.map(f =>
-      Option(writer.getField(f.name)).map(_.schema()).orNull)
+    val fields = target.fields
+    val fieldSchemas = fields.map(f =>
+      if (f.name == FilePathCol) null
+      else Option(writer.getField(f.name)).map(_.schema()).orNull)
     val records = new Iterator[GenericRecord] {
       def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
       def next(): GenericRecord = reader.next()
     }
     records.map { rec =>
-      val vals = new Array[Any](dataFields.length + 1)
+      val vals = new Array[Any](fields.length)
       var i = 0
-      while (i < dataFields.length) {
+      while (i < fields.length) {
         vals(i) =
-          if (fieldSchemas(i) == null) null
-          else convert(rec.get(dataFields(i).name), fieldSchemas(i),
-            dataFields(i).dataType)
+          if (fields(i).name == FilePathCol) path
+          else if (fieldSchemas(i) == null) null
+          else convert(rec.get(fields(i).name), fieldSchemas(i),
+            fields(i).dataType)
         i += 1
       }
-      vals(dataFields.length) = path
       Row.fromSeq(vals.toIndexedSeq)
     }
   }

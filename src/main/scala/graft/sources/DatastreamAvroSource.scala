@@ -76,14 +76,18 @@ private[sources] class DatastreamAvroTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         files.map(f => AvroFilePartition(f): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new AvroReaderFactory(schema)
+        new AvroReaderFactory(required)
     }
 }
 

@@ -41,4 +41,19 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(events.select("op").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("DELETE", "INSERT", "UPDATE"))
   }
+
+  test("column pruning reaches the DSv2 scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read
+      .format("graft.sources.DatastreamAvroSource")
+      .load(s"$fixtures/dump.avro")
+      .select("uuid", "read_method")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq == Seq("uuid", "read_method"),
+      scans.head.treeString)
+    assert(df.distinct().count() >= 1)
+  }
 }

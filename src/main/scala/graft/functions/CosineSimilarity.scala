@@ -81,9 +81,64 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain dot product over float vectors (same fused-loop codegen as
+  * [[CosineSimilarity]], no norms). Lets pairwise pipelines
+  * precompute per-vector norms ONCE and spend only one multiply-add
+  * per dimension per pair — cosine recomputes both norms per pair,
+  * tripling the flops of an all-pairs scan. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object Vectors {
   /** Column-level entry point for [[CosineSimilarity]]. */
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** sqrt of the self dot product. */
+  def norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(a, a))
 }

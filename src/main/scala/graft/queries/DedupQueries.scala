@@ -78,14 +78,17 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
-    // ---- embedding cosine near-dup pairs (exact, fused expression) ----
+    // ---- embedding cosine near-dup pairs (exact, fused expression;
+    //      per-vector norms precomputed once, one fused dot per pair) ----
     "d05_cosine_pairs" -> { (s, d) =>
       import s.implicits._
       val e = load(s, d, "embeddings")
-      val l = e.select($"vec_id".as("a"), $"embedding".as("va"))
-      val r = e.select($"vec_id".as("b"), $"embedding".as("vb"))
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val l = e.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na"))
+      val r = e.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb"))
       l.join(r, $"a" < $"b")
-        .withColumn("cos", round(Vectors.cosine($"va", $"vb"), 6))
+        .withColumn("cos",
+          round(Vectors.dot($"va", $"vb") / ($"na" * $"nb"), 6))
         .filter($"cos" >= 0.45)
         .select($"a", $"b", $"cos")
         .orderBy($"a", $"b")

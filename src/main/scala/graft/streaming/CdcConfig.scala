@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cdc.Decode
+
+/** Typed pipeline configuration with upfront validation — the
+  * engine's analog of the reference's 22-property DatastreamConfig +
+  * validate() (DatastreamConfig.java): misconfiguration should fail
+  * at submit time with every problem listed, not at the first
+  * micro-batch. */
+case class CdcConfig(
+    sourceGlob: String,
+    tablePath: String,
+    checkpoint: String,
+    primaryKeys: Seq[String],
+    triggerSeconds: Int = 30,
+    dmlBlacklist: Set[String] = Set.empty,
+    columns: Seq[String] = Nil,
+    numBuckets: Int = 16,
+    maintenanceEvery: Int = 0) {
+
+  private val ValidOps = Set("INSERT", "UPDATE", "DELETE")
+
+  /** All configuration problems (empty = valid). */
+  def validate(): Seq[String] = {
+    val problems = Seq.newBuilder[String]
+    if (sourceGlob.trim.isEmpty) problems += "sourceGlob must not be empty"
+    if (tablePath.trim.isEmpty) problems += "tablePath must not be empty"
+    if (checkpoint.trim.isEmpty) problems += "checkpoint must not be empty"
+    if (checkpoint == tablePath)
+      problems += "checkpoint must differ from tablePath"
+    if (primaryKeys.isEmpty)
+      problems += "primaryKeys must not be empty (merge requires a key)"
+    if (primaryKeys.distinct.size != primaryKeys.size)
+      problems += "primaryKeys contains duplicates"
+    if (triggerSeconds <= 0) problems += "triggerSeconds must be positive"
+    val badOps = dmlBlacklist -- ValidOps
+    if (badOps.nonEmpty)
+      problems += s"dmlBlacklist has unknown ops: ${badOps.mkString(", ")}"
+    if (dmlBlacklist == ValidOps)
+      problems += "dmlBlacklist excludes every operation"
+    if (numBuckets <= 0) problems += "numBuckets must be positive"
+    if (maintenanceEvery < 0) problems += "maintenanceEvery must be >= 0"
+    if (columns.nonEmpty && !primaryKeys.forall(columns.contains))
+      problems += "columns projection must retain every primary key"
+    problems.result()
+  }
+
+  def trigger: Trigger = Trigger.ProcessingTime(s"$triggerSeconds seconds")
+  def decodeOptions: Decode.Options =
+    Decode.Options(dmlBlacklist = dmlBlacklist, columns = columns)
+
+  /** Validate-or-throw, with every problem in the message. */
+  def validated(): CdcConfig = {
+    val problems = validate()
+    if (problems.nonEmpty) throw new IllegalArgumentException(
+      s"invalid CdcConfig: ${problems.mkString("; ")}")
+    this
+  }
+}

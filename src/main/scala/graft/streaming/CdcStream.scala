@@ -70,6 +70,15 @@ object CdcStream {
     Pipeline(query, table)
   }
 
+  /** Start from a validated [[CdcConfig]]. */
+  def start(spark: SparkSession, config: CdcConfig,
+      schema: StructType): Pipeline = {
+    val c = config.validated()
+    val table = new CdcTable(spark, c.tablePath, c.primaryKeys, c.numBuckets)
+    start(spark, c.sourceGlob, schema, table, c.checkpoint,
+      c.decodeOptions, c.trigger, c.maintenanceEvery)
+  }
+
   /** Run a pipeline to completion over currently-available files
     * (micro-batch drain; used by tests and backfills). */
   def drain(p: Pipeline): Unit = {

@@ -65,6 +65,44 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    "c07_decode_cdc" -> { (s, _) =>
+      import s.implicits._
+      Decode.fromAvro(s,
+          s"$fixtures/{insert,update,delete,update-pk}.avro")
+        .select($"row.EMPLOYEE_ID".as("employee_id"),
+          $"row.FIRST_NAME".as("first_name"),
+          $"row.SALARY".cast("double").as("salary"),
+          $"op", $"is_snapshot",
+          $"sort_key.scn".as("scn"))
+        .orderBy($"scn", $"op", $"employee_id")
+    },
+
+    "c08_assessment" -> { (s, _) =>
+      import s.implicits._
+      import graft.registry._
+      import graft.types.ColumnSpec
+      val catalog = new InMemoryCatalog(Seq(
+        TableDetail(TableId("xe", "HR", "EMPLOYEES"),
+          Seq(ColumnSpec("EMPLOYEE_ID", "NUMBER(6)", nullable = false),
+            ColumnSpec("FIRST_NAME", "VARCHAR2(20)"),
+            ColumnSpec("RESUME", "CLOB")), Seq("EMPLOYEE_ID")),
+        TableDetail(TableId("xe", "HR", "LOGS"),
+          Seq(ColumnSpec("MSG", "VARCHAR2(100)")), Nil),
+        TableDetail(TableId("xe", "HR", "BLOBS"),
+          Seq(ColumnSpec("B", "BLOB")), Seq("B"))))
+      val registry = new TableRegistry(catalog)
+      val assessor = new TableAssessor(registry)
+      val a = assessor.assess(registry.listTables() :+
+        TableId("xe", "HR", "MISSING"))
+      val tableRows = a.tables.map(t =>
+        (t.table, "TABLE_OK", t.sparkSchema.fieldNames.length.toLong))
+      val problemRows = a.problems.map(p =>
+        (p.table.table, p.code, -1L))
+      (tableRows ++ problemRows)
+        .toDF("table_name", "code", "n_cols")
+        .orderBy($"table_name", $"code")
+    },
+
     "c05_event_collapse" -> { (s, d) =>
       import s.implicits._
       Apply.collapse(eventsAsChanges(s, d), Seq("user_id"))
@@ -99,6 +137,15 @@ object CdcPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "c08_assessment" -> ("SELECT * FROM (VALUES " +
+      "('BLOBS', 'NO_SUPPORTED_COLUMNS', CAST(-1 AS BIGINT)), " +
+      "('BLOBS', 'TABLE_OK', CAST(0 AS BIGINT)), " +
+      "('EMPLOYEES', 'TABLE_OK', CAST(2 AS BIGINT)), " +
+      "('LOGS', 'NO_PRIMARY_KEY', CAST(-1 AS BIGINT)), " +
+      "('LOGS', 'TABLE_OK', CAST(1 AS BIGINT)), " +
+      "('MISSING', 'TABLE_NOT_FOUND', CAST(-1 AS BIGINT))" +
+      ") AS t(table_name, code, n_cols) ORDER BY table_name, code"),
+
     "c05_event_collapse" ->
       """SELECT user_id, event_type, value, ts_us FROM (
         |  SELECT user_id, event_type, value, epoch_ns(ts)//1000 AS ts_us,

@@ -14,6 +14,9 @@ QUERIES = {
         ("employee_id, last_name, salary, op, is_snapshot, row_id", "row_id"),
     "c02_cdc_final_state":
         ("employee_id, first_name, salary, deleted", "employee_id"),
+    "c07_decode_cdc":
+        ("employee_id, first_name, salary, op, is_snapshot, scn",
+         "scn, op, employee_id"),
 }
 
 

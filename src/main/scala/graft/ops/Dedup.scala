@@ -38,14 +38,21 @@ object Dedup {
 
   // ---- shingling ----
 
-  /** Distinct k-token shingles of whitespace-tokenized text. */
+  /** Distinct k-token shingles of whitespace-tokenized text. Documents
+    * shorter than k tokens yield an EMPTY set (no whole-text fallback):
+    * the SQL-oracle formulation (`range`-based shingling) produces an
+    * empty list for them, so a fallback here would silently pair short
+    * docs the oracle never sees. Short docs therefore never join any
+    * near-dup pair — callers wanting exact short-doc dedup use
+    * [[exactDedup]] on the raw text. */
   def shingleSet(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
     val n = size(toks)
     array_distinct(when(n >= k,
       transform(sequence(lit(0), n - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array(concat_ws(" ", toks))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
   }
 
   /** Shingle set hashed to distinct longs: set operations over
@@ -59,7 +66,10 @@ object Dedup {
     * union would double the pairwise work). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val union = size(a) + size(b) - inter
+    // two empty sets: NULL (excluded by any >= filter), matching SQL
+    // division-by-zero semantics rather than NaN/ANSI-error
+    inter / when(union =!= 0, union)
   }
 
   /** Cheap necessary condition for jaccard(a,b) >= t: set sizes within
@@ -73,7 +83,7 @@ object Dedup {
   private def rotXor(acc: Column, x: Column): Column =
     shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(x)
 
-  /** MinHash signatures as a DataFrame: (id, m0..m{n-1}).
+  /** MinHash signatures as a DataFrame: (id, blockCols…, m0..m{n-1}).
     *
     * Shape matters here: shingles are EXPLODED and the n mins are
     * computed as n aggregate buffers with map-side partial
@@ -81,49 +91,84 @@ object Dedup {
     * projection" expression tree takes the optimizer/codegen minutes
     * to chew through and runs single-threaded per row; this form is
     * linear, parallel, and shuffles only (id → n longs). Hash family
-    * = seeded xxhash64 (ANSI-safe).
+    * = seeded xxhash64 (ANSI-safe). Block columns (functionally
+    * dependent on id) ride along in the grouping key.
     */
-  def minhashSignatures(sets: DataFrame, numHashes: Int): DataFrame = {
-    val hashes = sets.select(col("id"), explode(col("sh")).as("shingle"))
+  def minhashSignatures(sets: DataFrame, numHashes: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val hashes = sets.select(
+      (col("id") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    hashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    hashes.groupBy("id", blockCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Near-duplicate pairs by MinHash LSH, verified by exact Jaccard.
-    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. */
+    * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
+    *
+    * `blockCols` restricts pairs to rows agreeing on every block
+    * column (the band-bucket join key gains the blocks) — the
+    * LSH-within-block shape that replaces an all-pairs scan inside
+    * blocks: block skew no longer matters because pairwise work only
+    * happens inside (block × band-bucket) cells.
+    *
+    * Tune `bands` to the threshold: the probability a true pair is
+    * missed is (1 - t^(numHashes/bands))^bands — 64/16 for t≈0.8,
+    * 64/32 for t≈0.5.
+    *
+    * Nothing is persisted: signatures consume the shingle relation in
+    * one pass, and verification re-shingles only candidate rows (the
+    * shingling expression sits ABOVE the candidate join, so Catalyst
+    * evaluates it per matched row, not per corpus row — cheaper than
+    * caching the full shingle relation at 100 TB and leak-free in a
+    * long-lived session).
+    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      blockCols: Seq[String] = Nil): DataFrame = {
     val rowsPer = numHashes / bands
     // small-file inputs arrive as one partition; per-row shingle/hash
     // work is CPU-bound, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // the set relation feeds the signature pass AND both verification
-    // joins — persist so shingling runs once, not three times
-    val sets = df.repartition(par).select(col(idCol).cast("long").as("id"),
-      hashedShingleSet(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sets, numHashes)
+    val base = df.repartition(par).select(
+      (col(idCol).cast("long").as("id") +: blockCols.map(col)) :+
+        col(textCol).as("__text"): _*)
+    val sets = base.select(
+      (col("id") +: blockCols.map(col)) :+
+        hashedShingleSet(col("__text"), k).as("sh"): _*)
+    val sig = minhashSignatures(sets, numHashes, blockCols)
     val bandCols = (0 until bands).map { b =>
       (0 until rowsPer).map(r => col(s"m${b * rowsPer + r}"))
         .foldLeft(lit(1125899906842597L): Column)(rotXor).as(s"b$b")
     }
-    val banded = sig.select(col("id") +: bandCols: _*)
-      .select(col("id"),
+    val banded = sig.select((col("id") +: blockCols.map(col)) ++ bandCols: _*)
+      .select((col("id") +: blockCols.map(col)) :+
         posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
-          .as(Seq("band", "bucket")))
-    val l = banded.as("l"); val r = banded.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+          .as(Seq("band", "bucket")): _*)
+    // candidates by ONE aggregation per (block × band × bucket) cell +
+    // expression-level in-bucket pair expansion — a banded self-join
+    // would shuffle AND recompute the whole signature pipeline twice;
+    // this shuffles the (id, band, bucket) relation once. Bucket
+    // membership lists are dup-groups (tiny) by construction of the
+    // band width, so the per-row expansion is bounded.
+    val sortedIds = sort_array(col("ids"))
+    val bucketPairs = flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + lit(2), size(sortedIds) - i - 1),
+        y => struct(x.as("a"), y.as("b")))))
+    val candidates = banded
+      .groupBy((col("band") +: col("bucket") +: blockCols.map(col)): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
     candidates
-      .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .join(base.select(col("id").as("a"), col("__text").as("__ta")), "a")
+      .join(base.select(col("id").as("b"), col("__text").as("__tb")), "b")
+      .withColumn("sha", hashedShingleSet(col("__ta"), k))
+      .withColumn("shb", hashedShingleSet(col("__tb"), k))
       .filter(sizeCompatible(col("sha"), col("shb"), threshold))
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
@@ -186,11 +231,19 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changes = updated.join(labels.withColumnRenamed("cluster", "old"),
         Seq("id")).filter(col("cluster") =!= col("old")).count()
+      // the count() above materialized `updated`; the previous
+      // generation's cache is dead weight from here on — unpersisting
+      // it keeps executor storage flat however many rounds run
+      val prev = labels
       labels = updated
+      prev.unpersist() // no-op on the unpersisted round-0 seed
       converged = changes == 0
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

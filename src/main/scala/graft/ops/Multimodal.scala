@@ -40,9 +40,13 @@ object Multimodal {
     * be short. */
   def sampleFrames(payload: Column, frameSize: Int): Column = {
     val n = length(payload)
-    transform(
+    val frames = transform(
       sequence(lit(0), ceil(n.cast("double") / frameSize).cast("int") - 1),
       i => substring_index_bytes(payload, i, frameSize))
+    // empty payload: sequence(0, -1) would step backwards to [0, -1]
+    // and fabricate two frames; ceil(0/f) = 0 frames is the contract
+    when(n > 0, frames)
+      .when(n === 0, array().cast(ArrayType(BinaryType)))
   }
 
   private def substring_index_bytes(payload: Column, i: Column, frameSize: Int) =

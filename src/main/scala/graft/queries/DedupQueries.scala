@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
-import graft.ops.Dedup
+import graft.ops.{Dedup, Similarity}
 import graft.util.Tables.load
 
 /** Deduplication surface (d01-d05) over documents/embeddings.
@@ -50,21 +49,17 @@ object DedupQueries {
     },
 
     // ---- blocked n-gram Jaccard pairs ----
+    // LSH-within-block: the (lang, source) block key joins the MinHash
+    // band-bucket key, so pairwise Jaccard work happens only inside
+    // (block × bucket) cells — never all-pairs within a block, whose
+    // largest (skewed) block would otherwise dominate quadratically.
+    // 64 hashes / 32 bands tunes the band curve to the 0.5 threshold:
+    // P(miss) = (1 - j^2)^32 ≈ 1e-4 at j = 0.5, ≈ 1e-48 at j = 0.9.
     "d04_blocked_jaccard" -> { (s, d) =>
       import s.implicits._
-      val sets = load(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select($"doc_id", $"lang", $"source",
-          Dedup.hashedShingleSet($"text").as("sh"))
-      val l = sets.as("l"); val r = sets.as("r")
-      l.join(r, col("l.lang") === col("r.lang") &&
-          col("l.source") === col("r.source") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .filter(Dedup.sizeCompatible(col("l.sh"), col("r.sh"), 0.5))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-          Dedup.jaccard(col("l.sh"), col("r.sh")).as("j"))
-        .filter($"j" >= 0.5)
-        .select($"a", $"b", round($"j", 6).as("jaccard"))
+      Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, numHashes = 64, bands = 32,
+          blockCols = Seq("lang", "source"))
         .orderBy($"a", $"b")
     },
 
@@ -78,19 +73,15 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
-    // ---- embedding cosine near-dup pairs (exact, fused expression;
-    //      per-vector norms precomputed once, one fused dot per pair) ----
+    // ---- embedding cosine near-dup pairs ----
+    // EXACT result (hash-matches the all-pairs oracle on any data) via
+    // Similarity.cosineRangePairs: equi-join on triangle-inequality-
+    // admitted centroid-cell pairs — no cartesian stage; norms
+    // precomputed once, one fused dot per surviving pair.
     "d05_cosine_pairs" -> { (s, d) =>
       import s.implicits._
-      val e = load(s, d, "embeddings")
-        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
-      val l = e.select($"vec_id".as("a"), $"embedding".as("va"), $"nrm".as("na"))
-      val r = e.select($"vec_id".as("b"), $"embedding".as("vb"), $"nrm".as("nb"))
-      l.join(r, $"a" < $"b")
-        .withColumn("cos",
-          round(Vectors.dot($"va", $"vb") / ($"na" * $"nb"), 6))
-        .filter($"cos" >= 0.45)
-        .select($"a", $"b", $"cos")
+      Similarity.cosineRangePairs(load(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, nlist = 32)
         .orderBy($"a", $"b")
     }
   )

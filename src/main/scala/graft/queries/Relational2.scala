@@ -67,11 +67,13 @@ object Relational2 {
     },
 
     // ---- ordered array aggregation ----
+    // canonical comma-joined string output: the driver's pandas compare
+    // sorts columns by value and cannot hash raw array cells
     "q25_array_agg" -> { (s, d) =>
       import s.implicits._
       load(s, d, "orders")
         .groupBy($"o_custkey")
-        .agg(slice(sort_array(collect_list($"o_orderkey")), 1, 5)
+        .agg(array_join(slice(sort_array(collect_list($"o_orderkey")), 1, 5), ",")
           .as("first_orders"))
         .orderBy($"o_custkey")
     },
@@ -127,7 +129,7 @@ object Relational2 {
 
     "q25_array_agg" ->
       """SELECT o_custkey,
-        |  (list_sort(list(o_orderkey)))[1:5] AS first_orders
+        |  array_to_string((list_sort(list(o_orderkey)))[1:5], ',') AS first_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q26_union_distinct" ->

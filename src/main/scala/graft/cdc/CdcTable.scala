@@ -79,6 +79,28 @@ class CdcTable(
   def state: Option[DataFrame] =
     currentVersion.flatMap(v => readBuckets(manifest(v).values.toSeq))
 
+  private val schemaFile = dir.resolve("_schema.json")
+
+  private def writeSchemaFile(st: StructType): Unit = {
+    val tmp = dir.resolve("_schema.json.tmp")
+    Files.write(tmp, st.json.getBytes)
+    Files.move(tmp, schemaFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The committed payload schema. Served from `_schema.json` (written
+    * on every CREATE/ALTER commit) so per-batch drift detection costs
+    * one small file read — NOT a mergeSchema scan of every bucket dir,
+    * which would grow with table size and break the "micro-batch cost
+    * ~ touched buckets" property. Falls back to the bucket union once
+    * for tables created before the schema file existed. */
+  def payloadSchema: Option[StructType] =
+    if (Files.exists(schemaFile))
+      Some(org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(schemaFile))).asInstanceOf[StructType])
+    else state.map(df => StructType(
+      df.schema.fields.filterNot(f => Apply.MetaCols.contains(f.name))))
+
   /** Merge one micro-batch of decoded change events; rewrites only the
     * PK buckets present in the batch. Returns the committed version. */
   def applyBatch(events: DataFrame, batchId: Long): Long = {
@@ -90,22 +112,22 @@ class CdcTable(
     // ALTER_TABLE on schema drift — DatastreamEventReader.java:558-570,
     // :652-674): recorded in an append-only _ddl.jsonl next to the data
     val incomingPayload = events.schema("row").dataType.asInstanceOf[StructType]
-    val ddlEvent: Option[String] = cur match {
+    // (ddl line to append, schema to record in _schema.json)
+    val ddlEvent: Option[(String, StructType)] = cur match {
       case None =>
-        Some(s"""{"version": $next, "event": "CREATE_TABLE", """ +
+        Some((s"""{"version": $next, "event": "CREATE_TABLE", """ +
           s""""pk": ${pkCols.map(c => s"\"$c\"").mkString("[", ",", "]")}, """ +
-          s""""schema": ${incomingPayload.json}}""")
+          s""""schema": ${incomingPayload.json}}""", incomingPayload))
       case Some(_) =>
-        val curPayload = StructType(state.get.schema.fields
-          .filterNot(f => Apply.MetaCols.contains(f.name)))
+        val curPayload = payloadSchema.get
         SchemaDrift.diff(curPayload, incomingPayload).map { changes =>
           val widened = SchemaDrift.widen(curPayload, changes) // validates
           val added = changes.collect {
             case SchemaDrift.AddColumn(f) => s"\"${f.name}\""
           }
-          s"""{"version": $next, "event": "ALTER_TABLE", """ +
+          (s"""{"version": $next, "event": "ALTER_TABLE", """ +
             s""""added": ${added.mkString("[", ",", "]")}, """ +
-            s""""schema": ${widened.json}}"""
+            s""""schema": ${widened.json}}""", widened)
         }
     }
 
@@ -134,10 +156,11 @@ class CdcTable(
     deleteRecursively(stagingPath)
 
     writeManifest(next, curManifest ++ newDirs)
-    ddlEvent.foreach { line =>
+    ddlEvent.foreach { case (line, recordedSchema) =>
       Files.write(dir.resolve("_ddl.jsonl"), (line + "\n").getBytes,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      writeSchemaFile(recordedSchema)
     }
     next
   }

@@ -26,11 +26,20 @@ object Decode {
 
   case class Options(
       dmlBlacklist: Set[String] = Set.empty,
-      columns: Seq[String] = Nil)
+      columns: Seq[String] = Nil,
+      allowlist: TableAllowlist = TableAllowlist(Nil))
 
   /** Decode an envelope DataFrame (from [[DatastreamAvro]]) into the
     * engine's change-event shape. */
-  def changeEvents(envelope: DataFrame, opts: Options = Options()): DataFrame = {
+  def changeEvents(envelope0: DataFrame, opts: Options = Options()): DataFrame = {
+    // allowlist BEFORE the payload projection: excluded tables' rows
+    // are dropped on the two source_metadata identity fields alone and
+    // their payload struct is never projected (the reference scopes
+    // replication the same way, util/Utils.java:297-342)
+    val envelope =
+      if (opts.allowlist.allowsAll) envelope0
+      else envelope0.filter(opts.allowlist.filter(
+        col("source_metadata.schema"), col("source_metadata.table")))
     val payloadType = envelope.schema("payload").dataType.asInstanceOf[StructType]
     val projected: Column =
       if (opts.columns.isEmpty) col("payload")

@@ -83,25 +83,26 @@ object Dedup {
   private def rotXor(acc: Column, x: Column): Column =
     shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(x)
 
-  /** MinHash signatures as a DataFrame: (id, blockCols…, m0..m{n-1}).
-    *
-    * Shape matters here: shingles are EXPLODED and the n mins are
-    * computed as n aggregate buffers with map-side partial
-    * aggregation — the naive "array of n array-transforms in one
-    * projection" expression tree takes the optimizer/codegen minutes
-    * to chew through and runs single-threaded per row; this form is
-    * linear, parallel, and shuffles only (id → n longs). Hash family
-    * = seeded xxhash64 (ANSI-safe). Block columns (functionally
-    * dependent on id) ride along in the grouping key.
+  /** MinHash signatures as a DataFrame: (id, blockCols…, sig) where
+    * `sig` is the array<long> of all slot minima, computed by the
+    * fused codegen expression [[graft.functions.MinHashSignature]] —
+    * one shuffle-free narrow projection with a constant-size plan.
+    * (Both declarative alternatives lose badly: explode + n min
+    * aggregates shuffles |corpus|×|shingles| rows, and n-wide
+    * `array_min(transform(...))` trees are interpreted AND stall every
+    * action's Catalyst re-optimization pass.) Rows with empty shingle
+    * sets are dropped (they can pair with nothing; a shared null
+    * signature would collide all short docs into one band bucket).
     */
   def minhashSignatures(sets: DataFrame, numHashes: Int,
-      blockCols: Seq[String] = Nil): DataFrame = {
-    val hashes = sets.select(
-      (col("id") +: blockCols.map(col)) :+ explode(col("sh")).as("shingle"): _*)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    hashes.groupBy("id", blockCols: _*).agg(aggs.head, aggs.tail: _*)
-  }
+      blockCols: Seq[String] = Nil): DataFrame =
+    sets.select((col("id") +: blockCols.map(col)) :+
+        graft.functions.MinHash.signature(col("sh"), numHashes).as("sig"): _*)
+  // NOTE deliberately no `.filter(sig.isNotNull)` here: a filter on the
+  // expression result is pushed below the caller's repartition and
+  // re-evaluates the whole interpreted shingle pipeline single-threaded
+  // at the (often 1-partition) scan — callers pre-filter empty shingle
+  // sets on a cheap source column instead (see minhashPairs).
 
   /** Near-duplicate pairs by MinHash LSH, verified by exact Jaccard.
     * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
@@ -132,15 +133,19 @@ object Dedup {
     // small-file inputs arrive as one partition; per-row shingle/hash
     // work is CPU-bound, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(par).select(
-      (col(idCol).cast("long").as("id") +: blockCols.map(col)) :+
-        col(textCol).as("__text"): _*)
+    // docs with < k tokens shingle to the empty set and can pair with
+    // nothing — pruned on the raw token count (cheap, pushable to the
+    // scan) so no null signatures reach the band buckets
+    val base = df.filter(size(split(col(textCol), " ")) >= k)
+      .repartition(par).select(
+        (col(idCol).cast("long").as("id") +: blockCols.map(col)) :+
+          col(textCol).as("__text"): _*)
     val sets = base.select(
       (col("id") +: blockCols.map(col)) :+
         hashedShingleSet(col("__text"), k).as("sh"): _*)
     val sig = minhashSignatures(sets, numHashes, blockCols)
     val bandCols = (0 until bands).map { b =>
-      (0 until rowsPer).map(r => col(s"m${b * rowsPer + r}"))
+      (0 until rowsPer).map(r => element_at(col("sig"), b * rowsPer + r + 1))
         .foldLeft(lit(1125899906842597L): Column)(rotXor).as(s"b$b")
     }
     val banded = sig.select((col("id") +: blockCols.map(col)) ++ bandCols: _*)

@@ -81,7 +81,7 @@ object DedupQueries {
     "d05_cosine_pairs" -> { (s, d) =>
       import s.implicits._
       Similarity.cosineRangePairs(load(s, d, "embeddings"),
-          "vec_id", "embedding", threshold = 0.45, nlist = 32)
+          "vec_id", "embedding", threshold = 0.45)
         .orderBy($"a", $"b")
     }
   )

@@ -58,10 +58,30 @@ object DatastreamAvro {
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
   /** Batch read: all avro files matching `glob`, decoded under the
-    * given target schema (defaults to the first listed file's schema). */
+    * given target schema (defaults to the first listed file's schema).
+    *
+    * Zero-length blobs are filtered out BEFORE decode — object stores
+    * routinely contain folder markers and in-flight empty files, and
+    * an empty stream is not an Avro container (the reference skips
+    * them the same way: `blob.getSize() > 0`,
+    * DatastreamEventReader.java:594-598).
+    *
+    * @param pathFilter    optional predicate over the `path` column —
+    *        excluded files are listed but never avro-decoded (table
+    *        allowlists with filename-embedded schema keys prune here)
+    * @param modifiedAfter optional lower bound (any Spark timestamp
+    *        string) pushed to the file index — the reference's
+    *        3-day-SLA `startOffset` listing prune
+    *        (DatastreamEventReader.java:471-478)
+    */
   def read(spark: SparkSession, glob: String,
-      schema: Option[StructType] = None): DataFrame = {
-    val binary = spark.read.format("binaryFile").load(glob)
+      schema: Option[StructType] = None,
+      pathFilter: Option[org.apache.spark.sql.Column] = None,
+      modifiedAfter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    modifiedAfter.foreach(t => reader.option("modifiedAfter", t))
+    val listed = reader.load(glob).filter(col("length") > 0)
+    val binary = pathFilter.fold(listed)(listed.filter)
       .select(col("path"), col("content"))
     val target = schema.getOrElse {
       val first = binary.select("path").orderBy("path").head.getString(0)
@@ -78,11 +98,35 @@ object DatastreamAvro {
     StructField("content", BinaryType)))
 
   /** Streaming read over a directory of avro files (binaryFile stream
-    * source underneath; exactly-once per file from the stream log). */
+    * source underneath; exactly-once per file from the stream log).
+    *
+    * Zero-length blobs are dropped before decode (see [[read]]).
+    *
+    * @param pathFilter    as in [[read]]: excluded files are never
+    *        avro-decoded
+    * @param modifiedAfter fresh-start listing lower bound: files whose
+    *        modification time is at or before the cutoff are excluded —
+    *        the analog of the reference's `startOffset = source time −
+    *        3-day SLA` prune (DatastreamEventReader.java:471-478).
+    *        Deterministic against the file-log: already-committed files
+    *        replay idempotently regardless of the bound.
+    * @param maxFileAge    steady-state age bound passed to the file
+    *        stream source (Spark prunes tracked-file state older than
+    *        this relative to the newest seen file) — keeps the
+    *        seen-files map bounded over months of accumulated files
+    */
   def readStream(spark: SparkSession, pathGlob: String,
-      schema: StructType): DataFrame = {
-    val binary = spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema).load(pathGlob)
+      schema: StructType,
+      pathFilter: Option[org.apache.spark.sql.Column] = None,
+      modifiedAfter: Option[java.sql.Timestamp] = None,
+      maxFileAge: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+    maxFileAge.foreach(a => reader.option("maxFileAge", a))
+    val listed = reader.load(pathGlob).filter(col("length") > 0)
+    val bounded = modifiedAfter.fold(listed)(t =>
+      listed.filter(col("modificationTime") > lit(t)))
+    val binary = pathFilter.fold(bounded)(bounded.filter)
       .select(col("path"), col("content"))
     decodeBinary(spark, binary, schema)
   }

@@ -41,7 +41,10 @@ class DatastreamAvroSource extends TableProvider {
     raw.filter(_.nonEmpty)
   }
 
-  /** Expand globs to concrete file paths using the Hadoop FS. */
+  /** Expand globs to concrete file paths using the Hadoop FS.
+    * Zero-length files (folder markers, in-flight blobs) are skipped
+    * at listing time, mirroring the reference's `blob.getSize() > 0`
+    * guard (DatastreamEventReader.java:594-598). */
   private def listFiles(options: CaseInsensitiveStringMap): Seq[String] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     paths(options).flatMap { p =>
@@ -49,8 +52,10 @@ class DatastreamAvroSource extends TableProvider {
       val fs = path.getFileSystem(conf)
       Option(fs.globStatus(path)).toSeq.flatten.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
-        else Seq(st.getPath)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => s.isFile && s.getLen > 0).map(_.getPath)
+        else if (st.getLen > 0) Seq(st.getPath)
+        else Nil
       }
     }.map(_.toString).sorted
   }

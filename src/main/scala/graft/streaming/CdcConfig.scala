@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.cdc.Decode
+import graft.cdc.{Decode, TableAllowlist}
 
 /** Typed pipeline configuration with upfront validation — the
   * engine's analog of the reference's 22-property DatastreamConfig +
@@ -18,7 +18,10 @@ case class CdcConfig(
     dmlBlacklist: Set[String] = Set.empty,
     columns: Seq[String] = Nil,
     numBuckets: Int = 16,
-    maintenanceEvery: Int = 0) {
+    maintenanceEvery: Int = 0,
+    tableAllowlist: Seq[String] = Nil,
+    modifiedAfter: Option[String] = None,
+    maxFileAge: Option[String] = None) {
 
   private val ValidOps = Set("INSERT", "UPDATE", "DELETE")
 
@@ -44,12 +47,23 @@ case class CdcConfig(
     if (maintenanceEvery < 0) problems += "maintenanceEvery must be >= 0"
     if (columns.nonEmpty && !primaryKeys.forall(columns.contains))
       problems += "columns projection must retain every primary key"
+    problems ++= allowlist.validate()
+    modifiedAfter.foreach { t =>
+      if (scala.util.Try(java.sql.Timestamp.valueOf(t)).isFailure)
+        problems += s"modifiedAfter '$t' is not a yyyy-mm-dd hh:mm:ss timestamp"
+    }
+    maxFileAge.foreach { a =>
+      if (!a.matches("\\d+\\s*(ms|s|m|min|h|d)?"))
+        problems += s"maxFileAge '$a' is not a duration (e.g. '3d', '12h')"
+    }
     problems.result()
   }
 
+  def allowlist: TableAllowlist = TableAllowlist(tableAllowlist)
   def trigger: Trigger = Trigger.ProcessingTime(s"$triggerSeconds seconds")
   def decodeOptions: Decode.Options =
-    Decode.Options(dmlBlacklist = dmlBlacklist, columns = columns)
+    Decode.Options(dmlBlacklist = dmlBlacklist, columns = columns,
+      allowlist = allowlist)
 
   /** Validate-or-throw, with every problem in the message. */
   def validated(): CdcConfig = {

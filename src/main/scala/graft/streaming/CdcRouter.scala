@@ -1,11 +1,13 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.cdc.{CdcTable, Decode}
+import graft.cdc.{CdcTable, Decode, TableAllowlist}
 import graft.sources.DatastreamAvro
 
 /** Multiplexed multi-table CDC: ONE stream carries every table's
@@ -16,18 +18,30 @@ import graft.sources.DatastreamAvro
   * stream keeps a single file log and lets the per-table merges run
   * as ordinary jobs inside the batch.
   *
-  * Tables are created lazily on first sight (CREATE_TABLE lands in
-  * the new table's DDL log), mirroring the reference's
-  * emit-create-before-first-event contract
-  * (DatastreamEventReader.java:558-570).
+  * DDL surface, mirroring the reference's emission order
+  * (DatastreamEventReader.java:399-405 CREATE_DATABASE once before
+  * anything else; :558-570 CREATE_TABLE before a table's first event;
+  * :669-672 ALTER_TABLE on drift): the database-level event lands in
+  * an append-only `_ddl.jsonl` at the router root on the first batch
+  * ever; table-level events land in each table's own DDL log as the
+  * table is created lazily on first sight.
+  *
+  * Replication scope: `allowlist` drops excluded tables' rows before
+  * payload projection, and — when every pattern names a concrete
+  * table — excluded tables' FILES are pruned at the source by
+  * filename schema-key, so they are never avro-decoded
+  * (util/Utils.java:297-342).
   */
 class CdcRouter(
     spark: SparkSession,
     rootPath: String,
     pkColsFor: String => Seq[String],
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16,
+    allowlist: TableAllowlist = TableAllowlist(Nil),
+    databaseName: String = "db") {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
+  private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
 
   def table(name: String): CdcTable =
     tables.getOrElseUpdate(name,
@@ -35,10 +49,30 @@ class CdcRouter(
 
   def knownTables: Seq[String] = tables.keys.toSeq.sorted
 
-  /** Apply one (possibly multi-table) batch of decoded change events. */
-  def applyBatch(events: DataFrame, batchId: Long): Unit = {
+  /** Database-level DDL history (CREATE_DATABASE). */
+  def databaseDdlEvents: Seq[String] =
+    if (!Files.exists(rootDdl)) Nil
+    else new String(Files.readAllBytes(rootDdl))
+      .split("\n").toSeq.filter(_.nonEmpty)
+
+  private def emitCreateDatabaseOnce(): Unit =
+    if (!Files.exists(rootDdl)) {
+      Files.createDirectories(rootDdl.getParent)
+      Files.write(rootDdl,
+        (s"""{"event": "CREATE_DATABASE", "database": "$databaseName"}""" +
+          "\n").getBytes,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+  /** Apply one (possibly multi-table) batch of decoded change events.
+    * Direct callers get the same allowlist scope as the stream path. */
+  def applyBatch(events0: DataFrame, batchId: Long): Unit = {
+    val events =
+      if (allowlist.allowsAll) events0
+      else events0.filter(allowlist.filter(col("schema_name"), col("table_name")))
     val names = events.select(col("table_name")).distinct()
       .collect().map(_.getString(0)).sorted
+    if (names.nonEmpty) emitCreateDatabaseOnce()
     names.foreach { name =>
       table(name).applyBatch(
         events.filter(col("table_name") === name), batchId)
@@ -49,8 +83,10 @@ class CdcRouter(
   def start(sourceGlob: String, schema: StructType, checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val events = Decode.changeEvents(
-      DatastreamAvro.readStream(spark, sourceGlob, schema), decodeOpts)
+    val opts = decodeOpts.copy(allowlist = allowlist)
+    val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
+      pathFilter = allowlist.pathFilter(col("path")))
+    val events = Decode.changeEvents(envelope, opts)
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

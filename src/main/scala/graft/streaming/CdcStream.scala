@@ -47,8 +47,13 @@ object CdcStream {
       checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),
       trigger: Trigger = Trigger.AvailableNow(),
-      maintenanceEvery: Int = 0): Pipeline = {
-    val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema)
+      maintenanceEvery: Int = 0,
+      modifiedAfter: Option[java.sql.Timestamp] = None,
+      maxFileAge: Option[String] = None): Pipeline = {
+    val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
+      pathFilter = decodeOpts.allowlist.pathFilter(
+        org.apache.spark.sql.functions.col("path")),
+      modifiedAfter = modifiedAfter, maxFileAge = maxFileAge)
     val events = Decode.changeEvents(envelope, decodeOpts)
     val query = events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -76,7 +81,46 @@ object CdcStream {
     val c = config.validated()
     val table = new CdcTable(spark, c.tablePath, c.primaryKeys, c.numBuckets)
     start(spark, c.sourceGlob, schema, table, c.checkpoint,
-      c.decodeOptions, c.trigger, c.maintenanceEvery)
+      c.decodeOptions, c.trigger, c.maintenanceEvery,
+      c.modifiedAfter.map(java.sql.Timestamp.valueOf), c.maxFileAge)
+  }
+
+  /** Start under a [[SourceAdmin]]-managed stream: provision the
+    * control-plane stream if absent, drive it to RUNNING (create →
+    * start, paused → resume), then attach the pipeline to its
+    * provisioned source location — the reference's startup flow, where
+    * the plugin creates/starts the Datastream stream before reading
+    * its bucket (DatastreamDeltaSource + util/Utils.java:548-561).
+    * [[pauseManaged]] stops the query and pauses the stream; a later
+    * startManaged resumes from the checkpoint exactly-once. */
+  def startManaged(
+      spark: SparkSession,
+      admin: SourceAdmin,
+      streamId: String,
+      sourceGlob: String,
+      schema: StructType,
+      table: CdcTable,
+      checkpoint: String,
+      decodeOpts: Decode.Options = Decode.Options(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintenanceEvery: Int = 0): Pipeline = {
+    if (!admin.exists(streamId)) admin.create(streamId, sourceGlob)
+    admin.state(streamId) match {
+      case SourceAdmin.Created => admin.start(streamId)
+      case SourceAdmin.Paused => admin.resume(streamId)
+      case SourceAdmin.Running => ()
+    }
+    admin.awaitState(streamId, SourceAdmin.Running)
+    start(spark, admin.sourceGlob(streamId), schema, table, checkpoint,
+      decodeOpts, trigger, maintenanceEvery)
+  }
+
+  /** Stop the pipeline's query and pause the control-plane stream. */
+  def pauseManaged(p: Pipeline, admin: SourceAdmin, streamId: String): Unit = {
+    p.query.stop()
+    p.query.awaitTermination()
+    admin.pause(streamId)
+    admin.awaitState(streamId, SourceAdmin.Paused)
   }
 
   /** Run a pipeline to completion over currently-available files

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Decode, TableAllowlist}
+import graft.sources.DatastreamAvro
+import graft.streaming.CdcRouter
+
+/** Replication scoping (reference util/Utils.java:297-342) and the
+  * router's DDL emission order (CREATE_DATABASE →
+  * CREATE_TABLE → ALTER_TABLE, DatastreamEventReader.java:399-405,
+  * :558-570, :669-672). */
+class AllowlistRouterSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/src/test/resources"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("wildcard semantics: *.*, schema.*, schema.table, bare table") {
+    assert(TableAllowlist(Nil).allowsAll)
+    assert(TableAllowlist(Seq("*.*")).allowsAll)
+    val al = TableAllowlist(Seq("HR.*", "SALES.ORDERS", "EVENTS"))
+    assert(al.matches("hr", "anything"))
+    assert(al.matches("SALES", "orders"))
+    assert(!al.matches("SALES", "LINES"))
+    assert(al.matches("any_schema", "events")) // bare table: any schema
+    assert(!al.matches("OTHER", "PRODUCTS"))
+    assert(TableAllowlist(Seq("HR.")).validate().nonEmpty)
+  }
+
+  test("row-level filter drops excluded tables before payload projection") {
+    val envelope = DatastreamAvro.read(spark, s"$fixtures/insert.avro")
+    val kept = Decode.changeEvents(envelope,
+      Decode.Options(allowlist = TableAllowlist(Seq("HR.EMPLOYEES"))))
+    val dropped = Decode.changeEvents(envelope,
+      Decode.Options(allowlist = TableAllowlist(Seq("HR.SOMETHING_ELSE"))))
+    assert(kept.count() == 1)
+    assert(dropped.count() == 0)
+  }
+
+  test("concrete allowlist prunes excluded tables' files before decode") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "allow-prune")
+    Files.copy(Paths.get(s"$fixtures/insert.avro"),
+      dir.resolve("EMPLOYEES_0_1.avro"))
+    // an EXCLUDED table's file with a deliberately corrupt body:
+    // if the source ever tried to avro-decode it, the read would throw
+    Files.write(dir.resolve("SECRETS_0_1.avro"),
+      "this is not an avro container".getBytes)
+    val al = TableAllowlist(Seq("HR.EMPLOYEES"))
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
+    val df = DatastreamAvro.read(spark, s"$dir/*", Some(schema),
+      pathFilter = al.pathFilter(col("path")))
+    assert(df.count() == 1) // corrupt excluded file listed but never decoded
+    // wildcard-table patterns cannot prune by filename
+    assert(TableAllowlist(Seq("HR.*")).pathFilter(col("path")).isEmpty)
+  }
+
+  test("router emits CREATE_DATABASE, then CREATE_TABLE, then ALTER_TABLE") {
+    val root = Files.createTempDirectory(Paths.get("target"), "router-ddl")
+    val router = new CdcRouter(spark, root.toString,
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2, databaseName = "xe")
+    val events = Decode.fromAvro(spark, s"$fixtures/dump.avro")
+    router.applyBatch(events, 0L)
+
+    val dbLog = router.databaseDdlEvents
+    assert(dbLog.size == 1 && dbLog.head.contains("CREATE_DATABASE"), dbLog)
+    assert(dbLog.head.contains("\"xe\""))
+
+    val tableName = events.select("table_name").head.getString(0)
+    val tableLog0 = router.table(tableName).ddlEvents
+    assert(tableLog0.size == 1 && tableLog0.head.contains("CREATE_TABLE"))
+
+    // drift: second batch with an extra payload column → ALTER_TABLE,
+    // while the database-level event is NOT re-emitted
+    val drifted = events.withColumn("row",
+      org.apache.spark.sql.functions.struct(
+        col("row.*"), org.apache.spark.sql.functions.lit(1L).as("NEW_COL")))
+    router.applyBatch(drifted, 1L)
+    assert(router.databaseDdlEvents.size == 1)
+    val tableLog = router.table(tableName).ddlEvents
+    assert(tableLog.size == 2 && tableLog(1).contains("ALTER_TABLE"), tableLog)
+    assert(tableLog(1).contains("NEW_COL"))
+  }
+}

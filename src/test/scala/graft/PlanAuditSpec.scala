@@ -59,6 +59,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("d04/d05: no cartesian or nested-loop stage in the near-dup joins") {
+    for (q <- Seq("d04_blocked_jaccard", "d05_cosine_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -72,7 +72,9 @@ class VectorSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(qs, corpus, 10)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    info(s"IVF recall@10 = $ivfRecall (nprobe=4 of 16 cells)")
-    assert(ivfRecall > 0.2)
+    info(s"IVF recall@10 = $ivfRecall (nprobe=4 of 16 learned cells)")
+    // learned spherical-k-means cells must not regress below the
+    // lowest-id-centroid baseline this replaced (0.88)
+    assert(ivfRecall >= 0.88)
   }
 }

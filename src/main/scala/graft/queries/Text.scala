@@ -81,7 +81,10 @@ object Text {
     // ---- character n-gram profile ----
     "t07_char_trigrams" -> { (s, d) =>
       import s.implicits._
+      // single-file input = one partition; the per-row distinct pass is
+      // the whole cost, so spread it before computing
       load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           size(array_distinct(transform(sequence(lit(1), length($"text") - 2),
             i => $"text".substr(i, lit(3))))).cast("long").as("n_uniq_tri"))

@@ -102,8 +102,19 @@ class CdcTable(
       df.schema.fields.filterNot(f => Apply.MetaCols.contains(f.name))))
 
   /** Merge one micro-batch of decoded change events; rewrites only the
-    * PK buckets present in the batch. Returns the committed version. */
-  def applyBatch(events: DataFrame, batchId: Long): Long = {
+    * PK buckets present in the batch. Returns the committed version.
+    *
+    * The batch is persisted for the scope of this call: it is consumed
+    * twice (touched-bucket discovery, then the merge) and upstream is
+    * an Avro decode that would otherwise run twice per micro-batch. */
+  def applyBatch(events0: DataFrame, batchId: Long): Long = {
+    val events = events0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyBatchPersisted(events, batchId)
+    finally { events.unpersist(); () }
+  }
+
+  private def applyBatchPersisted(events: DataFrame, batchId: Long): Long = {
     val cur = currentVersion
     val curManifest = cur.map(manifest).getOrElse(Map.empty)
     val next = cur.getOrElse(-1L) + 1

@@ -65,18 +65,25 @@ class CdcRouter(
     }
 
   /** Apply one (possibly multi-table) batch of decoded change events.
-    * Direct callers get the same allowlist scope as the stream path. */
+    * Direct callers get the same allowlist scope as the stream path.
+    * The batch persists for the scope of the call — it is read once
+    * per distinct table plus once for routing, and upstream is an
+    * Avro decode. */
   def applyBatch(events0: DataFrame, batchId: Long): Unit = {
-    val events =
+    val scoped =
       if (allowlist.allowsAll) events0
       else events0.filter(allowlist.filter(col("schema_name"), col("table_name")))
-    val names = events.select(col("table_name")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (names.nonEmpty) emitCreateDatabaseOnce()
-    names.foreach { name =>
-      table(name).applyBatch(
-        events.filter(col("table_name") === name), batchId)
-    }
+    val events = scoped.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val names = events.select(col("table_name")).distinct()
+        .collect().map(_.getString(0)).sorted
+      if (names.nonEmpty) emitCreateDatabaseOnce()
+      names.foreach { name =>
+        table(name).applyBatch(
+          events.filter(col("table_name") === name), batchId)
+      }
+    } finally { events.unpersist(); () }
   }
 
   /** Stream a directory of avro change files into per-table targets. */

@@ -252,6 +252,42 @@ object Dedup {
     labels
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen,
+    * with state bounded by the event-time watermark (a key's state is
+    * dropped once the watermark passes it — the streaming analog of
+    * [[exactDedup]], sized for unbounded input where "seen keys" can't
+    * grow forever). First-seen row wins within the window. */
+  def streamingExactDedup(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Canonical selection over near-dup clusters: every document maps
+    * to its cluster (singletons form their own), and one canonical doc
+    * per cluster survives — the longest text, smallest id on ties.
+    * This is the materialization step of a training-data dedup: the
+    * output IS the kept corpus, with `n_members` recording how many
+    * near-dups each kept doc absorbed. */
+  def canonicalDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold)
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("id", "__cid")
+    val members = df
+      .select(col(idCol).cast("long").as("doc"), length(col(textCol)).as("len"))
+      .join(clusters, col("doc") === col("__cid"), "left_outer")
+      .select(col("doc"), col("len"),
+        coalesce(col("cluster"), col("doc")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("len").desc, col("doc"))
+    members
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc").as("canonical"), col("n_members"))
+  }
+
   /** Near-dup pairs by SimHash: block on the signature's high 16 bits,
     * compare hamming distance within blocks. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -73,6 +73,14 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- canonical dedup: the kept corpus after near-dup clustering ----
+    "d07_dedup_canonical" -> { (s, d) =>
+      import s.implicits._
+      Dedup.canonicalDedup(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy($"cluster_id")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -131,6 +139,32 @@ object DedupQueries {
          |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x)
          |SELECT x AS doc_id, MIN(label) AS cluster
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "d07_dedup_canonical" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges) n
+         |  UNION
+         |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x),
+         |clusters AS (SELECT x AS doc_id, MIN(label) AS cluster
+         |             FROM reach GROUP BY x),
+         |members AS (
+         |  SELECT doc.doc_id AS doc, len(doc.text) AS l,
+         |    COALESCE(c.cluster, doc.doc_id) AS cluster_id
+         |  FROM documents doc LEFT JOIN clusters c ON doc.doc_id = c.doc_id)
+         |SELECT cluster_id, doc AS canonical, n_members FROM (
+         |  SELECT cluster_id, doc,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY l DESC, doc) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM members) t
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

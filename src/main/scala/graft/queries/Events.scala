@@ -95,6 +95,26 @@ object Events {
       try q.processAllAvailable() finally q.stop()
       s.table("q20_stream_hourly_sink")
         .orderBy($"day", $"h", $"event_type")
+    },
+
+    // ---- Structured Streaming dedup parity: the emitted KEY SET is
+    //      deterministic (which physical row won is not, so only keys
+    //      are projected); watermark-bounded state is exercised by
+    //      StreamingOpsSpec via Dedup.streamingExactDedup ----
+    "q41_stream_dedup" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      val q = stream.writeStream
+        .format("memory").queryName("q41_stream_dedup_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q41_stream_dedup_sink")
+        .orderBy($"user_id", $"event_type")
     }
   )
 
@@ -108,6 +128,10 @@ object Events {
   val oracle: Map[String, String] = Map(
     "q17_hourly_counts" -> hourlySql,
     "q20_stream_hourly" -> hourlySql,
+
+    "q41_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q18_sessions" ->
       """WITH e AS (

@@ -49,6 +49,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeats within the watermark window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val dedup = graft.ops.Dedup.streamingExactDedup(
+      input.toDF().toDF("k", "t"), Seq("k"), "t", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+      q.processAllAvailable()
+      input.addData((1L, ts(4)), (2L, ts(5)), (3L, ts(6))) // 1,2 repeats
+      q.processAllAvailable()
+      val keys = spark.table("dedup_sink").select("k")
+        .collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L)) // each key exactly once
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -222,6 +222,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels are monotonically non-increasing, so the label sum is
+    // strictly decreasing until the fixpoint: comparing sums detects
+    // convergence with ONE aggregate per round instead of a join
+    // against the previous generation (decimal(38) — no overflow at
+    // any node-id scale)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .head.getDecimal(0))
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -234,15 +244,14 @@ object Dedup {
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changes = updated.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("id")).filter(col("cluster") =!= col("old")).count()
-      // the count() above materialized `updated`; the previous
-      // generation's cache is dead weight from here on — unpersisting
-      // it keeps executor storage flat however many rounds run
+      val curSum = labelSum(updated) // materializes `updated`
+      // the previous generation's cache is dead weight from here on —
+      // unpersisting it keeps executor storage flat across rounds
       val prev = labels
       labels = updated
-      prev.unpersist() // no-op on the unpersisted round-0 seed
-      converged = changes == 0
+      prev.unpersist()
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
     }
     edges.unpersist()

@@ -92,3 +92,81 @@ object MinHash {
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(hashedShingles), numHashes))
 }
+
+/** The `bits`-bit SimHash of a pre-hashed token multiset in one fused
+  * loop: bit j of the result is set iff the majority of token hashes
+  * have bit j set (ties → 0, matching the sum(±1) > 0 vote). Same
+  * rationale as [[MinHashSignature]]: per-bit vote columns are either
+  * interpreted lambda trees or an explode + n aggregates shuffle;
+  * this is one codegen'd pass over the array. Null for null input;
+  * an empty multiset votes all bits to 0 (sig = 0). */
+case class SimHashSignature(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_signature needs array<bigint> input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var k = 0
+    while (k < n) {
+      val h = arr.getLong(k)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
+        j += 1
+      }
+      k += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[$bits];
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $arr.getLong($k);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    $votes[$j] += ((($h >>> $j) & 1L) != 0L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($votes[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** Column-level entry point for [[SimHashSignature]]. */
+  def signature(tokenHashes: Column, bits: Int = 32): Column =
+    GraftColumnBridge.column(SimHashSignature(
+      GraftColumnBridge.expression(tokenHashes), bits))
+}

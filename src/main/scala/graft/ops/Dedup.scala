@@ -183,25 +183,16 @@ object Dedup {
   // ---- SimHash ----
 
   /** 32-bit SimHash per row: per-bit majority vote over xxhash64
-    * token hashes. Explode + 32 conditional-sum aggregates (map-side
-    * partial) — the same shape as MinHash signatures; a single giant
-    * nested-array expression stalls planning/codegen. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokenHashes = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * token hashes, fused into one codegen pass
+    * ([[graft.functions.SimHashSignature]]) — shuffle-free, vs the
+    * explode + 32 conditional-sum aggregates this replaces (same
+    * values: per-bit ±1 votes over the token MULTISET, ties → 0). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 32).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"v$i")
-    }
-    val agg = tokenHashes.groupBy("id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 32).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a: Column, b: Column) => a + b)
-    agg.select(col("id"), sig.as("sig"))
-  }
+        transform(split(col(textCol), " "), t => xxhash64(t)).as("hs"))
+      .select(col("id"),
+        graft.functions.SimHash.signature(col("hs"), 32).as("sig"))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

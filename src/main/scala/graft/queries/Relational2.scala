@@ -93,6 +93,22 @@ object Relational2 {
         .select($"o_orderkey", $"o_totalprice")
         .orderBy($"o_totalprice".desc, $"o_orderkey")
         .offset(100).limit(50)
+    },
+
+    // ---- FULL OUTER join with null-side markers ----
+    "q42_full_outer" -> { (s, d) =>
+      import s.implicits._
+      val c = load(s, d, "customer")
+        .groupBy($"c_nationkey".as("nk")).agg(count(lit(1)).as("n_cust"))
+      val sup = load(s, d, "supplier")
+        .filter($"s_nationkey" < 13) // make one side genuinely partial
+        .groupBy($"s_nationkey".as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nk"), "full_outer")
+        .select($"nk",
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"),
+          ($"n_cust".isNull || $"n_supp".isNull).as("one_sided"))
+        .orderBy($"nk")
     }
   )
 
@@ -140,6 +156,18 @@ object Relational2 {
     "q27_pagination" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 50 OFFSET 100""".stripMargin
+        |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q42_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey < 13 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_supp, 0) AS n_supp,
+        |  (n_cust IS NULL OR n_supp IS NULL) AS one_sided
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin
   )
 }

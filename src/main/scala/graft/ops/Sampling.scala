@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: given per-stratum
+  * target rates, tag each row keep/drop by a pure function of its id —
+  * no RNG, so the sample is identical on every run, every executor
+  * count, and every retry (the property that matters when a 100 TB
+  * corpus is sampled incrementally: a re-run must not change which
+  * documents are in the training set).
+  *
+  * `sampleBy` ships this semantics with a seeded RNG; the modulo form
+  * keeps the kept set stable under appends (a new document's fate
+  * depends only on its own id, not on how many rows preceded it).
+  */
+object Sampling {
+
+  /** keep-predicate: rows whose `idCol % outOf` falls under their
+    * stratum's rate. `rates` maps stratum value → kept residues
+    * (0..outOf); missing strata use `defaultRate`. */
+  def stratifiedKeep(strataCol: Column, idCol: Column,
+      rates: Map[String, Int], defaultRate: Int, outOf: Int = 10): Column = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(strataCol === k, lit(r)).otherwise(acc)
+    }
+    pmod(idCol, lit(outOf)) < rate
+  }
+
+  /** Materialize the mixed sample: input rows tagged with `keep`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Int], defaultRate: Int, outOf: Int = 10): DataFrame =
+    df.withColumn("keep",
+      stratifiedKeep(col(strataCol), col(idCol), rates, defaultRate, outOf))
+}

@@ -81,6 +81,20 @@ object DedupQueries {
         .orderBy($"cluster_id")
     },
 
+    // ---- deterministic stratified sampling (training-data mixing) ----
+    "d08_sample_mix" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Sampling
+      Sampling.stratifiedSample(load(s, d, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 8, "es" -> 5), defaultRate = 2)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"keep", 1)).as("n_sampled"))
+        .withColumn("rate",
+          round($"n_sampled".cast("double") / $"n_docs", 6))
+        .orderBy($"lang")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -139,6 +153,16 @@ object DedupQueries {
          |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x)
          |SELECT x AS doc_id, MIN(label) AS cluster
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "d08_sample_mix" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN doc_id % 10 <
+        |    (CASE WHEN lang = 'en' THEN 8 WHEN lang = 'es' THEN 5
+        |     ELSE 2 END) THEN 1 END) AS n_sampled,
+        |  round(CAST(COUNT(CASE WHEN doc_id % 10 <
+        |    (CASE WHEN lang = 'en' THEN 8 WHEN lang = 'es' THEN 5
+        |     ELSE 2 END) THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d07_dedup_canonical" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),

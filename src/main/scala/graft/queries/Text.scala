@@ -101,6 +101,25 @@ object Text {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bg")
         .limit(20)
+    },
+
+    // ---- quality-gated filtering with per-stratum retention ----
+    // the pipeline step a training-data build actually runs: score,
+    // threshold, and report how much of each (lang, source) stratum
+    // survives (decimal-summed mean keeps the aggregate
+    // order-insensitive and oracle-identical)
+    "t08_quality_filter" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"lang", $"source", qualityScore($"text").as("q"))
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"q" >= 0.75, 1)).as("n_kept"),
+          sum($"q".cast("decimal(18,9)")).cast("double").as("q_sum"))
+        .select($"lang", $"source", $"n_docs", $"n_kept",
+          round($"q_sum" / $"n_docs", 4).as("avg_quality"),
+          round($"n_kept".cast("double") / $"n_docs", 6).as("retention"))
+        .orderBy($"lang", $"source")
     }
   )
 
@@ -181,6 +200,27 @@ object Text {
         |SELECT u.bg, COUNT(*) AS n
         |FROM t, unnest(list_transform(range(1, len(toks)),
         |  i -> toks[i] || ' ' || toks[i+1])) u(bg)
-        |GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+
+    "t08_quality_filter" -> {
+      val all = markersSql.values.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT lang, source,
+         |    CAST(${hitsSql(all)} AS DOUBLE)
+         |      / len(string_split(text,' ')) * 0.3 +
+         |    CASE WHEN CAST(length(text) - (len(string_split(text,' ')) - 1)
+         |           AS DOUBLE) / len(string_split(text,' ')) >= 3.0
+         |      AND CAST(length(text) - (len(string_split(text,' ')) - 1)
+         |           AS DOUBLE) / len(string_split(text,' ')) <= 10.0
+         |      THEN 0.7 ELSE 0.2 END AS q
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN q >= 0.75 THEN 1 END) AS n_kept,
+         |  round(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_quality,
+         |  round(CAST(COUNT(CASE WHEN q >= 0.75 THEN 1 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS retention
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

@@ -89,6 +89,38 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(all.forall { case (a, b) => a < b }) // id-ordered emission
   }
 
+  test("cosineRangePairs is exact on random data across thresholds and tilings") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2); (threshold, nlist, chunks) <-
+        Seq((0.3, 8, 3), (0.7, 5, 2))) {
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until 120).map(i =>
+        (i.toLong + 1000, Seq.fill(12)(rnd.nextFloat() * 2 - 1)))
+      val emb = vecs.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val expected = (for {
+        i <- vecs.indices; j <- vecs.indices if i < j
+        c = cos(vecs(i)._2, vecs(j)._2)
+        if BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble >= threshold
+      } yield (vecs(i)._1, vecs(j)._1)).toSet
+      val got = graft.ops.Similarity
+        .cosineRangePairs(emb, "vec_id", "embedding", threshold, nlist, chunks)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed=$seed t=$threshold nlist=$nlist chunks=$chunks: " +
+          s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
+    }
+  }
+
   test("short documents never pair (spark matches range-based oracle shingling)") {
     import spark.implicits._
     val docs = Seq(

@@ -75,6 +75,23 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // ---- binned range join: clicks within ±60 s of each purchase ----
+    "q43_range_join" -> { (s, d) =>
+      import s.implicits._
+      val e = load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts_us")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"ts_us".as("c_ts"))
+      val near = graft.ops.RangeJoin.interval(purchases, clicks,
+          "ts_us", "c_ts", lower = -60000000L, upper = 60000000L)
+        .groupBy($"event_id").agg(count(lit(1)).as("n_near"))
+      purchases.select($"event_id")
+        .join(near, Seq("event_id"), "left_outer")
+        .select($"event_id", coalesce($"n_near", lit(0L)).as("n_near"))
+        .orderBy($"event_id")
+    },
+
     // ---- Structured Streaming parity: q17 through a streaming plan ----
     "q20_stream_hourly" -> { (s, d) =>
       import s.implicits._
@@ -132,6 +149,16 @@ object Events {
     "q41_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q43_range_join" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |             epoch_ns(ts)//1000 AS ts_us FROM events),
+        |p AS (SELECT event_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT ts_us AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, COUNT(c.c_ts) AS n_near
+        |FROM p LEFT JOIN c
+        |  ON c.c_ts BETWEEN p.ts_us - 60000000 AND p.ts_us + 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q18_sessions" ->
       """WITH e AS (

@@ -59,8 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
-  test("d04/d05: no cartesian or nested-loop stage in the near-dup joins") {
-    for (q <- Seq("d04_blocked_jaccard", "d05_cosine_pairs")) {
+  test("d04/d05/q43: no cartesian or nested-loop stage in the range joins") {
+    for (q <- Seq("d04_blocked_jaccard", "d05_cosine_pairs", "q43_range_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")

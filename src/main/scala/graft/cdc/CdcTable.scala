@@ -191,22 +191,32 @@ class CdcTable(
   /** Current live rows (soft-deleted hidden, bookkeeping dropped). */
   def live: Option[DataFrame] = state.map(Apply.liveView)
 
-  /** Compaction (OPTIMIZE analog): rewrite every current bucket as a
+  /** Compaction (OPTIMIZE analog): rewrite fragmented buckets as a
     * single coalesced file set and commit a new manifest. Run
     * periodically where streaming produces many small files per batch
     * (the reference rotates source files every 15 s / 1 MB; the same
-    * small-file pressure lands here). */
-  def compact(): Option[Long] = currentVersion.map { v =>
-    val next = v + 1
+    * small-file pressure lands here). Only buckets holding more than
+    * `minFiles` data files rewrite — already-compact buckets carry
+    * forward untouched, so maintenance cost tracks fragmentation, not
+    * table size (at 100 TB most buckets are cold and compact). */
+  def compact(minFiles: Int = 2): Option[Long] = currentVersion.flatMap { v =>
     val m = manifest(v)
-    val rewritten = m.map { case (b, d) =>
-      val dest = s"b$b-v$next"
-      spark.read.parquet(s"$path/$d").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
-      b -> dest
+    def dataFiles(d: String): Int =
+      Files.list(dir.resolve(d)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    val fragmented = m.filter { case (_, d) => dataFiles(d) >= minFiles }
+    if (fragmented.isEmpty) None
+    else {
+      val next = v + 1
+      val rewritten = fragmented.map { case (b, d) =>
+        val dest = s"b$b-v$next"
+        spark.read.parquet(s"$path/$d").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
+        b -> dest
+      }
+      writeManifest(next, m ++ rewritten)
+      Some(next)
     }
-    writeManifest(next, rewritten)
-    next
   }
 
   /** Vacuum (purge-lifecycle analog of the reference's 30-day bucket

@@ -95,6 +95,20 @@ object Relational2 {
         .offset(100).limit(50)
     },
 
+    // ---- distribution window functions: ntile / percent_rank / cume_dist ----
+    "q44_window_stats" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      load(s, d, "orders")
+        .select($"o_orderpriority", $"o_orderkey",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
+
     // ---- FULL OUTER join with null-side markers ----
     "q42_full_outer" -> { (s, d) =>
       import s.implicits._
@@ -157,6 +171,16 @@ object Relational2 {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q44_window_stats" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pr,
+        |  round(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q42_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust

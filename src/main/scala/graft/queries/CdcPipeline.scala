@@ -65,6 +65,36 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    // the multiplexed router path under the oracle gate: one event
+    // stream split across two tables by a per-event table key, full
+    // replay (snapshot + CDC + PK-update + delete), both tables'
+    // final states dumped with their table tag
+    "c09_router_multiplex" -> { (s, _) =>
+      import s.implicits._
+      import graft.streaming.CdcRouter
+      val dir = java.nio.file.Files.createTempDirectory("graft-router")
+      val router = new CdcRouter(s, dir.toString, _ => Seq("EMPLOYEE_ID"),
+        numBuckets = 4, databaseName = "xe")
+      Seq("dump.avro", "insert.avro", "update.avro",
+        "update-pk.avro", "delete.avro").zipWithIndex.foreach {
+        case (f, i) =>
+          val e = Decode.fromAvro(s, s"$fixtures/$f")
+            .withColumn("table_name",
+              when($"row.EMPLOYEE_ID" % 2 === 0, "EMP_EVEN")
+                .otherwise("EMP_ODD"))
+          router.applyBatch(e, i.toLong)
+      }
+      router.knownTables.map { t =>
+        router.table(t).state.get.select(
+          lit(t).as("table_name"),
+          $"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+      }.reduce(_.unionByName(_))
+        .orderBy($"table_name", $"employee_id")
+    },
+
     "c07_decode_cdc" -> { (s, _) =>
       import s.implicits._
       Decode.fromAvro(s,

@@ -17,6 +17,9 @@ QUERIES = {
     "c07_decode_cdc":
         ("employee_id, first_name, salary, op, is_snapshot, scn",
          "scn, op, employee_id"),
+    "c09_router_multiplex":
+        ("table_name, employee_id, first_name, salary, deleted",
+         "table_name, employee_id"),
 }
 
 

@@ -225,15 +225,34 @@ class CdcTable(
   def vacuum(keepVersions: Int = 1): Seq[String] = currentVersion match {
     case None => Nil
     case Some(v) =>
-      val keep = (math.max(0L, v - keepVersions + 1) to v)
-        .filter(k => Files.exists(dir.resolve(s"manifest-$k.json")))
-        .flatMap(k => manifest(k).values).toSet
-      val removed = Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("b") &&
-          p.getFileName.toString.contains("-v") &&
-          !keep.contains(p.getFileName.toString))
-        .map { p => deleteRecursively(p); p.getFileName.toString }
-        .toSeq
-      removed.sorted
+      vacuumKeeping((math.max(0L, v - keepVersions + 1) to v)
+        .filter(k => Files.exists(dir.resolve(s"manifest-$k.json"))))
+  }
+
+  /** Age-based vacuum — the closer analog of the reference's 30-day
+    * purge: keep the current version plus every version whose
+    * manifest was committed within `maxAgeMs` of now; older versions'
+    * unreferenced bucket dirs are deleted. Time travel stays possible
+    * within the retention window, exactly like the bucket TTL. */
+  def vacuumOlderThan(maxAgeMs: Long): Seq[String] = currentVersion match {
+    case None => Nil
+    case Some(v) =>
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      vacuumKeeping((0L to v).filter { k =>
+        val m = dir.resolve(s"manifest-$k.json")
+        Files.exists(m) &&
+          (k == v || Files.getLastModifiedTime(m).toMillis >= cutoff)
+      })
+  }
+
+  private def vacuumKeeping(versions: Seq[Long]): Seq[String] = {
+    val keep = versions.flatMap(k => manifest(k).values).toSet
+    val removed = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("b") &&
+        p.getFileName.toString.contains("-v") &&
+        !keep.contains(p.getFileName.toString))
+      .map { p => deleteRecursively(p); p.getFileName.toString }
+      .toSeq
+    removed.sorted
   }
 }

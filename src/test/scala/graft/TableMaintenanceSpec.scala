@@ -44,6 +44,19 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.state.get.count() == before.length)
   }
 
+  test("age-based vacuum keeps versions inside the retention window") {
+    val t = new CdcTable(spark, tmp("maint-age"), Seq("EMPLOYEE_ID"),
+      numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    // everything is seconds old: a 30-day window removes nothing
+    assert(t.vacuumOlderThan(30L * 86400 * 1000).isEmpty)
+    // a zero-width window keeps only the current version's buckets
+    val removed = t.vacuumOlderThan(-1000L)
+    assert(removed.nonEmpty)
+    assert(t.state.get.count() == 109) // current version intact
+  }
+
   test("multiplexed stream routes events to per-table targets") {
     val root = tmp("router")
     val router = new CdcRouter(spark, root, _ => Seq("EMPLOYEE_ID"),

@@ -131,6 +131,10 @@ class CdcTable(
           s""""schema": ${incomingPayload.json}}""", incomingPayload))
       case Some(_) =>
         val curPayload = payloadSchema.get
+        // legacy tables (created before _schema.json existed) resolve
+        // the fallback bucket scan once and persist it, so subsequent
+        // batches read the file
+        if (!Files.exists(schemaFile)) writeSchemaFile(curPayload)
         SchemaDrift.diff(curPayload, incomingPayload).map { changes =>
           val widened = SchemaDrift.widen(curPayload, changes) // validates
           val added = changes.collect {
@@ -156,7 +160,7 @@ class CdcTable(
     val staging = s"$path/_staging-v$next"
     merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(staging)
     val stagingPath = Paths.get(staging)
-    val newDirs = Files.list(stagingPath).iterator().asScala
+    val newDirs = withListing(stagingPath)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
@@ -182,9 +186,17 @@ class CdcTable(
     else new String(Files.readAllBytes(dir.resolve("_ddl.jsonl")))
       .split("\n").toSeq.filter(_.nonEmpty)
 
+  /** Directory listing with the stream closed (Files.list leaks an
+    * open directory fd otherwise — fatal over months of maintenance
+    * cycles in a long-lived driver). */
+  private def withListing[T](p: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      withListing(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -196,14 +208,14 @@ class CdcTable(
     * periodically where streaming produces many small files per batch
     * (the reference rotates source files every 15 s / 1 MB; the same
     * small-file pressure lands here). Only buckets holding more than
-    * `minFiles` data files rewrite — already-compact buckets carry
-    * forward untouched, so maintenance cost tracks fragmentation, not
-    * table size (at 100 TB most buckets are cold and compact). */
+    * at least `minFiles` data files rewrite — already-compact buckets
+    * carry forward untouched, so maintenance cost tracks
+    * fragmentation, not table size (at 100 TB most buckets are cold
+    * and compact). */
   def compact(minFiles: Int = 2): Option[Long] = currentVersion.flatMap { v =>
     val m = manifest(v)
-    def dataFiles(d: String): Int =
-      Files.list(dir.resolve(d)).iterator().asScala
-        .count(_.getFileName.toString.endsWith(".parquet"))
+    def dataFiles(d: String): Int = withListing(dir.resolve(d))(
+      _.count(_.getFileName.toString.endsWith(".parquet")))
     val fragmented = m.filter { case (_, d) => dataFiles(d) >= minFiles }
     if (fragmented.isEmpty) None
     else {
@@ -247,12 +259,11 @@ class CdcTable(
 
   private def vacuumKeeping(versions: Seq[Long]): Seq[String] = {
     val keep = versions.flatMap(k => manifest(k).values).toSet
-    val removed = Files.list(dir).iterator().asScala
+    val removed = withListing(dir)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("b") &&
         p.getFileName.toString.contains("-v") &&
         !keep.contains(p.getFileName.toString))
       .map { p => deleteRecursively(p); p.getFileName.toString }
-      .toSeq
     removed.sorted
   }
 }

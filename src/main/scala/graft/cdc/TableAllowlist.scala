@@ -50,13 +50,20 @@ case class TableAllowlist(patterns: Seq[String]) {
       sOk && tOk
     }.reduce(_ || _)
 
-  /** File-level prune for the Datastream layout, whose filenames lead
-    * with the schema-key token (`<key>_…`, parsed at
-    * DatastreamEventReader.java:647-650): a filter over the `path`
-    * column that admits only allowlisted tables' files, so excluded
-    * tables are never avro-decoded. Only available when every pattern
-    * names a concrete table (wildcard tables admit unknown keys), in
-    * which case callers fall back to the row-level [[filter]]. */
+  /** File-level prune for layouts whose filenames lead with a
+    * table-derived schema-key token (`<key>_…`, the token the decoder
+    * parses per DatastreamEventReader.java:647-650): a filter over the
+    * `path` column that admits only allowlisted tables' files, so
+    * excluded tables are never avro-decoded.
+    *
+    * OPT-IN ONLY — callers must assert the layout by passing
+    * `filenameKeyed = true` on the consuming side: deployments whose
+    * filenames lead with something else (e.g. a stream id) would
+    * otherwise silently prune EVERY file of an allowed table. The
+    * row-level [[filter]] always applies regardless and is the
+    * correctness backstop; this is purely a decode-cost optimization.
+    * Only available when every pattern names a concrete table
+    * (wildcard tables admit unknown keys). */
   def pathFilter(pathCol: Column): Option[Column] =
     if (allowsAll || parsed.exists(_._2 == "*")) None
     else Some(parsed.map { case (_, t) =>

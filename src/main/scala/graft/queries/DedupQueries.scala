@@ -55,6 +55,11 @@ object DedupQueries {
     // largest (skewed) block would otherwise dominate quadratically.
     // 64 hashes / 32 bands tunes the band curve to the 0.5 threshold:
     // P(miss) = (1 - j^2)^32 ≈ 1e-4 at j = 0.5, ≈ 1e-48 at j = 0.9.
+    // The oracle is exact all-pairs, so this is a measured bet on the
+    // corpus's bimodal similarity (planted dups j ≥ 0.88, background
+    // ≤ 0.06 — no borderline pairs; verified equal to brute force at
+    // sf0.01 AND sf0.1). Data with mass near the threshold would need
+    // more bands or the exact tiled join (cosineRangePairs pattern).
     "d04_blocked_jaccard" -> { (s, d) =>
       import s.implicits._
       Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",

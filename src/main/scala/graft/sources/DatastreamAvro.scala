@@ -84,8 +84,11 @@ object DatastreamAvro {
     val binary = pathFilter.fold(listed)(listed.filter)
       .select(col("path"), col("content"))
     val target = schema.getOrElse {
-      val first = binary.select("path").orderBy("path").head.getString(0)
-      sparkSchema(first)
+      val listed = binary.select("path").orderBy("path").limit(1).collect()
+      require(listed.nonEmpty,
+        s"no non-empty avro files match '$glob' after filters — " +
+          "cannot infer a schema (pass one explicitly, or check the path)")
+      sparkSchema(listed.head.getString(0))
     }
     decodeBinary(spark, binary, target)
   }

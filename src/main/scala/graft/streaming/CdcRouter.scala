@@ -38,7 +38,12 @@ class CdcRouter(
     pkColsFor: String => Seq[String],
     numBuckets: Int = 16,
     allowlist: TableAllowlist = TableAllowlist(Nil),
-    databaseName: String = "db") {
+    databaseName: String = "db",
+    // set ONLY when source filenames lead with the table's schema-key
+    // token (`<TABLE>_...`): enables file-level allowlist pruning; a
+    // wrong assertion here would prune allowed tables' files, so the
+    // default keeps pruning row-level only
+    filenameKeyed: Boolean = false) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
   private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
@@ -92,7 +97,8 @@ class CdcRouter(
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val opts = decodeOpts.copy(allowlist = allowlist)
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
-      pathFilter = allowlist.pathFilter(col("path")))
+      pathFilter =
+        if (filenameKeyed) allowlist.pathFilter(col("path")) else None)
     val events = Decode.changeEvents(envelope, opts)
     events.writeStream
       .option("checkpointLocation", checkpoint)

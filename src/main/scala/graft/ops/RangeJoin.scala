@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor(c / w) on longs without double rounding. */
+  /** Exact floor(c / w) on longs. Integral all the way: Spark's `/`
+    * is DOUBLE division, which above 2^53 (ns-epoch timestamps) can
+    * round the quotient down a bin — and since the bin gates the
+    * equi-join, a wrong bin silently DROPS matching pairs. The
+    * numerator is divisible by w by construction, so `div`
+    * (IntegralDivide) is exact floor for any long. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   def interval(left: DataFrame, right: DataFrame,
       leftOn: String, rightOn: String,

@@ -201,8 +201,17 @@ object Similarity {
   def cosineRangePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, chunks: Int = 4): DataFrame = {
     val spark = emb.sparkSession
+    // zero-norm vectors have an UNDEFINED cosine (0/0 = NaN) with
+    // everything, so no pair involving one can satisfy `cos >= t` in
+    // either Spark or the SQL oracle — but left in, their NaN
+    // assignment angle poisons the cell radius (Spark's max() sorts
+    // NaN above every double), making every admission comparison on
+    // that cell false and silently dropping its legitimate pairs.
+    // Dropping them up front keeps the exact-on-any-data contract on
+    // degenerate input.
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Vectors.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0.0)
 
     // deterministic coarse quantizer: nlist lowest-id vectors
     // (bounded driver collect — the same boundedness class as AQE

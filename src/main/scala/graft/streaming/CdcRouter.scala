@@ -101,9 +101,20 @@ class CdcRouter(
               events.filter(col("table_name") === name), batchId)
           }
         }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(merges),
+        // settle EVERY merge (Try-wrapped) before propagating the first
+        // failure: Future.sequence rethrows on the first failed future
+        // while sibling merges are still running, which would (a) let
+        // the finally-block unpersist `events` under a live job and
+        // (b) hide sibling outcomes. Partial-failure replay semantics:
+        // the foreachBatch retry re-applies the batch, and tables that
+        // already committed commit an extra version — final STATE is
+        // idempotent via the PK merge (CdcTable.applyBatch), but
+        // per-table version counts may diverge across a retried batch.
+        val settled = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            merges.map(_.transform(t => scala.util.Success(t)))),
           scala.concurrent.duration.Duration.Inf)
+        settled.collectFirst { case scala.util.Failure(e) => throw e }
         ()
       } finally pool.shutdown()
     } finally { events.unpersist(); () }

@@ -138,6 +138,44 @@ class DedupKernelSpec extends AnyFunSuite {
     result.unpersist()
   }
 
+  test("band-curve bet stays visible: wide bands miss threshold-adjacent " +
+      "pairs; d04's 64/32 tuning recovers them") {
+    import spark.implicits._
+    // 30 planted pairs with exact Jaccard 26/50 = 0.52 — just above the
+    // 0.5 threshold, the regime d04's oracle gate bets never occurs in
+    // the corpus: shared 28-token prefix (26 shared shingles) +
+    // disjoint 12-token suffixes (12 unique shingles each). Everything
+    // is deterministic (fixed strings, seeded hashes), so this pins the
+    // band-curve behavior rather than sampling it.
+    def tokens(tag: String, n: Int) = (0 until n).map(i => s"${tag}_$i")
+    val docs = (0 until 30).flatMap { k =>
+      val pre = tokens(s"p$k", 28)
+      Seq((2L * k, (pre ++ tokens(s"a$k", 12)).mkString(" ")),
+        (2L * k + 1, (pre ++ tokens(s"b$k", 12)).mkString(" ")))
+    } ++ Seq( // one pair just BELOW threshold: 25/53 ≈ 0.472
+      (1000L, (tokens("q", 27) ++ tokens("qa", 14)).mkString(" ")),
+      (1001L, (tokens("q", 27) ++ tokens("qb", 14)).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    def pairsWith(bands: Int) =
+      Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5,
+          numHashes = 64, bands = bands)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(k => (2L * k, 2L * k + 1)).toSet
+    // 16 bands of 4 rows: P(miss | j=0.52) = (1-j^4)^16 ≈ 0.30 — the
+    // t≈0.8 tuning is NOT safe at t=0.5 when mass sits at the threshold
+    val wide = pairsWith(16)
+    // 32 bands of 2 rows (d04's tuning): P(miss | j=0.52) ≈ 1e-5
+    val tuned = pairsWith(32)
+    assert(tuned == expected,
+      s"d04 banding lost planted pairs: ${(expected -- tuned).size}")
+    assert(wide.subsetOf(expected), "exact verify must remove false candidates")
+    assert(wide != expected,
+      "64/16 found every j=0.52 pair — the band-curve assumption spec " +
+        "is no longer exercising threshold-adjacent misses; re-plant")
+    assert(!tuned.contains((1000L, 1001L)) && !wide.contains((1000L, 1001L)),
+      "a below-threshold pair must never survive exact verification")
+  }
+
   test("short documents never pair (spark matches range-based oracle shingling)") {
     import spark.implicits._
     val docs = Seq(

@@ -37,6 +37,22 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval scoring
+    * used when embeddings are trained with dot-product similarity
+    * (unnormalized). Same shape as [[bruteForceTopK]]: Q broadcast
+    * passes over a linearly-scanned corpus, fused dot product per
+    * pair, deterministic (round(dot,6) desc, id) ranking. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("dot", round(Vectors.dot(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("dot"), col("rank"))
+  }
+
   /** Sign-LSH signature bits as a bucket id (int). Deterministic:
     * hyperplane j's component for dimension d is ±1 by bit 0 of
     * xxhash64(j, d). */

@@ -100,6 +100,33 @@ object DedupQueries {
         .orderBy($"lang")
     },
 
+    // ---- benchmark decontamination: 8-gram overlap ----
+    // the eval-set leak check a training-data build runs before
+    // shipping: corpus documents sharing any verbatim 8-token n-gram
+    // with a benchmark document are flagged with overlap counts. The
+    // benchmark side (doc_id % 10 here) is small by nature, so its
+    // distinct n-gram set broadcasts and the corpus side stays one
+    // linear explode + broadcast-hash join — no shuffle of the corpus
+    // at 100 TB.
+    "d09_decontam" -> { (s, d) =>
+      import s.implicits._
+      val grams = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " ")))).as("g"))
+      val bench = grams.filter($"doc_id" % 10 === 0)
+        .select($"g", $"doc_id".as("bench_id"))
+      grams.filter($"doc_id" % 10 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").as("n_shared"),
+          countDistinct($"bench_id").as("n_bench"))
+        .orderBy($"doc_id")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -194,6 +221,21 @@ object DedupQueries {
          |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
          |  FROM members) t
          |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "d09_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT g, doc_id AS bench_id FROM g WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+        |SELECT corpus.doc_id AS doc_id,
+        |  COUNT(DISTINCT corpus.g) AS n_shared,
+        |  COUNT(DISTINCT bench_id) AS n_bench
+        |FROM corpus JOIN bench ON corpus.g = bench.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

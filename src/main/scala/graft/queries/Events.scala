@@ -103,6 +103,21 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // ---- sliding-window (1 h window, 15 min slide) aggregation:
+    //      every event lands in exactly 4 overlapping windows; the
+    //      built-in `window()` generator keeps this one hash
+    //      aggregate after a 4-way row expansion (no self-join) ----
+    "q46_sliding_window" -> { (s, d) =>
+      import s.implicits._
+      ev(s, d)
+        .groupBy(window($"t", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .select(unix_micros($"w.start").as("ws_us"), $"event_type",
+          $"n", $"total_value")
+        .orderBy($"ws_us", $"event_type")
+    },
+
     // ---- stream-stream join: clicks joined to purchases per user
     //      within a 30-minute lookback, both sides watermarked (the
     //      time-range condition is what lets Spark expire join state);
@@ -201,6 +216,19 @@ object Events {
     "q41_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // a µs timestamp t lands in the 4 slide-aligned windows starting
+    // at (t div 15min - j) * 15min for j in 0..3 — the same epoch
+    // alignment Spark's window() uses for a UTC session
+    "q46_sliding_window" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS t_us, event_type, value
+        |           FROM events),
+        |w AS (SELECT (t_us // 900000000 - j) * 900000000 AS ws_us,
+        |        event_type, value
+        |      FROM e, (SELECT unnest([0,1,2,3]) AS j))
+        |SELECT ws_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -47,6 +47,14 @@ object SimilarityQueries {
         .orderBy($"qid")
     },
 
+    // ---- exact max-inner-product top-k (unnormalized retrieval) ----
+    "s05_mips_topk" -> { (s, d) =>
+      import s.implicits._
+      Similarity.mipsTopK(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), K)
+        .orderBy($"qid", $"rank")
+    },
+
     // ---- sign-LSH ANN (hash-defined; rows-only) ----
     "s03_ann_lsh" -> { (s, d) =>
       import s.implicits._
@@ -71,7 +79,21 @@ object SimilarityQueries {
        |FROM embeddings q JOIN embeddings c ON q.vec_id < 5
        |  AND q.vec_id <> c.vec_id""".stripMargin
 
+  private val mipsSql =
+    s"""SELECT q.vec_id AS qid, c.vec_id AS id,
+       |  round(list_dot_product(q.embedding::DOUBLE[],
+       |    c.embedding::DOUBLE[]), 6) AS dot
+       |FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+       |  AND q.vec_id <> c.vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s05_mips_topk" ->
+      s"""SELECT qid, id, dot, rank FROM (
+         |  SELECT qid, id, dot, ROW_NUMBER() OVER
+         |    (PARTITION BY qid ORDER BY dot DESC, id) AS rank
+         |  FROM ($mipsSql) t) r
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+
     "s01_cosine_topk" ->
       s"""SELECT qid, id, cos, rank FROM (
          |  SELECT qid, id, cos, ROW_NUMBER() OVER

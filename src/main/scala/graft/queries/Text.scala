@@ -103,6 +103,63 @@ object Text {
         .limit(20)
     },
 
+    // ---- tf-idf keyword extraction: top-3 terms per document ----
+    // tf and df are two hash aggregates over one token explode (both
+    // map-side partial); ranking is integer-only (tf desc, df asc,
+    // term asc) so it is deterministic and engine-independent — the
+    // displayed smoothed-idf score is informational (round-6). At
+    // 100 TB: linear scan + two shuffles on term-sized keys; the
+    // 1-row corpus count broadcasts.
+    "t09_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      // tf has one row per (doc, term), so df is a plain count
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
+      tf.join(df, "term").crossJoin(broadcast(total))
+        .withColumn("tfidf", round($"tf" *
+          (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"tfidf", $"rank")
+        .orderBy($"doc_id", $"rank")
+    },
+
+    // ---- repetition signals (Gopher-style quality heuristics):
+    //      duplicate-token fraction, most-common-token fraction,
+    //      most-common-bigram fraction — all integer-ratio doubles
+    //      (bit-exact across engines), linear per-doc aggregates ----
+    "t10_repetition" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val base = docs.select($"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        uniqueTokenCount($"text").as("n_uniq"))
+      val topTok = docs
+        .select($"doc_id", explode(tokens($"text")).as("tk"))
+        .groupBy($"doc_id", $"tk").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_tok"))
+      val topBg = docs
+        .select($"doc_id", explode(bigrams($"text")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
+      base.join(topTok, "doc_id").join(topBg, "doc_id")
+        .select($"doc_id", $"n_tokens",
+          (lit(1.0) - $"n_uniq".cast("double") / $"n_tokens")
+            .as("dup_token_frac"),
+          ($"top_tok".cast("double") / $"n_tokens").as("top_token_frac"),
+          ($"top_bg".cast("double") / ($"n_tokens" - 1))
+            .as("top_bigram_frac"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -201,6 +258,48 @@ object Text {
         |FROM t, unnest(list_transform(range(1, len(toks)),
         |  i -> toks[i] || ' ' || toks[i+1])) u(bg)
         |GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+
+    "t09_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, u AS term, COUNT(*) AS tf
+        |  FROM documents, unnest(string_split(text,' ')) t(u)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))
+        |      + 1), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, tfidf, rank
+        |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t10_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    len(list_distinct(toks)) AS n_uniq FROM t),
+        |tok AS (
+        |  SELECT doc_id, MAX(c) AS top_tok FROM (
+        |    SELECT doc_id, COUNT(*) AS c
+        |    FROM t, unnest(toks) u(tk) GROUP BY doc_id, tk) x
+        |  GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, MAX(c) AS top_bg FROM (
+        |    SELECT doc_id, COUNT(*) AS c
+        |    FROM t, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) u(b)
+        |    GROUP BY doc_id, b) x
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, base.n_tokens,
+        |  1.0 - CAST(n_uniq AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CAST(top_bg AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+        |FROM base JOIN tok USING (doc_id) JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t08_quality_filter" -> {
       val all = markersSql.values.mkString(", ")

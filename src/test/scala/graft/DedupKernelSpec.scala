@@ -176,6 +176,24 @@ class DedupKernelSpec extends AnyFunSuite {
       "a below-threshold pair must never survive exact verification")
   }
 
+  test("decontamination flags 8-gram overlap but not 7-token near-misses") {
+    import spark.implicits._
+    val bench = (1 to 20).map(i => s"b$i").mkString(" ")     // doc_id 10
+    val hit = "x1 x2 " + (5 to 12).map(i => s"b$i").mkString(" ") +
+      " y1 y2"                                               // shares b5..b12
+    val miss = "x1 x2 " + (5 to 11).map(i => s"b$i").mkString(" ") +
+      " zz y1 y2 y3"                                         // only 7 in a row
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    Seq((10L, bench), (1L, hit), (2L, miss))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d09_decontam")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L))) // doc 1, 1 shared 8-gram, 1 bench doc
+  }
+
   test("short documents never pair (spark matches range-based oracle shingling)") {
     import spark.implicits._
     val docs = Seq(

@@ -54,6 +54,19 @@ class VectorSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [cosinesimilarity"))
   }
 
+  test("MIPS top-k ranks by raw dot product, not cosine") {
+    import spark.implicits._
+    // id 4 = (2,0,0) beats id 3 = (1,1,0) on dot product against
+    // (1,0,0), while cosine ties them differently — MIPS must rank by
+    // magnitude-weighted score
+    val qs = Seq((1L, Seq(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val corpus = df.select($"id", $"vec")
+    val got = Similarity.mipsTopK(qs, corpus, 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((4L, 2.0), (3L, 1.0), (2L, 0.0)))
+  }
+
   test("ANN recall against brute force on real embeddings") {
     import spark.implicits._
     val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

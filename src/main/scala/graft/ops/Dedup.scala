@@ -212,8 +212,15 @@ object Dedup {
     * Returns (id, cluster) where cluster = min node id reachable. */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "a", bCol: String = "b", maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+    // both edge directions from ONE pass over `pairs`: a
+    // union(fwd, fwd.swapped) would give the persist two lineage
+    // branches and execute the whole upstream pair pipeline (LSH +
+    // exact verify) twice at materialization
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("x"), col(bCol).as("y")),
+        struct(col(bCol).as("x"), col(aCol).as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed with the first propagation round fused in (label = min of
     // self and direct neighbors) — for the dominant shallow clusters

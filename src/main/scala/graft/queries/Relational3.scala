@@ -49,7 +49,11 @@ object Relational3 {
     //      error bounds asserted in SketchSpec) ----
     "q30_approx_sketches" -> { (s, d) =>
       import s.implicits._
+      // single-row-group input = one scan task; the per-row distinct
+      // and sketch-insert work dominates, so spread it first (measured
+      // 2.4 s -> 1.5 s at sf0.1)
       load(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy($"l_returnflag")
         .agg(
           approx_count_distinct($"l_partkey").as("approx_parts"),

@@ -68,7 +68,10 @@ object Text {
     "t06_stopword_removal" -> { (s, d) =>
       import s.implicits._
       val stops = TextAnalysis.LangMarkers.flatMap(_._2)
+      // the HOF filter is interpreted (CodegenFallback) — don't let it
+      // run on the single-partition scan
       load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
           filter(tokens(lower($"text")), t => !t.isin(stops.map(lit(_)): _*))
             .as("kept"))

@@ -203,6 +203,53 @@ class CdcTable(
   /** Current live rows (soft-deleted hidden, bookkeeping dropped). */
   def live: Option[DataFrame] = state.map(Apply.liveView)
 
+  /** Time travel: full state at a committed version (None if the
+    * manifest was vacuumed or never existed). Reading any version is
+    * the same one-manifest resolve + bucket union as `state` — old
+    * versions stay readable until vacuum drops their manifests. */
+  def stateAt(v: Long): Option[DataFrame] =
+    if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
+    else readBuckets(manifest(v).values.toSeq)
+
+  /** Change feed: post-image rows that changed between version `v-1`
+    * and `v` (inserted, updated, or soft-deleted by that commit).
+    * Version 0 is the initial snapshot — every row is a change.
+    *
+    * Cost is bounded by the commit, not the table: only buckets
+    * RE-POINTED at `v` are read (both their `v` and `v-1` dirs) and
+    * joined on the PK — carried-forward buckets are pruned by the
+    * manifest diff, so a small batch yields a small feed even on a
+    * huge table. A pure compaction commit rewrites dirs without
+    * changing rows and correctly yields an empty feed (every post
+    * image matches its pre image). */
+  def changeFeed(v: Long): Option[DataFrame] = {
+    if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
+    else if (v == 0) readBuckets(manifest(0L).values.toSeq)
+    else {
+      val curM = manifest(v)
+      val prevM = manifest(v - 1)
+      val repointed = curM.filter { case (b, d) => !prevM.get(b).contains(d) }
+      val pre = readBuckets(repointed.keys.flatMap(prevM.get).toSeq)
+      readBuckets(repointed.values.toSeq).map { post =>
+        pre match {
+          case None => post
+          case Some(p) =>
+            val post0 = post.as("n")
+            val prev0 = p.select(
+              (pkCols.map(col) :+ col("_sort_key") :+ col("_is_deleted")): _*)
+              .as("o")
+            val joinCond = pkCols.map(c => col(s"n.$c") <=> col(s"o.$c"))
+              .reduce(_ && _)
+            post0.join(prev0, joinCond, "left_outer")
+              .filter(col("o._sort_key").isNull ||
+                !(col("n._sort_key") <=> col("o._sort_key")) ||
+                !(col("n._is_deleted") <=> col("o._is_deleted")))
+              .select(post.columns.map(c => col(s"n.$c")): _*)
+        }
+      }
+    }
+  }
+
   /** Compaction (OPTIMIZE analog): rewrite fragmented buckets as a
     * single coalesced file set and commit a new manifest. Run
     * periodically where streaming produces many small files per batch

@@ -95,6 +95,46 @@ object CdcPipeline {
         .orderBy($"table_name", $"employee_id")
     },
 
+    // time travel: the state as of version 2 (dump + insert + update
+    // applied; PK-update and delete not yet) — one manifest resolve,
+    // same cost as reading the head version
+    "c10_time_travel" -> { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-tt")
+      val table = new CdcTable(s, dir.toString, Seq("EMPLOYEE_ID"))
+      Seq("dump.avro", "insert.avro", "update.avro",
+        "update-pk.avro", "delete.avro").zipWithIndex.foreach {
+        case (f, i) =>
+          table.applyBatch(Decode.fromAvro(s, s"$fixtures/$f"), i.toLong)
+      }
+      table.stateAt(2L).get
+        .select($"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+        .orderBy($"employee_id")
+    },
+
+    // change feed: the post-image rows committed by version 3 (the
+    // PK-update batch) — manifest-diff pruning reads only re-pointed
+    // buckets, so the feed costs O(batch), not O(table)
+    "c11_change_feed" -> { (s, _) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-cf")
+      val table = new CdcTable(s, dir.toString, Seq("EMPLOYEE_ID"))
+      Seq("dump.avro", "insert.avro", "update.avro",
+        "update-pk.avro", "delete.avro").zipWithIndex.foreach {
+        case (f, i) =>
+          table.applyBatch(Decode.fromAvro(s, s"$fixtures/$f"), i.toLong)
+      }
+      table.changeFeed(3L).get
+        .select($"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+        .orderBy($"employee_id")
+    },
+
     "c07_decode_cdc" -> { (s, _) =>
       import s.implicits._
       Decode.fromAvro(s,

@@ -163,6 +163,30 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- training-sequence packing (concatenate-and-chunk) ----
+    // the sample-packing step before tokenized training: documents
+    // concatenate in (source, doc_id) order and chunk into 512-token
+    // sequences; a doc belongs to the chunk containing its first
+    // token. One running-sum window PER SOURCE — packing parallelizes
+    // across sources (at 100 TB you would additionally sub-bucket a
+    // giant source by a path/time prefix to bound any one window's
+    // partition; the per-stratum shape is the point here).
+    "t11_seq_pack" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      load(s, d, "documents")
+        .select($"source", $"doc_id", tokenCount($"text").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 512"))
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"seq_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -261,6 +285,20 @@ object Text {
         |FROM t, unnest(list_transform(range(1, len(toks)),
         |  i -> toks[i] || ' ' || toks[i+1])) u(bg)
         |GROUP BY 1 ORDER BY n DESC, bg LIMIT 20""".stripMargin,
+
+    "t11_seq_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text,' ')) AS n_tok FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t09_tfidf" ->
       """WITH tf AS (

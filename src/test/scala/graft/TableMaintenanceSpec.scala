@@ -57,6 +57,50 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.state.get.count() == 109) // current version intact
   }
 
+  test("time travel and change feed: pruned feed equals full-state diff; " +
+      "feeds replay to the final state; compaction feeds empty") {
+    import spark.implicits._
+    val t = new CdcTable(spark, tmp("cf"), Seq("EMPLOYEE_ID"), numBuckets = 4)
+    val batches = Seq("dump.avro", "insert.avro", "update.avro",
+      "update-pk.avro", "delete.avro")
+    batches.zipWithIndex.foreach { case (f, i) =>
+      t.applyBatch(Decode.fromAvro(spark, s"$fixtures/$f"), i.toLong)
+    }
+    // (a) stateAt(head) is the current state; stateAt(0) is the snapshot
+    assert(t.stateAt(4L).get.count() == t.state.get.count())
+    assert(t.stateAt(0L).get.count() == 108)
+    // (b) the bucket-pruned feed equals an unpruned full-table diff,
+    // for every version (different code path: full states + except)
+    (1L to 4L).foreach { v =>
+      val feedKeys = t.changeFeed(v).get
+        .select($"EMPLOYEE_ID".cast("long")).as[Long].collect().sorted.toSeq
+      val cur = t.stateAt(v).get
+        .select($"EMPLOYEE_ID", $"_sort_key", $"_is_deleted")
+      val prev = t.stateAt(v - 1).get
+        .select($"EMPLOYEE_ID", $"_sort_key", $"_is_deleted")
+      val diffKeys = cur.exceptAll(prev)
+        .select($"EMPLOYEE_ID".cast("long")).as[Long].collect().sorted.toSeq
+      assert(feedKeys == diffKeys, s"version $v feed != diff")
+    }
+    // (c) concatenated feeds, collapsed to the last write per PK,
+    // reproduce the final state exactly
+    val allFeeds = (0L to 4L).map(v => t.changeFeed(v).get)
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"EMPLOYEE_ID")
+      .orderBy($"_sequence_num".desc)
+    val replayed = allFeeds
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"EMPLOYEE_ID".cast("long"), $"_is_deleted")
+    val finalState = t.state.get
+      .select($"EMPLOYEE_ID".cast("long"), $"_is_deleted")
+    assert(replayed.exceptAll(finalState).isEmpty &&
+      finalState.exceptAll(replayed).isEmpty)
+    // (d) a pure compaction commit produces an empty feed
+    val cv = t.compact(minFiles = 1).get
+    assert(t.changeFeed(cv).get.isEmpty)
+  }
+
   test("multiplexed stream routes events to per-table targets") {
     val root = tmp("router")
     val router = new CdcRouter(spark, root, _ => Seq("EMPLOYEE_ID"),

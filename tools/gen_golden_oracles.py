@@ -20,6 +20,10 @@ QUERIES = {
     "c09_router_multiplex":
         ("table_name, employee_id, first_name, salary, deleted",
          "table_name, employee_id"),
+    "c10_time_travel":
+        ("employee_id, first_name, salary, deleted", "employee_id"),
+    "c11_change_feed":
+        ("employee_id, first_name, salary, deleted", "employee_id"),
 }
 
 

@@ -55,6 +55,38 @@ object Relational5 {
           .as("avg_yearly"))
     },
 
+    // ---- unpivot (wide → long), the inverse of q28's pivot ----
+    "q47_unpivot" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "part")
+        .select($"p_partkey", $"p_retailprice", $"p_size".cast("double"))
+        .unpivot(Array($"p_partkey"),
+          Array($"p_retailprice", $"p_size"), "metric", "v")
+        .filter($"p_partkey" <= 100)
+        .orderBy($"p_partkey", $"metric")
+    },
+
+    // ---- multiset set-ops: EXCEPT ALL / INTERSECT ALL keep
+    //      duplicate multiplicity (q11/q26 cover the DISTINCT forms) ----
+    "q48_multiset_ops" -> { (s, d) =>
+      import s.implicits._
+      val hi = load(s, d, "orders").filter($"o_totalprice" > 150000)
+        .select($"o_orderpriority")
+      val urgent = load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select($"o_orderpriority")
+      hi.exceptAll(urgent)
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_except"))
+        .join(
+          hi.intersectAll(urgent)
+            .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_intersect")),
+          Seq("o_orderpriority"), "full_outer")
+        .select($"o_orderpriority",
+          coalesce($"n_except", lit(0L)).as("n_except"),
+          coalesce($"n_intersect", lit(0L)).as("n_intersect"))
+        .orderBy($"o_orderpriority")
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -112,6 +144,33 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         |      ORDER BY COUNT(*) DESC, p_type) AS rn
         |  FROM part GROUP BY p_brand, p_type) t
         |WHERE rn <= 5 ORDER BY p_brand, type_count""".stripMargin,
+
+    "q47_unpivot" ->
+      """SELECT p_partkey, metric, v FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS metric,
+        |    p_retailprice AS v FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part)
+        |WHERE p_partkey <= 100
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q48_multiset_ops" ->
+      """WITH hi AS (SELECT o_orderpriority FROM orders
+        |            WHERE o_totalprice > 150000),
+        |urgent AS (SELECT o_orderpriority FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |ex AS (SELECT o_orderpriority, COUNT(*) AS n_except
+        |       FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM urgent)
+        |       GROUP BY 1),
+        |ix AS (SELECT o_orderpriority, COUNT(*) AS n_intersect
+        |       FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM urgent)
+        |       GROUP BY 1)
+        |SELECT COALESCE(ex.o_orderpriority, ix.o_orderpriority)
+        |    AS o_orderpriority,
+        |  COALESCE(n_except, 0) AS n_except,
+        |  COALESCE(n_intersect, 0) AS n_intersect
+        |FROM ex FULL OUTER JOIN ix USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q37_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -67,6 +67,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d09: benchmark side broadcasts; corpus side joins without shuffle") {
+    val p = plan("d09_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q46: sliding windows are one generate + hash aggregate, no self-join") {
+    val p = plan("q46_sliding_window")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -57,6 +57,27 @@ object MultimodalQueries {
         .orderBy($"keep_id")
     },
 
+    // ---- frame-level dedup ACROSS documents: chunks shared by more
+    //      than one payload (storyboard/intro detection in video
+    //      corpora; here 32-byte frames over the stand-in payloads).
+    //      One explode + hash aggregate — bytes hash once, nothing
+    //      quadratic, the frame hash is the shuffle key ----
+    "m05_frame_dedup" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .select($"doc_id",
+          explode(Multimodal.sampleFrames($"payload", FrameSize)).as("frame"))
+        .select($"doc_id", lower(sha2($"frame", 256)).as("fsha"))
+        .groupBy($"fsha")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min($"doc_id").as("min_doc"))
+        .filter($"n_docs" > 1)
+        .orderBy($"fsha")
+    },
+
     // ---- batched (stub) feature extraction; rows-only check ----
     "m03_fake_features" -> { (s, d) =>
       import s.implicits._
@@ -87,6 +108,19 @@ object MultimodalQueries {
     "m04_media_dedup" ->
       """SELECT sha256(text) AS sha, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "m05_frame_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(octet_length(encode(text)) / $FrameSize.0)
+         |      AS INT)),
+         |    j -> sha256(substring(text, 1 + $FrameSize * j, $FrameSize))))
+         |    AS fsha
+         |  FROM documents)
+         |SELECT fsha, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS min_doc
+         |FROM f GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY fsha""".stripMargin
   )
 }

@@ -45,6 +45,27 @@ object Relational3 {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
     },
 
+    // ---- observe(): pipeline-metrics instrumentation. A quality
+    //      filter runs with named aggregates attached; the metrics
+    //      come back through the observation side channel (no second
+    //      scan — the production shape for row-count/accounting
+    //      counters on a 100 TB pass) and are emitted as the result ----
+    "q49_observe_metrics" -> { (s, d) =>
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val filtered = load(s, d, "lineitem")
+        .filter($"l_quantity" >= 25)
+        .observe(obs,
+          count(lit(1)).as("n_kept"),
+          sum(graft.util.Cols.dec4($"l_extendedprice")).cast("double")
+            .as("kept_price"))
+      filtered.write.format("noop").mode("overwrite").save()
+      val row = obs.get
+      Seq((row("n_kept").asInstanceOf[Long],
+        row("kept_price").asInstanceOf[Double]))
+        .toDF("n_kept", "kept_price")
+    },
+
     // ---- approximate sketches (impl-defined values; rows-only gate,
     //      error bounds asserted in SketchSpec) ----
     "q30_approx_sketches" -> { (s, d) =>
@@ -77,6 +98,12 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q49_observe_metrics" ->
+      """SELECT COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS kept_price
+        |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
+
     "q28_pivot" ->
       """SELECT l_returnflag,
         |  COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHashSignature}
 
 /** Registration of the engine's native expressions for SQL use.
   *
@@ -28,14 +28,41 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val functions: Seq[FunctionDescription] = Seq((
-    new FunctionIdentifier("cosine_similarity"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+  /** A foldable int argument (e.g. the hash/bit count), evaluated at
+    * registration time — these sizes shape the generated code, so they
+    * must be literals, mirroring built-ins like approx_percentile. */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: size argument must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: size argument must be an int literal, got $other")
+    }
+  }
+
+  private def binary(name: String, f: (Expression, Expression) => Expression,
+      cls: Class[_]): FunctionDescription = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (args: Seq[Expression]) => {
-      require(args.length == 2,
-        s"cosine_similarity takes 2 arguments, got ${args.length}")
-      CosineSimilarity(args.head, args(1))
-    }))
+      require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+      f(args.head, args(1))
+    })
+
+  private def sized(name: String, f: (Expression, Int) => Expression,
+      cls: Class[_]): FunctionDescription = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+      f(args.head, intArg(args(1), name))
+    })
+
+  val functions: Seq[FunctionDescription] = Seq(
+    binary("cosine_similarity", CosineSimilarity.apply, classOf[CosineSimilarity]),
+    binary("dot_product", DotProduct.apply, classOf[DotProduct]),
+    sized("minhash_signature", MinHashSignature.apply, classOf[MinHashSignature]),
+    sized("simhash_signature", SimHashSignature.apply, classOf[SimHashSignature]))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =

@@ -8,6 +8,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** Thrown when a commit loses the version CAS to another writer; the
+  * caller re-reads the current version and retries (retryable in the
+  * reference's failure taxonomy, cf. graft.util.Retry). */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 /** Bucket-partitioned, versioned parquet table used as the CDC merge
   * target — a deliberately tiny stand-in for a lakehouse format (the
   * runtime ships no Delta/Iceberg jars) that still has the property
@@ -44,9 +49,16 @@ class CdcTable(
     pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
 
   def currentVersion: Option[Long] =
-    if (Files.exists(latestFile))
-      Some(new String(Files.readAllBytes(latestFile)).trim.toLong)
-    else None
+    if (!Files.exists(latestFile)) None
+    else {
+      var v = new String(Files.readAllBytes(latestFile)).trim.toLong
+      // crash recovery: the manifest move is the commit point, and a
+      // writer can die before updating the _LATEST pointer — roll
+      // forward over committed manifests so the pointer lag neither
+      // hides a committed version nor CAS-conflicts every later commit
+      while (Files.exists(dir.resolve(s"manifest-${v + 1}.json"))) v += 1
+      Some(v)
+    }
 
   /** bucket id → relative dir name, for a manifest version. */
   private def manifest(v: Long): Map[Int, String] = {
@@ -56,14 +68,28 @@ class CdcTable(
       .map(m => m.group(1).toInt -> m.group(2)).toMap
   }
 
-  private def writeManifest(v: Long, m: Map[Int, String]): Unit = {
+  private[graft] def writeManifest(v: Long, m: Map[Int, String]): Unit = {
     val body = m.toSeq.sortBy(_._1)
       .map { case (b, p) => s""""$b": "$p"""" }
       .mkString("{", ", ", "}")
     val tmp = dir.resolve(s"manifest-$v.json.tmp")
     Files.write(tmp, body.getBytes)
-    Files.move(tmp, dir.resolve(s"manifest-$v.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // optimistic concurrency: publishing the manifest is the commit
+    // point and version numbers are the CAS key. A rename cannot
+    // express the CAS (POSIX rename silently replaces), so the publish
+    // is a hard link — atomically exclusive — and a lost race surfaces
+    // as a conflict instead of a silent overwrite (the loser's bucket
+    // dirs are unreferenced garbage for vacuum)
+    try {
+      Files.createLink(dir.resolve(s"manifest-$v.json"), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"version $v was committed by another writer; " +
+            "re-read the current version and retry the batch")
+    }
     val lt = dir.resolve(s"_LATEST.tmp$v")
     Files.write(lt, v.toString.getBytes)
     Files.move(lt, latestFile, StandardCopyOption.ATOMIC_MOVE,

@@ -34,6 +34,29 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("dot_product, minhash_signature, simhash_signature callable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_product(
+        |  array(cast(2.0 as float), cast(3.0 as float)),
+        |  array(cast(4.0 as float), cast(5.0 as float))) AS d""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 23.0)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(11L, 22L), 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+    val sim = spark.sql(
+      "SELECT simhash_signature(array(11L, 22L, 33L), 16) AS s")
+      .collect().head.getLong(0)
+    assert(sim >= 0L && sim < (1L << 16))
+    // the size argument must be a literal (it shapes the plan)
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array(1L), cast(rand()*8 as int))")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("JSON envelope round-trips through the same decode pipeline") {
     val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
     val avroEnv = DatastreamAvro.read(spark, s"$fixtures/insert.avro")

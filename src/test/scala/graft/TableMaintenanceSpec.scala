@@ -101,6 +101,29 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.changeFeed(cv).get.isEmpty)
   }
 
+  test("commit is a version CAS: concurrent writers conflict, crashed " +
+      "_LATEST pointers roll forward") {
+    val dir = tmp("cas")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    // two writers race the same next version: the second manifest move
+    // must surface as a conflict, never a silent overwrite
+    t.writeManifest(1L, Map(0 -> "b0-v1"))
+    intercept[graft.cdc.ConcurrentCommitException] {
+      t.writeManifest(1L, Map(0 -> "b0-v1-other"))
+    }
+    // _LATEST says 1 now; simulate a writer that died after committing
+    // manifest-2 but before moving the pointer: readers and the next
+    // commit both roll forward past it
+    val m2 = Paths.get(dir, "manifest-2.json")
+    Files.copy(Paths.get(dir, "manifest-0.json"), m2)
+    assert(t.currentVersion.contains(2L))
+    assert(t.state.get.count() == 108) // reads manifest-2's buckets
+    val v3 = t.applyBatch(
+      Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    assert(v3 == 3L) // committed past the orphan, no conflict loop
+  }
+
   test("multiplexed stream routes events to per-table targets") {
     val root = tmp("router")
     val router = new CdcRouter(spark, root, _ => Seq("EMPLOYEE_ID"),

@@ -118,6 +118,21 @@ object Events {
         .orderBy($"ws_us", $"event_type")
     },
 
+    // ---- cohort retention: users bucketed by first-seen day, distinct
+    //      actives per (cohort, day offset) — two hash aggregates and
+    //      one equi-join on user_id, the standard product-analytics
+    //      rollup at any scale ----
+    "q51_cohort_retention" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"user_id", to_date($"t").as("day"))
+      val first = e.groupBy($"user_id").agg(min($"day").as("cohort"))
+      e.join(first, "user_id")
+        .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+          datediff($"day", $"cohort").cast("long").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"day_offset")
+    },
+
     // ---- stream-stream join: clicks joined to purchases per user
     //      within a 30-minute lookback, both sides watermarked (the
     //      time-range condition is what lets Spark expire join state);
@@ -216,6 +231,15 @@ object Events {
     "q41_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q51_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  date_diff('day', cohort, day) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // a µs timestamp t lands in the 4 slide-aligned windows starting
     // at (t div 15min - j) * 15min for j in 0..3 — the same epoch

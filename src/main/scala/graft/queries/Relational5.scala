@@ -55,6 +55,16 @@ object Relational5 {
           .as("avg_yearly"))
     },
 
+    // ---- correlated LATERAL join (top-2 orders per customer) via the
+    //      shared-SQL path: one SQL text, both engines. Catalyst
+    //      rewrites the correlated limit into a ranked window join —
+    //      no per-row rescan of orders ----
+    "q50_lateral" -> { (s, d) =>
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(lateralSql)
+    },
+
     // ---- unpivot (wide → long), the inverse of q28's pivot ----
     "q47_unpivot" -> { (s, d) =>
       import s.implicits._
@@ -123,8 +133,18 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  val lateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey <= 50
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
+    "q50_lateral" -> lateralSql,
     "q40_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
         |  AS avg_yearly

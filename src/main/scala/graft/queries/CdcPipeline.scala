@@ -140,6 +140,34 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    // schema drift through the merge: batch 1 adds a column; the
+    // widened state serves old rows with NULL and the DDL log records
+    // CREATE_TABLE then ALTER_TABLE (reference:
+    // DatastreamEventReader.java:652-674 drift → ALTER_TABLE)
+    "c12_schema_drift" -> { (s, _) =>
+      import s.implicits._
+      def key(scn: Long) =
+        struct(lit(0L).as("ts_ms"), lit(scn).as("scn"),
+          lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+      val dir = java.nio.file.Files.createTempDirectory("graft-drift")
+      val t = new CdcTable(s, dir.toString, Seq("id"))
+      val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .select(struct($"id", $"name").as("row"),
+          lit("INSERT").as("op"), key(1L))
+      val b1 = Seq((2L, "b2", 3.5), (3L, "c", 1.0))
+        .toDF("id", "name", "score")
+        .select(struct($"id", $"name", $"score").as("row"),
+          lit("UPDATE").as("op"), key(2L))
+      t.applyBatch(b0, 0L)
+      t.applyBatch(b1, 1L)
+      val nDdl = t.ddlEvents.count(l =>
+        l.contains("CREATE_TABLE") || l.contains("ALTER_TABLE"))
+      t.state.get
+        .select($"id", $"name", $"score",
+          $"_is_deleted".as("deleted"), lit(nDdl.toLong).as("n_ddl"))
+        .orderBy($"id")
+    },
+
     "c07_decode_cdc" -> { (s, _) =>
       import s.implicits._
       Decode.fromAvro(s,
@@ -212,6 +240,12 @@ object CdcPipeline {
   )
 
   val oracle: Map[String, String] = Map(
+    "c12_schema_drift" -> ("SELECT * FROM (VALUES " +
+      "(CAST(1 AS BIGINT), 'a', CAST(NULL AS DOUBLE), false, CAST(2 AS BIGINT)), " +
+      "(CAST(2 AS BIGINT), 'b2', CAST(3.5 AS DOUBLE), false, CAST(2 AS BIGINT)), " +
+      "(CAST(3 AS BIGINT), 'c', CAST(1.0 AS DOUBLE), false, CAST(2 AS BIGINT))" +
+      ") AS t(id, name, score, deleted, n_ddl) ORDER BY id"),
+
     "c08_assessment" -> ("SELECT * FROM (VALUES " +
       "('BLOBS', 'NO_SUPPORTED_COLUMNS', CAST(-1 AS BIGINT)), " +
       "('BLOBS', 'TABLE_OK', CAST(0 AS BIGINT)), " +

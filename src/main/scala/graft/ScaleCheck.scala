@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables.load
+
+/** Scale validation harness: replicate sf0.1 `replicas`× with
+  * key-space offsets, run representative queries at both sizes, and
+  * report the wall-time ratio per query. A plan that is linear in the
+  * data shows a ratio ≈ replicas (or lower, where fixed scheduling
+  * cost dominates at sf0.1); anything super-linear is a plan bug this
+  * harness exists to catch before a real cluster does.
+  *
+  * Replication is NOT naive copying — copies are perturbed so the
+  * data's *structure* scales the way a real corpus grows:
+  *  - fact/dim keys get per-replica offsets (referential integrity
+  *    kept; region/nation stay shared dimensions)
+  *  - document text gets a per-token replica suffix: each replica
+  *    keeps its internal near-dup clusters, but replicas never pair
+  *    with each other (naive copies would turn every doc into a
+  *    10-way near-dup cluster and blow pair counts up 100×, testing
+  *    the data generator rather than the plan)
+  *  - embeddings flip the sign of one replica-dependent dimension —
+  *    same reasoning for cosine pairs
+  *  - events keep their time range but widen the user space (more
+  *    users in the same window, the usual growth shape)
+  *
+  * Usage: runMain graft.ScaleCheck [outDir] [replicas]
+  * (writes tables once; reuses them if the directory exists)
+  */
+object ScaleCheck {
+
+  private val SrcDir = "/root/testdata/sf0.1"
+
+  private val Queries = Seq(
+    "q01_pricing_summary", "q05_regional_revenue", "q09_top_orders_per_cust",
+    "q23_percentiles", "q17_hourly_counts", "q18_sessions",
+    "t01_token_stats", "t03_langid", "t07_char_trigrams",
+    "d01_exact_dedup", "d02_minhash_pairs", "d04_blocked_jaccard",
+    "s01_cosine_topk", "q46_sliding_window", "t09_tfidf")
+
+  def generate(spark: SparkSession, outDir: String, replicas: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_DONE")
+    if (done.exists()) { println(s"[scale] reusing $outDir"); return }
+
+    def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(r => f(df, r)).reduce(_.unionByName(_))
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/$name.parquet")
+      println(s"[scale] wrote $name")
+    }
+
+    // shared dimensions: one copy
+    Seq("region", "nation").foreach(t => write(t, load(spark, SrcDir, t)))
+
+    write("supplier", reps(load(spark, SrcDir, "supplier")) { (df, r) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(r * 100000L))
+    })
+    write("part", reps(load(spark, SrcDir, "part")) { (df, r) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(r * 10000000L))
+    })
+    write("customer", reps(load(spark, SrcDir, "customer")) { (df, r) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+    })
+    write("orders", reps(load(spark, SrcDir, "orders")) { (df, r) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * 10000000L))
+    })
+    write("lineitem", reps(load(spark, SrcDir, "lineitem")) { (df, r) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * 100000L))
+    })
+    write("events", reps(load(spark, SrcDir, "events")) { (df, r) =>
+      df.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+    })
+    write("documents", reps(load(spark, SrcDir, "documents")) { (df, r) =>
+      df.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$r"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    })
+    write("embeddings", reps(load(spark, SrcDir, "embeddings")) { (df, r) =>
+      val d = r % 64
+      df.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> IF(i = $d, -x, x))"))
+    })
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/scale10")
+    val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, outDir, replicas)
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    val rows = Queries.map { q =>
+      val base = time(q, SrcDir)
+      val big = time(q, outDir)
+      val ratio = big / base
+      println(f"SCALE $q%-26s sf0.1=$base%6.2fs ${replicas}x=$big%7.2fs ratio=$ratio%5.2f")
+      (q, base, big, ratio)
+    }
+    val qs = rows.map { case (q, b, g, r) =>
+      f""""$q":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ratio","replicas":$replicas,"queries":$qs}""")
+    spark.stop()
+  }
+}

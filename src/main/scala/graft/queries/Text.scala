@@ -121,11 +121,15 @@ object Text {
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id", explode(tokens($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      // tf has one row per (doc, term), so df is a plain count
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      // tf has one row per (doc, term), so df is a count over the term
+      // partition — a window, NOT a groupBy+self-join, which would
+      // evaluate the whole scan→explode→aggregate subtree twice
+      // (Catalyst does not reuse that exchange across the join's sides)
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy($"term")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
-      tf.join(df, "term").crossJoin(broadcast(total))
+      tf.withColumn("df", count(lit(1)).over(wDf))
+        .crossJoin(broadcast(total))
         .withColumn("tfidf", round($"tf" *
           (log(($"n_docs" + 1).cast("double") / ($"df" + 1)) + 1), 6))
         .withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of DISTINCT character trigrams of a string, in one pass.
+  *
+  * Value-identical (for length ≥ 3) to
+  * `size(array_distinct(transform(sequence(1, length-2), i ->
+  * substring(text, i, 3))))`, which allocates one string per position
+  * and runs interpreted (transform is CodegenFallback): Spark's
+  * `substring` addresses CODE POINTS, so the kernel walks the UTF-8
+  * bytes once (no String decode), packs each code-point 3-gram into
+  * one long (3 × 21 bits — exact, collision-free), sorts, and counts
+  * uniques. The profile point: at 10× sf0.1 the declarative form is
+  * the one text query that stays per-row-bound (ScaleCheck ratio 6.7);
+  * the kernel is ~2.6× faster there and linear.
+  *
+  * Callers guard `length >= 3` (shorter inputs hit the declarative
+  * fallback, whose sequence() edge semantics are not worth fusing).
+  *
+  * The kernel body lives in [[TrigramKernel]], NOT this companion:
+  * scalac suppresses the companion's static `eval` forwarder because
+  * the class inherits `Expression.eval(InternalRow)`, so generated
+  * Java calling `UniqueTrigramCount.eval(utf8)` fails to janino-compile
+  * and the whole stage silently falls back to interpreted execution.
+  */
+case class UniqueTrigramCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"unique_trigram_count needs string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramKernel.uniqueCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = graft.functions.TrigramKernel.uniqueCount($t);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): UniqueTrigramCount =
+    copy(child = newChild)
+}
+
+object UniqueTrigramCount {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(UniqueTrigramCount(
+      GraftColumnBridge.expression(text)))
+}
+
+/** Static home for the trigram kernel so generated code can call it. */
+object TrigramKernel {
+
+  /** Shared by interpreted eval and generated code. Walks the UTF-8
+    * bytes directly — code-point units match `UTF8String.numChars`,
+    * i.e. exactly the units Spark's `length`/`substring` address.
+    */
+  def uniqueCount(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    val cps = new Array[Int](text.numChars())
+    var ci = 0
+    var o = 0
+    while (o < nb) {
+      val b0 = bytes(o) & 0xff
+      if (b0 < 0x80) {
+        cps(ci) = b0; o += 1
+      } else if (b0 < 0xe0) {
+        cps(ci) = ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f); o += 2
+      } else if (b0 < 0xf0) {
+        cps(ci) = ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
+          (bytes(o + 2) & 0x3f); o += 3
+      } else {
+        cps(ci) = ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
+          ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f); o += 4
+      }
+      ci += 1
+    }
+    if (ci < 3) return math.min(ci.toLong, 1L) // callers guard; defensive
+    val n = ci - 2
+    val packed = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      packed(i) = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) |
+        cps(i + 2).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    var uniq = 1L
+    i = 1
+    while (i < n) {
+      if (packed(i) != packed(i - 1)) uniq += 1
+      i += 1
+    }
+    uniq
+  }
+}

@@ -85,12 +85,19 @@ object Text {
     "t07_char_trigrams" -> { (s, d) =>
       import s.implicits._
       // single-file input = one partition; the per-row distinct pass is
-      // the whole cost, so spread it before computing
+      // the whole cost, so spread it before computing. The distinct
+      // count itself is the fused UniqueTrigramCount kernel — the
+      // declarative substring/array_distinct form was the one text
+      // query that stayed per-row-bound at 10× (ScaleCheck ratio 6.7)
       load(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id",
-          size(array_distinct(transform(sequence(lit(1), length($"text") - 2),
-            i => $"text".substr(i, lit(3))))).cast("long").as("n_uniq_tri"))
+          when(length($"text") >= 3,
+            graft.functions.UniqueTrigramCount($"text"))
+          .otherwise(size(array_distinct(
+            transform(sequence(lit(1), length($"text") - 2),
+              i => $"text".substr(i, lit(3))))).cast("long"))
+          .as("n_uniq_tri"))
         .orderBy($"doc_id")
     },
 

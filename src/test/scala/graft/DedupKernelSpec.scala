@@ -194,6 +194,29 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, 1L))) // doc 1, 1 shared 8-gram, 1 bench doc
   }
 
+  test("UniqueTrigramCount equals the declarative substring pipeline, " +
+      "including multi-byte and non-BMP code points") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdef"),             // plain ascii
+      (2L, "aaaaaa"),             // one distinct trigram
+      (3L, "abcabcabc"),          // repeats collapse
+      (4L, "héllo wörld"),        // 2-byte utf-8
+      (5L, "aé漢😀xyz"), // mixed: latin, cjk, emoji (non-BMP)
+      (6L, "abc"),                // exactly one trigram
+      (7L, "a b c d e")           // spaces are code points too
+    ).toDF("doc_id", "text")
+    val declarative = docs.select($"doc_id",
+      size(array_distinct(transform(sequence(lit(1), length($"text") - 2),
+        i => $"text".substr(i, lit(3))))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = docs.select($"doc_id",
+      graft.functions.UniqueTrigramCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == declarative)
+    assert(fused(2L) == 1L && fused(6L) == 1L)
+  }
+
   test("short documents never pair (spark matches range-based oracle shingling)") {
     import spark.implicits._
     val docs = Seq(

@@ -127,6 +127,29 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- boilerplate detection: most-repeated verbatim 8-grams ----
+    // the intra-corpus complement of d09: which exact 8-token spans
+    // recur across distinct documents (headers, footers, templates).
+    // One linear explode (per-doc distinct first, so a doc counts one
+    // vote per gram) + a hash aggregate + TakeOrdered top-20 — no
+    // join at all, so the shape is scan-linear at 100 TB and the
+    // ranking tie-break (n_docs desc, gram asc) is total.
+    "d10_repeated_ngrams" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " ")))).as("g"))
+        .groupBy($"g")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"g")
+        .limit(20)
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -236,6 +259,17 @@ object DedupQueries {
         |  COUNT(DISTINCT bench_id) AS n_bench
         |FROM corpus JOIN bench ON corpus.g = bench.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d10_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8)
+        |SELECT g, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, g LIMIT 20""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

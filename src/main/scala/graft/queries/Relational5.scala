@@ -97,6 +97,38 @@ object Relational5 {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- histogram binning via the width_bucket built-in ----
+    // one linear scan + a 20-key hash aggregate (map-side partial);
+    // the oracle replicates the Postgres bucket formula with the same
+    // double arithmetic, since DuckDB has no width_bucket
+    "q52_histogram" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "events")
+        .select(width_bucket($"value", lit(0.0), lit(500.0), lit(20L))
+          .as("bucket"), $"value")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("sum_v"))
+        .orderBy($"bucket")
+    },
+
+    // ---- bivariate statistics: corr / covariance / regression ----
+    // single-pass partial-aggregable moments per group; round-6 keeps
+    // the engines' accumulation-order differences out of the hash
+    "q53_corr_stats" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 6)
+            .as("covar_qp"),
+          round(stddev_samp($"l_quantity"), 6).as("std_q"),
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 6)
+            .as("slope_pq"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -191,6 +223,26 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
         |  COALESCE(n_intersect, 0) AS n_intersect
         |FROM ex FULL OUTER JOIN ix USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q52_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN value < 0.0 THEN 0
+        |              WHEN value >= 500.0 THEN 21
+        |              ELSE CAST(floor((value - 0.0) / (500.0 - 0.0) * 20
+        |                + 1) AS BIGINT) END AS bucket,
+        |    value
+        |  FROM events)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q53_corr_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+        |  round(stddev_samp(l_quantity), 6) AS std_q,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_pq
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q37_window_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

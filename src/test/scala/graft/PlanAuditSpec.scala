@@ -79,6 +79,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("d10: repeated n-grams are join-free — explode + partial agg + top-k") {
+    val p = plan("d10_repeated_ngrams")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q52/q53: histogram and moment stats aggregate partially") {
+    for (q <- Seq("q52_histogram", "q53_corr_stats")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q:\n$p")
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -276,6 +276,114 @@ class CdcTable(
     }
   }
 
+  /** Point lookup: read ONLY the PK-hash buckets the keys fall in.
+    * `keys` is a small DataFrame with exactly the PK columns (a point
+    * or IN-list lookup, so collecting its distinct bucket ids is a
+    * bounded driver op — at most |keys| values). At 100 TB this is the
+    * difference between unioning every bucket dir and touching the
+    * handful the keys hash to; the residual semi-join broadcasts the
+    * keys so the pruned buckets stream through one scan. */
+  def lookup(keys: DataFrame): Option[DataFrame] = currentVersion.flatMap { v =>
+    val m = manifest(v)
+    val wanted = keys
+      .select(pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    readBuckets(m.filter { case (b, _) => wanted(b) }.values.toSeq)
+      .map(_.join(broadcast(keys), pkCols, "left_semi"))
+  }
+
+  private val statsFile = dir.resolve("_filestats.jsonl")
+
+  /** Range-cluster every bucket by numeric column `c` (the
+    * single-dimension OPTIMIZE..ZORDER analog): each bucket rewrites
+    * as up to `filesPerBucket` files with disjoint `c` ranges (range
+    * partition + sort within file), and per-file [min,max] stats land
+    * in an append-only sidecar keyed by the immutable file path — so
+    * stats never go stale: later merges re-point buckets to NEW files,
+    * which simply have no stats and stay unpruned until the next
+    * clustering pass (the lakehouse OPTIMIZE freshness model).
+    * Values serialize exactly (no double round-trip), so pruning is
+    * exact for long keys beyond 2^53 too. */
+  def clusterBy(c: String, filesPerBucket: Int = 4): Option[Long] =
+    currentVersion.map { v =>
+      val m = manifest(v)
+      val next = v + 1
+      val rewritten = m.map { case (b, d) =>
+        val dest = s"b$b-v$next"
+        spark.read.parquet(s"$path/$d")
+          .repartitionByRange(filesPerBucket, col(c))
+          .sortWithinPartitions(c)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
+        b -> dest
+      }
+      // one scan of the rewritten (batch-sized, not table-sized) data
+      // computes per-file stats; all-null files get no stats line and
+      // simply stay unpruned
+      val statLines = spark.read
+        .parquet(rewritten.values.map(d => s"$path/$d").toSeq: _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .collect()
+        .flatMap { r =>
+          val rel = r.getString(0).split("/").takeRight(2).mkString("/")
+          (Option(r.get(1)), Option(r.get(2))) match {
+            case (Some(mn), Some(mx)) => Some(
+              s"""{"file": "$rel", "col": "$c", """ +
+                s""""min": "$mn", "max": "$mx"}""")
+            case _ => None
+          }
+        }
+      if (statLines.nonEmpty)
+        Files.write(statsFile, statLines.mkString("", "\n", "\n").getBytes,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      writeManifest(next, m ++ rewritten)
+      next
+    }
+
+  /** Recorded [min,max] per relative file path for column `c`. */
+  private def fileStats(c: String): Map[String, (BigDecimal, BigDecimal)] =
+    if (!Files.exists(statsFile)) Map.empty
+    else ("\\{\"file\": \"([^\"]+)\", \"col\": \"" +
+      java.util.regex.Pattern.quote(c) +
+      "\", \"min\": \"([^\"]+)\", \"max\": \"([^\"]+)\"\\}").r
+      .findAllMatchIn(new String(Files.readAllBytes(statsFile)))
+      .map(m => m.group(1) -> (BigDecimal(m.group(2)), BigDecimal(m.group(3))))
+      .toMap
+
+  /** (kept, total) data files for `c BETWEEN lo AND hi` at the current
+    * version: files whose stats range misses [lo, hi] are pruned;
+    * files without stats are kept (pruning is an optimization, never a
+    * correctness gate). Exposed so callers — and the spec — can see
+    * the skip rate. */
+  def filesFor(c: String, lo: BigDecimal, hi: BigDecimal): (Seq[String], Int) = {
+    val dirs = currentVersion.map(v => manifest(v).values.toSeq)
+      .getOrElse(Nil)
+    val files = dirs.flatMap(d => withListing(dir.resolve(d))(
+      _.toSeq.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(f => s"$d/$f")))
+    val stats = fileStats(c)
+    val kept = files.filter(f => stats.get(f)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, files.size)
+  }
+
+  /** Stat-pruned range scan: rows with `c BETWEEN lo AND hi`, reading
+    * only the files [[filesFor]] keeps. After [[clusterBy]] on `c`,
+    * a selective range touches ~1/filesPerBucket of each bucket. */
+  def scanWhere(c: String, lo: BigDecimal, hi: BigDecimal): Option[DataFrame] =
+    currentVersion.map { v =>
+      val (kept, _) = filesFor(c, lo, hi)
+      val base =
+        if (kept.nonEmpty)
+          spark.read.option("mergeSchema", "true")
+            .parquet(kept.map(f => s"$path/$f"): _*)
+        else readBuckets(manifest(v).values.toSeq).get // empty after filter
+      base.filter(col(c) >= lit(lo.underlying()) &&
+        col(c) <= lit(hi.underlying()))
+    }
+
   /** Compaction (OPTIMIZE analog): rewrite fragmented buckets as a
     * single coalesced file set and commit a new manifest. Run
     * periodically where streaming produces many small files per batch

@@ -168,6 +168,23 @@ object CdcPipeline {
         .orderBy($"id")
     },
 
+    // clustered range scan: the events table merged into a versioned
+    // table, range-clustered by value (per-file min/max stats), then
+    // scanned with a selective BETWEEN — the read path resolves stats
+    // and touches only intersecting files (DataSkippingSpec asserts
+    // the skip rate; this query gates the RESULT against DuckDB)
+    "c13_clustered_scan" -> { (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-cluster")
+      val t = new CdcTable(s, dir.toString, Seq("user_id"), numBuckets = 8)
+      t.applyBatch(eventsAsChanges(s, d), 0L)
+      t.clusterBy("value", filesPerBucket = 4)
+      t.scanWhere("value", BigDecimal(100), BigDecimal(200)).get
+        .select($"user_id", $"event_type", $"value",
+          $"_sort_key.ts_ms".as("ts_us"))
+        .orderBy($"user_id")
+    },
+
     "c07_decode_cdc" -> { (s, _) =>
       import s.implicits._
       Decode.fromAvro(s,
@@ -262,6 +279,15 @@ object CdcPipeline {
         |      ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "c13_clustered_scan" ->
+      """SELECT user_id, event_type, value, ts_us FROM (
+        |  SELECT user_id, event_type, value, epoch_ns(ts)//1000 AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND value >= 100.0 AND value <= 200.0
+        |ORDER BY user_id""".stripMargin,
 
     "c06_merge_soft_delete" ->
       """WITH latest AS (

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.CdcTable
+
+/** Data-skipping read paths on the versioned table:
+  *
+  *  - `lookup`: PK point reads touch only the hashed buckets
+  *  - `clusterBy` + `scanWhere`: range-clustered files carry [min,max]
+  *    stats; a selective range prunes non-intersecting files
+  *
+  * Both are asserted on the files actually TOUCHED (input_file_name /
+  * filesFor), not just on result equality — skipping that silently
+  * reads everything would pass a result check and still melt at 100 TB.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(Paths.get("target"), prefix).toString
+
+  private def key(scn: Long) =
+    struct(lit(0L).as("ts_ms"), lit(scn).as("scn"),
+      lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+
+  private def seed(dir: String, nBuckets: Int): CdcTable = {
+    import spark.implicits._
+    val t = new CdcTable(spark, dir, Seq("id"), numBuckets = nBuckets)
+    val rows = (0L until 400L).map(i => (i, i % 100, s"p$i")).toDF("id", "v", "p")
+      .select(struct($"id", $"v", $"p").as("row"),
+        lit("INSERT").as("op"), key(1L))
+    t.applyBatch(rows, 0L)
+    t
+  }
+
+  test("lookup reads only the keys' hash buckets and matches a full-state filter") {
+    import spark.implicits._
+    val t = seed(tmp("skiplk"), nBuckets = 8)
+    val keys = Seq(3L, 7L, 250L).toDF("id")
+    val got = t.lookup(keys).get
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 7L, 250L))
+    // bucket dirs actually touched ⊆ the keys' hash buckets (≤ 3 of 8)
+    val touched = got.select(input_file_name()).distinct().collect()
+      .map(_.getString(0).split("/").takeRight(2).head).distinct
+    assert(touched.length <= 3, touched.toSeq)
+    val full = t.state.get.join(broadcast(keys), Seq("id"), "left_semi")
+    assert(got.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+  }
+
+  test("clusterBy records per-file stats; scanWhere prunes and stays exact") {
+    import spark.implicits._
+    val t = seed(tmp("skipcl"), nBuckets = 4)
+    val v = t.clusterBy("v", filesPerBucket = 4)
+    assert(v.contains(1L))
+    // selective range: v in [10, 19] — 10% of the value space should
+    // keep ~1/4 of the files (range-disjoint within each bucket)
+    val (kept, total) = t.filesFor("v", BigDecimal(10), BigDecimal(19))
+    assert(total >= 8, s"expected multiple files, got $total")
+    assert(kept.size * 2 < total, s"kept ${kept.size} of $total — no pruning")
+    val got = t.scanWhere("v", BigDecimal(10), BigDecimal(19)).get
+    val want = t.state.get.filter($"v" >= 10 && $"v" <= 19)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      want.select("id").as[Long].collect().sorted.toSeq)
+    assert(got.count() == 40L)
+  }
+
+  test("post-clustering merges stay correct: new files lack stats and are read") {
+    import spark.implicits._
+    val t = seed(tmp("skipmg"), nBuckets = 4)
+    t.clusterBy("v", filesPerBucket = 4)
+    // a later batch moves id=0 into the [10,19] range (v: 0 → 15)
+    val upd = Seq((0L, 15L, "p0x")).toDF("id", "v", "p")
+      .select(struct($"id", $"v", $"p").as("row"),
+        lit("UPDATE").as("op"), key(2L))
+    t.applyBatch(upd, 1L)
+    val got = t.scanWhere("v", BigDecimal(10), BigDecimal(19)).get
+    assert(got.filter($"id" === 0L).count() == 1L) // unpruned new file seen
+    assert(got.count() == 41L)
+    // and the stale pre-image did not resurface
+    assert(got.filter($"id" === 0L && $"p" =!= "p0x").count() == 0L)
+  }
+
+  test("scanWhere with an empty match returns no rows, not an error") {
+    val t = seed(tmp("skipem"), nBuckets = 4)
+    t.clusterBy("v", filesPerBucket = 4)
+    assert(t.scanWhere("v", BigDecimal(1000), BigDecimal(2000)).get.count() == 0L)
+  }
+}

@@ -55,6 +55,52 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- per-label centroids (the k-means / class-prototype step) ----
+    // element-wise mean by (label, pos): one posexplode + a hash
+    // aggregate on a 64×|labels| key space — linear, partial-agg,
+    // shuffle bounded by labels × dims regardless of corpus size.
+    // Decimal-summed mean keeps the result order-insensitive.
+    "s06_centroids" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"label".cast("long").as("label"),
+          posexplode($"embedding"))
+        .select($"label", $"pos".cast("long").as("pos"),
+          $"col".cast("double").as("x"))
+        .groupBy($"label", $"pos")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"x".cast("decimal(18,9)")).cast("double") /
+            count(lit(1)), 6).as("mean_x"))
+        .orderBy($"label", $"pos")
+    },
+
+    // ---- int8 quantization + reconstruction error (the PQ step) ----
+    // per-vector symmetric int8 codes: code = floor(x·127/maxabs + ½);
+    // the window (one vector's 64 elements — bounded partition) finds
+    // maxabs, then one aggregate emits the exact integer code sum and
+    // the decimal-summed squared reconstruction error. Linear in
+    // corpus size; every arithmetic step is written identically in
+    // the oracle so the doubles match bit-for-bit.
+    "s07_quantize" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+      load(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", $"col".cast("double").as("x"))
+        .withColumn("mx", max(abs($"x")).over(w))
+        .filter($"mx" > 0)
+        .withColumn("code", floor($"x" * 127.0 / $"mx" + 0.5))
+        .withColumn("e", $"x" - $"code" * $"mx" / lit(127.0))
+        .groupBy($"vec_id")
+        .agg(round(max($"mx"), 6).as("max_abs"),
+          sum($"code").cast("long").as("code_sum"),
+          round(sum(($"e" * $"e").cast("decimal(28,18)")).cast("double"), 6)
+            .as("recon_err"))
+        .orderBy($"vec_id")
+    },
+
     // ---- sign-LSH ANN (hash-defined; rows-only) ----
     "s03_ann_lsh" -> { (s, d) =>
       import s.implicits._
@@ -87,6 +133,31 @@ object SimilarityQueries {
        |  AND q.vec_id <> c.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s06_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(t.pos AS BIGINT) AS pos, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(CAST(embedding[t.pos+1] AS DOUBLE)
+        |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_x
+        |FROM embeddings, range(0, 64) t(pos)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s07_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, x,
+        |    MAX(abs(x)) OVER (PARTITION BY vec_id) AS mx FROM x),
+        |c AS (
+        |  SELECT vec_id, x, mx,
+        |    floor(x * 127.0 / mx + 0.5) AS code FROM m WHERE mx > 0)
+        |SELECT vec_id, round(MAX(mx), 6) AS max_abs,
+        |  CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  round(CAST(SUM(CAST((x - code * mx / 127.0) *
+        |    (x - code * mx / 127.0) AS DECIMAL(28,18))) AS DOUBLE), 6)
+        |    AS recon_err
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "s05_mips_topk" ->
       s"""SELECT qid, id, dot, rank FROM (
          |  SELECT qid, id, dot, ROW_NUMBER() OVER

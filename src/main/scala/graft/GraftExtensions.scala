@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHashSignature}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHashSignature, UniqueTrigramCount}
 
 /** Registration of the engine's native expressions for SQL use.
   *
@@ -58,7 +58,18 @@ object GraftExtensions {
       f(args.head, intArg(args(1), name))
     })
 
+  private def unary(name: String, f: Expression => Expression,
+      cls: Class[_]): FunctionDescription = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"$name takes 1 argument, got ${args.length}")
+      f(args.head)
+    })
+
   val functions: Seq[FunctionDescription] = Seq(
+    unary("unique_trigram_count",
+      (e: Expression) => UniqueTrigramCount(e), classOf[UniqueTrigramCount]),
     binary("cosine_similarity", CosineSimilarity.apply, classOf[CosineSimilarity]),
     binary("dot_product", DotProduct.apply, classOf[DotProduct]),
     sized("minhash_signature", MinHashSignature.apply, classOf[MinHashSignature]),

@@ -198,6 +198,27 @@ object Text {
         .orderBy($"source", $"seq_id")
     },
 
+    // ---- corpus vocabulary statistics per source stratum ----
+    // the vocabulary-building pass before tokenizer training: corpus
+    // token count, vocabulary size, hapax count, and type-token ratio
+    // per source. One explode + two hash aggregates, both map-side
+    // partial; the term-frequency relation shuffles on (source, token)
+    // — linear in corpus size, key space bounded by the vocabulary.
+    "t12_vocab_growth" -> { (s, d) =>
+      import s.implicits._
+      val tf = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"source", explode(tokens($"text")).as("tk"))
+        .groupBy($"source", $"tk").agg(count(lit(1)).as("c"))
+      tf.groupBy($"source")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          count(when($"c" === 1, 1)).as("hapax"))
+        .select($"source", $"n_tokens", $"vocab", $"hapax",
+          round($"vocab".cast("double") / $"n_tokens", 6).as("ttr"))
+        .orderBy($"source")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -352,6 +373,18 @@ object Text {
         |  CAST(top_bg AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
         |FROM base JOIN tok USING (doc_id) JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t12_vocab_growth" ->
+      """WITH tf AS (
+        |  SELECT source, u AS tk, COUNT(*) AS c
+        |  FROM documents, unnest(string_split(text,' ')) t(u)
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  COUNT(CASE WHEN c = 1 THEN 1 END) AS hapax,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+        |    AS ttr
+        |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
 
     "t08_quality_filter" -> {
       val all = markersSql.values.mkString(", ")

@@ -34,6 +34,12 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("unique_trigram_count is callable from SQL") {
+    val r = spark.sql("SELECT unique_trigram_count('abcabc') AS n")
+      .collect().head
+    assert(r.getLong(0) == 3L) // abc, bca, cab, abc → 3 distinct
+  }
+
   test("dot_product, minhash_signature, simhash_signature callable from SQL") {
     val r = spark.sql(
       """SELECT dot_product(

@@ -219,6 +219,31 @@ object Text {
         .orderBy($"source")
     },
 
+    // ---- unigram LM scoring (model-based quality filtering) ----
+    // the perplexity-style pass: train corpus unigram frequencies,
+    // score each document by its mean negative log-probability. The
+    // token→frequency join shuffles on the token (vocabulary-sized key
+    // space — NOT broadcast, since a 100 TB corpus's vocabulary is
+    // itself large); the 1-row corpus total broadcasts. Decimal-summed
+    // mean keeps the aggregate order-insensitive; ln parity with the
+    // oracle holds under the round-6 output contract.
+    "t13_lm_score" -> { (s, d) =>
+      import s.implicits._
+      val toks = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", explode(tokens($"text")).as("tk"))
+      val tf = toks.groupBy($"tk").agg(count(lit(1)).as("c"))
+      val total = tf.agg(sum($"c").as("n_corpus"))
+      toks.join(tf, "tk")
+        .crossJoin(broadcast(total))
+        .select($"doc_id", (-log($"c".cast("double") / $"n_corpus")).as("nlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum($"nlp".cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("avg_neg_logp"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -373,6 +398,18 @@ object Text {
         |  CAST(top_bg AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
         |FROM base JOIN tok USING (doc_id) JOIN bg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "t13_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u AS tk
+        |  FROM documents, unnest(string_split(text,' ')) t(u)),
+        |tf AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM tf)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(CAST(-ln(CAST(c AS DOUBLE) / n_corpus)
+        |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+        |FROM toks JOIN tf USING (tk), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t12_vocab_growth" ->
       """WITH tf AS (

@@ -194,6 +194,25 @@ object CdcPipeline {
         .orderBy($"user_id")
     },
 
+    // PK-bucket point lookup: reads only the buckets the keys hash to
+    // (DataSkippingSpec asserts the pruning; this gates the RESULT)
+    "c14_bucket_lookup" -> { (s, d) =>
+      import s.implicits._
+      val dir = clusterCache.computeIfAbsent((s, d), _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+        val t = new CdcTable(s, p, Seq("user_id"), numBuckets = 8)
+        t.applyBatch(eventsAsChanges(s, d), 0L)
+        t.clusterBy("value", filesPerBucket = 4)
+        p
+      })
+      val keys = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L).toDF("user_id")
+      new CdcTable(s, dir, Seq("user_id"), numBuckets = 8)
+        .lookup(keys).get
+        .select($"user_id", $"event_type", $"value",
+          $"_sort_key.ts_ms".as("ts_us"))
+        .orderBy($"user_id")
+    },
+
     "c07_decode_cdc" -> { (s, _) =>
       import s.implicits._
       Decode.fromAvro(s,
@@ -296,6 +315,15 @@ object CdcPipeline {
         |      ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND value >= 100.0 AND value <= 200.0
+        |ORDER BY user_id""".stripMargin,
+
+    "c14_bucket_lookup" ->
+      """SELECT user_id, event_type, value, ts_us FROM (
+        |  SELECT user_id, event_type, value, epoch_ns(ts)//1000 AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000 DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND user_id IN (1, 2, 3, 5, 8, 13, 21)
         |ORDER BY user_id""".stripMargin,
 
     "c06_merge_soft_delete" ->

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -306,34 +306,80 @@ class CdcTable(
     * Values serialize exactly (no double round-trip), so pruning is
     * exact for long keys beyond 2^53 too. */
   def clusterBy(c: String, filesPerBucket: Int = 4): Option[Long] =
+    clusterZOrder(Seq(c), filesPerBucket)
+
+  /** Multi-column Z-order clustering: rows order by the bit-interleave
+    * of fixed-width bins over each column's global [min,max], so every
+    * file covers a small hyper-rectangle and `scanWhere` prunes on ANY
+    * of the clustered columns — the property single-column clustering
+    * cannot give. One column degenerates to exact range clustering
+    * (sorted by the raw value, not its bin). Bin width is 24 bits
+    * split across the columns; bin edges come from one global min/max
+    * scan (a maintenance-time table scan, like OPTIMIZE itself). */
+  def clusterZOrder(cols: Seq[String], filesPerBucket: Int = 4): Option[Long] =
     currentVersion.map { v =>
       val m = manifest(v)
       val next = v + 1
+      val sortCol: Column =
+        if (cols.size == 1) col(cols.head)
+        else {
+          val bits = 24 / cols.size
+          val nBins = 1 << bits
+          val ranges = state.get.agg(
+            cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))).head,
+            cols.flatMap(c => Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))).tail: _*)
+            .collect().head
+          val bins = cols.zipWithIndex.map { case (c, ci) =>
+            val mn = ranges.getDouble(2 * ci)
+            val mx = ranges.getDouble(2 * ci + 1)
+            val span = if (mx > mn) mx - mn else 1.0
+            least(lit(nBins - 1), greatest(lit(0),
+              floor((col(c).cast("double") - lit(mn)) / lit(span) * nBins)
+                .cast("int")))
+          }
+          // interleave: bit i of column ci lands at position
+          // i*cols.size + (cols.size-1-ci)
+          (0 until bits).flatMap { i =>
+            bins.zipWithIndex.map { case (b, ci) =>
+              shiftleft(b.bitwiseAND(lit(1 << i)).cast("long"),
+                i * (cols.size - 1) + (cols.size - 1 - ci))
+            }
+          }.reduce(_ + _)
+        }
       val rewritten = m.map { case (b, d) =>
         val dest = s"b$b-v$next"
         spark.read.parquet(s"$path/$d")
-          .repartitionByRange(filesPerBucket, col(c))
-          .sortWithinPartitions(c)
+          .withColumn("__z", sortCol)
+          .repartitionByRange(filesPerBucket, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
           .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
         b -> dest
       }
       // one scan of the rewritten (batch-sized, not table-sized) data
-      // computes per-file stats; all-null files get no stats line and
-      // simply stay unpruned
-      val statLines = spark.read
+      // computes per-file stats for every clustered column; all-null
+      // files get no stats line and simply stay unpruned
+      val statRows = spark.read
         .parquet(rewritten.values.map(d => s"$path/$d").toSeq: _*)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .agg(cols.flatMap(c =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))).head,
+          cols.flatMap(c =>
+            Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))).tail: _*)
         .collect()
-        .flatMap { r =>
-          val rel = r.getString(0).split("/").takeRight(2).mkString("/")
-          (Option(r.get(1)), Option(r.get(2))) match {
+      val statLines = statRows.flatMap { r =>
+        val rel = r.getString(0).split("/").takeRight(2).mkString("/")
+        cols.zipWithIndex.flatMap { case (c, ci) =>
+          (Option(r.get(1 + 2 * ci)), Option(r.get(2 + 2 * ci))) match {
             case (Some(mn), Some(mx)) => Some(
               s"""{"file": "$rel", "col": "$c", """ +
                 s""""min": "$mn", "max": "$mx"}""")
             case _ => None
           }
         }
+      }
       if (statLines.nonEmpty)
         Files.write(statsFile, statLines.mkString("", "\n", "\n").getBytes,
           java.nio.file.StandardOpenOption.CREATE,

@@ -92,6 +92,31 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got.filter($"id" === 0L && $"p" =!= "p0x").count() == 0L)
   }
 
+  test("Z-order clustering prunes on BOTH dimensions; results stay exact") {
+    import spark.implicits._
+    val dir = tmp("skipzo")
+    val t = new CdcTable(spark, dir, Seq("id"), numBuckets = 2)
+    // two pseudo-independent dimensions over 800 rows
+    val rows = (0L until 800L)
+      .map(i => (i, i % 100, (i * 37) % 100, s"p$i"))
+      .toDF("id", "v", "u", "p")
+      .select(struct($"id", $"v", $"u", $"p").as("row"),
+        lit("INSERT").as("op"), key(1L))
+    t.applyBatch(rows, 0L)
+    assert(t.clusterZOrder(Seq("v", "u"), filesPerBucket = 8).contains(1L))
+    // a 10%-of-space range on EITHER dimension prunes files — the
+    // property single-column clustering cannot give for the second col
+    for (c <- Seq("v", "u")) {
+      val (kept, total) = t.filesFor(c, BigDecimal(10), BigDecimal(19))
+      assert(total >= 8, s"$c: expected many files, got $total")
+      assert(kept.size < total, s"$c: kept ${kept.size} of $total — no pruning")
+      val got = t.scanWhere(c, BigDecimal(10), BigDecimal(19)).get
+      val want = t.state.get.filter(col(c) >= 10 && col(c) <= 19)
+      assert(got.select("id").as[Long].collect().sorted.toSeq ==
+        want.select("id").as[Long].collect().sorted.toSeq, s"$c mismatch")
+    }
+  }
+
   test("scanWhere with an empty match returns no rows, not an error") {
     val t = seed(tmp("skipem"), nBuckets = 4)
     t.clusterBy("v", filesPerBucket = 4)

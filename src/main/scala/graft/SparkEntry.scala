@@ -25,7 +25,8 @@ object SparkEntry {
       (graft.queries.Text.queries, graft.queries.Text.oracle),
       (graft.queries.DedupQueries.queries, graft.queries.DedupQueries.oracle),
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracle),
-      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle)
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracle),
+      (graft.queries.Pipeline.queries, graft.queries.Pipeline.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

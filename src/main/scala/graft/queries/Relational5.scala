@@ -129,6 +129,22 @@ object Relational5 {
         .orderBy($"l_returnflag")
     },
 
+    // ---- value-based RANGE window frames (q37 covers ROWS frames):
+    //      quantity shipped in the trailing 1000-price band, peers
+    //      included per the SQL-standard RANGE semantics ----
+    "q54_range_frames" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "lineitem").filter($"l_suppkey" <= 5)
+        .selectExpr("l_suppkey", "l_orderkey", "l_linenumber",
+          "l_extendedprice",
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER " +
+            "(PARTITION BY l_suppkey ORDER BY l_extendedprice " +
+            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) " +
+            "AS DOUBLE) AS qty_band")
+        .orderBy($"l_suppkey", $"l_extendedprice", $"l_orderkey",
+          $"l_linenumber")
+    },
+
     // ---- window frames: running total + moving average ----
     "q37_window_frames" -> { (s, d) =>
       import s.implicits._
@@ -223,6 +239,16 @@ ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
         |  COALESCE(n_intersect, 0) AS n_intersect
         |FROM ex FULL OUTER JOIN ix USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q54_range_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_extendedprice
+        |     RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS qty_band
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_extendedprice, l_orderkey, l_linenumber"""
+        .stripMargin,
 
     "q52_histogram" ->
       """WITH b AS (

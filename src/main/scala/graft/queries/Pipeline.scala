@@ -54,16 +54,26 @@ object Pipeline {
         .withColumn("rn", row_number().over(wFp))
         .filter($"rn" === 1).drop("rn")
 
-      // 3. decontamination: drop docs sharing any verbatim 8-gram
-      val grams = deduped
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .filter(size($"toks") >= 8)
-        .select($"doc_id", explode(array_distinct(
-          transform(sequence(lit(1), size($"toks") - 7),
-            i => array_join(slice($"toks", i, lit(8)), " ")))).as("g"))
-      val contaminated = grams.join(broadcast(benchGrams), "g")
-        .select($"doc_id").distinct()
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. decontamination: drop docs sharing any verbatim 8-gram.
+      // NOT an anti-join of deduped against a subset of itself — that
+      // consumes the dedup pipeline twice and Catalyst re-executes the
+      // whole scan→quality→window subtree (measured; the r2 lesson).
+      // Instead one pass: explode grams (null row for short docs),
+      // mark hits against the broadcast bench set, keep docs whose
+      // max(hit) is null. The per-doc aggregate partially collapses
+      // map-side, so the shuffle carries one row per doc.
+      val toks = split($"text", " ")
+      val clean = deduped
+        .select($"doc_id", $"lang", $"source",
+          tokenCount($"text").as("n_tok"),
+          explode_outer(when(size(toks) >= 8,
+            array_distinct(transform(sequence(lit(1), size(toks) - 7),
+              i => array_join(slice(toks, i, lit(8)), " "))))).as("g"))
+        .join(broadcast(benchGrams.withColumn("hit", lit(1))),
+          Seq("g"), "left_outer")
+        .groupBy($"doc_id", $"lang", $"source", $"n_tok")
+        .agg(max($"hit").as("hit"))
+        .filter($"hit".isNull)
 
       // 4. deterministic stratified sampling by language
       val sampled = Sampling.stratifiedSample(clean, "lang", "doc_id",
@@ -73,7 +83,7 @@ object Pipeline {
       // 5. pack into 512-token training sequences per source stratum
       val wPack = Window.partitionBy($"source").orderBy($"doc_id")
       sampled
-        .select($"source", $"doc_id", tokenCount($"text").as("n_tok"))
+        .select($"source", $"doc_id", $"n_tok")
         .withColumn("cum", sum($"n_tok").over(wPack))
         .withColumn("seq_id", expr("(cum - n_tok) div 512"))
         .groupBy($"source", $"seq_id")

@@ -94,6 +94,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p01: benchmark grams broadcast; the dedup pipeline executes once") {
+    val p = plan("p01_train_pipeline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the decontam stage must not anti-join deduped against a subset
+    // of itself — that duplicates the scan→quality→window subtree.
+    // Two Window nodes (dedup row_number + packing running sum), two
+    // parquet scans (corpus + the separately-filtered benchmark side),
+    // no more.
+    assert("Window \\[".r.findAllIn(p).size <= 2, p)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -39,7 +39,8 @@ object ScaleCheck {
     "t01_token_stats", "t03_langid", "t07_char_trigrams",
     "d01_exact_dedup", "d02_minhash_pairs", "d04_blocked_jaccard",
     "s01_cosine_topk", "q46_sliding_window", "t09_tfidf",
-    "d09_decontam", "d10_repeated_ngrams", "q53_corr_stats")
+    "d09_decontam", "d10_repeated_ngrams", "q53_corr_stats",
+    "t13_lm_score", "p01_train_pipeline")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")

@@ -19,7 +19,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Text" -> graft.queries.Text.queries.keySet,
     "Dedup" -> graft.queries.DedupQueries.queries.keySet,
     "Similarity" -> graft.queries.SimilarityQueries.queries.keySet,
-    "Multimodal" -> graft.queries.MultimodalQueries.queries.keySet)
+    "Multimodal" -> graft.queries.MultimodalQueries.queries.keySet,
+    "Pipeline" -> graft.queries.Pipeline.queries.keySet)
 
   test("no query-name collisions across modules") {
     val all = modules.flatMap(_._2)

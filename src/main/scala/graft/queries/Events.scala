@@ -198,6 +198,31 @@ object Events {
     //      deterministic (which physical row won is not, so only keys
     //      are projected); watermark-bounded state is exercised by
     //      StreamingOpsSpec via Dedup.streamingExactDedup ----
+    // ---- streaming sliding windows: the OVERLAPPING-window stateful
+    //      shape (each event updates 4 window states), parity-gated
+    //      against q46's batch oracle like q20 vs q17 ----
+    "q55_stream_sliding" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"t", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .select(unix_micros($"w.start").as("ws_us"), $"event_type",
+          $"n", $"total_value")
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q55_stream_sliding_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q55_stream_sliding_sink")
+        .orderBy($"ws_us", $"event_type")
+    },
+
     "q41_stream_dedup" -> { (s, d) =>
       import s.implicits._
       val schema = load(s, d, "events").schema
@@ -224,6 +249,16 @@ object Events {
       |FROM events
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  private val slidingSql =
+    """WITH e AS (SELECT epoch_ns(ts)//1000 AS t_us, event_type, value
+      |           FROM events),
+      |w AS (SELECT (t_us // 900000000 - j) * 900000000 AS ws_us,
+      |        event_type, value
+      |      FROM e, (SELECT unnest([0,1,2,3]) AS j))
+      |SELECT ws_us, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q17_hourly_counts" -> hourlySql,
     "q20_stream_hourly" -> hourlySql,
@@ -244,15 +279,8 @@ object Events {
     // a µs timestamp t lands in the 4 slide-aligned windows starting
     // at (t div 15min - j) * 15min for j in 0..3 — the same epoch
     // alignment Spark's window() uses for a UTC session
-    "q46_sliding_window" ->
-      """WITH e AS (SELECT epoch_ns(ts)//1000 AS t_us, event_type, value
-        |           FROM events),
-        |w AS (SELECT (t_us // 900000000 - j) * 900000000 AS ws_us,
-        |        event_type, value
-        |      FROM e, (SELECT unnest([0,1,2,3]) AS j))
-        |SELECT ws_us, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q46_sliding_window" -> slidingSql,
+    "q55_stream_sliding" -> slidingSql,
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -106,6 +106,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size <= 2, p)
   }
 
+  test("runtime bloom filter reaches the fact side when the dim cannot broadcast") {
+    // the 100 TB shape where the selective dimension is itself too big
+    // to broadcast: Spark injects a bloom filter from the dim build
+    // side into the fact scan, so the shuffle carries only plausible
+    // rows. Thresholds are production-tuned (10 GB application side);
+    // lowered here to exercise the mechanism at test scale.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.util.Tables.load(spark, sf, "lineitem")
+      val part = graft.util.Tables.load(spark, sf, "part")
+        .filter($"p_brand" === "Brand#1")
+      val p = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy($"p_type").count()
+        .queryExecution.executedPlan.toString
+      assert("bloom_filter".r.findAllIn(p.toLowerCase).size >= 2, p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

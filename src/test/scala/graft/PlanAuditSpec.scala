@@ -133,6 +133,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the automatic complement of q31's deterministic salting: one hot
+    // key owns 20% of the left side, AQE detects the oversized shuffle
+    // partition after materialization and splits it. Thresholds are
+    // production-scale by default; lowered to exercise the mechanism.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(300000).select(
+        when($"id" % 2 === 0, 0L).otherwise($"id").as("k"),
+        concat(lit("x"), $"id").as("payload"))
+      val right = spark.range(5000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = left.join(right, "k")
+      // collect drives THIS dataframe's own adaptive execution — a
+      // sink write would finalize a different QueryExecution
+      assert(j.collect().length == 152500)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -26,8 +26,11 @@ import graft.util.Tables.load
   *  - events keep their time range but widen the user space (more
   *    users in the same window, the usual growth shape)
   *
-  * Usage: runMain graft.ScaleCheck [outDir] [replicas]
-  * (writes tables once; reuses them if the directory exists)
+  * Usage: runMain graft.ScaleCheck [outDir] [replicas] [tablesCsv] [queriesCsv]
+  * (writes tables once; reuses them if the directory exists).
+  * `tablesCsv`/`queriesCsv` restrict the replica set and the query
+  * panel — e.g. a documents-only 100× run for the text/dedup path,
+  * where replicating the full TPC-H side would dominate wall time.
   */
 object ScaleCheck {
 
@@ -42,18 +45,20 @@ object ScaleCheck {
     "d09_decontam", "d10_repeated_ngrams", "q53_corr_stats",
     "t13_lm_score", "p01_train_pipeline")
 
-  def generate(spark: SparkSession, outDir: String, replicas: Int): Unit = {
+  def generate(spark: SparkSession, outDir: String, replicas: Int,
+      tables: Set[String]): Unit = {
     val done = new java.io.File(s"$outDir/_DONE")
     if (done.exists()) { println(s"[scale] reusing $outDir"); return }
 
     def reps(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(r => f(df, r)).reduce(_.unionByName(_))
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/$name.parquet")
-      println(s"[scale] wrote $name")
-    }
+    def write(name: String, df: DataFrame): Unit =
+      if (tables(name)) {
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/$name.parquet")
+        println(s"[scale] wrote $name")
+      }
 
     // shared dimensions: one copy
     Seq("region", "nation").foreach(t => write(t, load(spark, SrcDir, t)))
@@ -97,9 +102,16 @@ object ScaleCheck {
     ()
   }
 
+  private val AllTables = Set("region", "nation", "supplier", "part",
+    "customer", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale10")
     val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val tables = args.drop(2).headOption
+      .map(_.split(",").toSet).getOrElse(AllTables)
+    val queries = args.drop(3).headOption
+      .map(_.split(",").toSeq).getOrElse(Queries)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -109,7 +121,7 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    generate(spark, outDir, replicas)
+    generate(spark, outDir, replicas, tables)
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -121,7 +133,7 @@ object ScaleCheck {
       math.min(once(), once())
     }
 
-    val rows = Queries.map { q =>
+    val rows = queries.map { q =>
       val base = time(q, SrcDir)
       val big = time(q, outDir)
       val ratio = big / base

@@ -78,6 +78,23 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- dup-cluster size distribution (the dedup report): how many
+    //      clusters of each size, including singletons — two cheap
+    //      aggregates over the CC labels left-joined to the corpus ----
+    "d11_cluster_sizes" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8))
+        .select($"id".as("doc_id"), $"cluster")
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .select(coalesce($"cluster", $"doc_id").as("cluster"))
+        .groupBy($"cluster").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy($"sz")
+    },
+
     // ---- canonical dedup: the kept corpus after near-dup clustering ----
     "d07_dedup_canonical" -> { (s, d) =>
       import s.implicits._
@@ -259,6 +276,28 @@ object DedupQueries {
         |  COUNT(DISTINCT bench_id) AS n_bench
         |FROM corpus JOIN bench ON corpus.g = bench.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d11_cluster_sizes" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges) n
+         |  UNION
+         |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x),
+         |clusters AS (SELECT x AS doc_id, MIN(label) AS cluster
+         |             FROM reach GROUP BY x),
+         |sizes AS (
+         |  SELECT COALESCE(c.cluster, doc.doc_id) AS cluster,
+         |    COUNT(*) AS sz
+         |  FROM documents doc LEFT JOIN clusters c ON doc.doc_id = c.doc_id
+         |  GROUP BY 1)
+         |SELECT sz, COUNT(*) AS n_clusters
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
 
     "d10_repeated_ngrams" ->
       """WITH toks AS (

@@ -35,6 +35,8 @@ object CdcPipeline {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val jsonFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private def replayedTable(s: SparkSession): CdcTable = {
     val dir = replayCache.computeIfAbsent(s, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-replay").toString
@@ -225,6 +227,32 @@ object CdcPipeline {
         .orderBy($"scn", $"op", $"employee_id")
     },
 
+    // the JSON wire format through the SAME decode pipeline: identical
+    // events as c07, so it shares c07's golden oracle — Datastream
+    // emits either Avro or JSON to the bucket, and a user switching
+    // wire formats must see byte-identical decoded change events
+    "c15_json_decode" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.{DatastreamAvro, DatastreamJson}
+      val jsonDir = jsonFixtureCache.computeIfAbsent(s, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft-jsonwire")
+        DatastreamAvro.read(s,
+            s"$fixtures/{insert,update,delete,update-pk}.avro")
+          .drop(DatastreamAvro.FilePathCol)
+          .write.mode("overwrite").json(s"$d/events")
+        s"$d/events"
+      })
+      val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
+      Decode.changeEvents(
+          DatastreamJson.read(s, s"$jsonDir/*.json", schema))
+        .select($"row.EMPLOYEE_ID".as("employee_id"),
+          $"row.FIRST_NAME".as("first_name"),
+          $"row.SALARY".cast("double").as("salary"),
+          $"op", $"is_snapshot",
+          $"sort_key.scn".as("scn"))
+        .orderBy($"scn", $"op", $"employee_id")
+    },
+
     "c08_assessment" -> { (s, _) =>
       import s.implicits._
       import graft.registry._
@@ -337,5 +365,6 @@ object CdcPipeline {
         |  (l.o_custkey IS NOT NULL AND l.o_orderstatus = 'F') AS deleted
         |FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
         |ORDER BY c_custkey""".stripMargin
-  ) ++ CdcGoldenOracles.map
+  ) ++ CdcGoldenOracles.map ++
+    Map("c15_json_decode" -> CdcGoldenOracles.map("c07_decode_cdc"))
 }

@@ -62,6 +62,27 @@ object MultimodalQueries {
     //      corpora; here 32-byte frames over the stand-in payloads).
     //      One explode + hash aggregate — bytes hash once, nothing
     //      quadratic, the frame hash is the shuffle key ----
+    // ---- cross-modal consistency: every text near-dup pair checked
+    //      against its embedding cosine — the dataset-QA pass that
+    //      catches a drifted embedding pipeline. Near-dup pairs come
+    //      from the LSH candidate path (no all-pairs stage); the two
+    //      embedding joins are PK lookups on the pair ids ----
+    "m06_crossmodal_check" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Dedup
+      import graft.functions.Vectors
+      val pairs = Dedup.minhashPairs(load(s, d, "documents"),
+        "doc_id", "text", threshold = 0.8)
+      val emb = load(s, d, "embeddings")
+      pairs
+        .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")
+        .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), "b")
+        .select($"a", $"b", $"jaccard",
+          round(Vectors.cosine($"ea", $"eb"), 6).as("cos"))
+        .withColumn("consistent", $"cos" >= 0.9)
+        .orderBy($"a", $"b")
+    },
+
     "m05_frame_dedup" -> { (s, d) =>
       import s.implicits._
       load(s, d, "documents")
@@ -91,7 +112,31 @@ object MultimodalQueries {
     }
   )
 
+  // single-line (embedded into stripMargin'd SQL)
+  private val pairShingleSql =
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), " +
+      "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] " +
+      "|| ' ' || string_split(text,' ')[i+2]))"
+
   val oracle: Map[String, String] = Map(
+    "m06_crossmodal_check" ->
+      s"""WITH d AS (SELECT doc_id, $pairShingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+         |SELECT prs.a, prs.b, prs.jaccard,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+         |    eb.embedding::DOUBLE[]), 6) AS cos,
+         |  round(list_cosine_similarity(ea.embedding::DOUBLE[],
+         |    eb.embedding::DOUBLE[]), 6) >= 0.9 AS consistent
+         |FROM prs
+         |JOIN embeddings ea ON prs.a = ea.vec_id
+         |JOIN embeddings eb ON prs.b = eb.vec_id
+         |ORDER BY a, b""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id, 'text/fake' AS kind,
         |  octet_length(encode(text)) AS n_bytes,

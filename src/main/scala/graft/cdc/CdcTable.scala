@@ -320,6 +320,18 @@ class CdcTable(
     currentVersion.map { v =>
       val m = manifest(v)
       val next = v + 1
+      // stats pruning compares exact numerics; fail fast on a
+      // non-numeric clustering column instead of writing stats that a
+      // later scanWhere cannot parse
+      val schema = state.get.schema
+      cols.foreach { c =>
+        val f = schema.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"clusterBy: no column '$c'"))
+        if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          throw new IllegalArgumentException(
+            s"clusterBy: column '$c' is ${f.dataType.simpleString}; " +
+              "stat-pruned clustering needs a numeric column")
+      }
       val sortCol: Column =
         if (cols.size == 1) col(cols.head)
         else {
@@ -332,8 +344,11 @@ class CdcTable(
               max(col(c)).cast("double").as(s"mx_$c"))).tail: _*)
             .collect().head
           val bins = cols.zipWithIndex.map { case (c, ci) =>
-            val mn = ranges.getDouble(2 * ci)
-            val mx = ranges.getDouble(2 * ci + 1)
+            // an all-null column yields null range: every row bins to 0
+            val mn = if (ranges.isNullAt(2 * ci)) 0.0
+              else ranges.getDouble(2 * ci)
+            val mx = if (ranges.isNullAt(2 * ci + 1)) 0.0
+              else ranges.getDouble(2 * ci + 1)
             val span = if (mx > mn) mx - mn else 1.0
             least(lit(nBins - 1), greatest(lit(0),
               floor((col(c).cast("double") - lit(mn)) / lit(span) * nBins)

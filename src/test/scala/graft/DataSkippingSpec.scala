@@ -117,6 +117,15 @@ class DataSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterBy on a non-numeric column fails fast, before any rewrite") {
+    val t = seed(tmp("skipnn"), nBuckets = 2)
+    val e = intercept[IllegalArgumentException] { t.clusterBy("p") }
+    assert(e.getMessage.contains("numeric"))
+    val missing = intercept[IllegalArgumentException] { t.clusterBy("nope") }
+    assert(missing.getMessage.contains("no column"))
+    assert(t.currentVersion.contains(0L)) // nothing committed
+  }
+
   test("scanWhere with an empty match returns no rows, not an error") {
     val t = seed(tmp("skipem"), nBuckets = 4)
     t.clusterBy("v", filesPerBucket = 4)

@@ -89,6 +89,37 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    // the ACTUAL Structured Streaming path (readStream → decode →
+    // foreachBatch merge with checkpoint) must land the same golden
+    // final state as c02's sequential batch replay — all five fixture
+    // files drain in one AvailableNow batch, and the sort-key-guarded
+    // merge makes the batching invisible (MergePropertySpec is the
+    // algebraic form of this; here it is gated end-to-end)
+    "c16_stream_e2e" -> { (s, _) =>
+      import s.implicits._
+      import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+      import graft.sources.DatastreamAvro
+      import graft.streaming.CdcStream
+      val root = JFiles.createTempDirectory("graft-stream-q")
+      val src = root.resolve("in"); JFiles.createDirectories(src)
+      replayFiles.zipWithIndex.foreach { case (f, i) =>
+        JFiles.copy(JPaths.get(s"$fixtures/$f"),
+          src.resolve(s"s1_oracle-x_0_$i.avro"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+      val table = new CdcTable(s, root.resolve("table").toString,
+        Seq("EMPLOYEE_ID"))
+      CdcStream.drain(CdcStream.start(s, s"${src.toString}/*.avro",
+        schema, table, root.resolve("ckpt").toString))
+      table.state.get
+        .select($"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+        .orderBy($"employee_id")
+    },
+
     // the multiplexed router path under the oracle gate: one event
     // stream split across two tables by a per-event table key, full
     // replay (snapshot + CDC + PK-update + delete), both tables'
@@ -366,5 +397,6 @@ object CdcPipeline {
         |FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
         |ORDER BY c_custkey""".stripMargin
   ) ++ CdcGoldenOracles.map ++
-    Map("c15_json_decode" -> CdcGoldenOracles.map("c07_decode_cdc"))
+    Map("c15_json_decode" -> CdcGoldenOracles.map("c07_decode_cdc"),
+      "c16_stream_e2e" -> CdcGoldenOracles.map("c02_cdc_final_state"))
 }

@@ -182,16 +182,19 @@ class CdcTable(
     val merged = Apply.merge(touchedState, events, pkCols, sequenceNum = batchId)
       .withColumn("_bucket", bucketCol)
 
-    // write touched buckets as new immutable dirs via one partitioned write
-    val staging = s"$path/_staging-v$next"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(staging)
-    val stagingPath = Paths.get(staging)
+    // write touched buckets as new immutable dirs via one partitioned
+    // write; the staging name carries a nonce so two writers racing
+    // the same version can never overwrite each other's staging data —
+    // the collision surfaces at publish time (move without replace)
+    val stagingPath = newStagingDir(s"batch-v$next")
+    merged.write.mode(SaveMode.Overwrite)
+      .partitionBy("_bucket").parquet(stagingPath.toString)
     val newDirs = withListing(stagingPath)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
       .map { p =>
         val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
         val dest = s"b$b-v$next"
-        Files.move(p, dir.resolve(dest), StandardCopyOption.ATOMIC_MOVE)
+        publishDir(p, dest)
         b -> dest
       }.toMap
     deleteRecursively(stagingPath)
@@ -211,6 +214,34 @@ class CdcTable(
     if (!Files.exists(dir.resolve("_ddl.jsonl"))) Nil
     else new String(Files.readAllBytes(dir.resolve("_ddl.jsonl")))
       .split("\n").toSeq.filter(_.nonEmpty)
+
+  /** A fresh, collision-proof staging directory under the table root.
+    * Every writer stages under its own nonce: racing writers can share
+    * a VERSION but never a staging path, so nobody's staged bytes are
+    * silently clobbered by a SaveMode.Overwrite from the other side. */
+  private def newStagingDir(tag: String): Path =
+    dir.resolve(s"_staging-$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Publish one staged bucket dir under its final deterministic name.
+    * ATOMIC_MOVE **without** REPLACE_EXISTING: if another writer
+    * already published that (bucket, version) dir, the move fails and
+    * we surface a retryable conflict — the committed data is never
+    * deleted or replaced out from under a manifest CAS. */
+  private def publishDir(staged: Path, destName: String): Unit = {
+    val dest = dir.resolve(destName)
+    try Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Linux rename(2) onto an existing dir surfaces as EEXIST or
+      // ENOTEMPTY — FileAlreadyExistsException or a generic
+      // FileSystemException. Classify by the destination: if it
+      // exists, another writer published it (retryable conflict);
+      // anything else is a genuine IO failure and propagates.
+      case e: java.nio.file.FileSystemException if Files.exists(dest) =>
+        throw new ConcurrentCommitException(
+          s"bucket dir $destName was published by another writer " +
+            s"(${e.getClass.getSimpleName}); re-read and retry")
+    }
+  }
 
   /** Directory listing with the stream closed (Files.list leaks an
     * open directory fd otherwise — fatal over months of maintenance
@@ -251,6 +282,10 @@ class CdcTable(
   def changeFeed(v: Long): Option[DataFrame] = {
     if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
     else if (v == 0) readBuckets(manifest(0L).values.toSeq)
+    // the feed needs the pre-image manifest too: if v-1 was vacuumed,
+    // degrade to the same graceful None as stateAt instead of throwing
+    // NoSuchFileException out of the manifest read
+    else if (!Files.exists(dir.resolve(s"manifest-${v - 1}.json"))) None
     else {
       val curM = manifest(v)
       val prevM = manifest(v - 1)
@@ -285,12 +320,25 @@ class CdcTable(
     * keys so the pruned buckets stream through one scan. */
   def lookup(keys: DataFrame): Option[DataFrame] = currentVersion.flatMap { v =>
     val m = manifest(v)
-    val wanted = keys
+    // xxhash64 hashes VALUES AS TYPED: an INT key against a BIGINT PK
+    // column hashes to a different bucket and the pruned read would
+    // silently miss rows. Normalize the caller's key columns to the
+    // committed PK types first (fail fast if a PK column is absent).
+    val pkTypes = payloadSchema.map(st =>
+      pkCols.map(c => c -> st.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"lookup: PK column '$c' missing from committed schema")).dataType))
+    val normKeys = pkTypes match {
+      case Some(ts) => keys.select(ts.map { case (c, t) =>
+        col(c).cast(t).as(c) }: _*)
+      case None => keys.select(pkCols.map(col): _*)
+    }
+    val wanted = normKeys
       .select(pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets))
         .cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     readBuckets(m.filter { case (b, _) => wanted(b) }.values.toSeq)
-      .map(_.join(broadcast(keys), pkCols, "left_semi"))
+      .map(_.join(broadcast(normKeys), pkCols, "left_semi"))
   }
 
   private val statsFile = dir.resolve("_filestats.jsonl")
@@ -363,6 +411,10 @@ class CdcTable(
             }
           }.reduce(_ + _)
         }
+      // stage the rewrite, then publish move-without-replace: a racing
+      // applyBatch that already committed b<b>-v<next> keeps its data
+      // and this maintenance pass fails loudly as a conflict
+      val stagingPath = newStagingDir(s"zorder-v$next")
       val rewritten = m.map { case (b, d) =>
         val dest = s"b$b-v$next"
         spark.read.parquet(s"$path/$d")
@@ -370,9 +422,14 @@ class CdcTable(
           .repartitionByRange(filesPerBucket, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(stagingPath.resolve(dest).toString)
         b -> dest
       }
+      rewritten.foreach { case (_, dest) =>
+        publishDir(stagingPath.resolve(dest), dest)
+      }
+      deleteRecursively(stagingPath)
       // one scan of the rewritten (batch-sized, not table-sized) data
       // computes per-file stats for every clustered column; all-null
       // files get no stats line and simply stay unpruned
@@ -462,12 +519,20 @@ class CdcTable(
     if (fragmented.isEmpty) None
     else {
       val next = v + 1
+      // same staged-publish discipline as clusterZOrder: never
+      // Overwrite a final bucket-dir name before the manifest CAS
+      val stagingPath = newStagingDir(s"compact-v$next")
       val rewritten = fragmented.map { case (b, d) =>
         val dest = s"b$b-v$next"
         spark.read.parquet(s"$path/$d").coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/$dest")
+          .write.mode(SaveMode.Overwrite)
+          .parquet(stagingPath.resolve(dest).toString)
         b -> dest
       }
+      rewritten.foreach { case (_, dest) =>
+        publishDir(stagingPath.resolve(dest), dest)
+      }
+      deleteRecursively(stagingPath)
       writeManifest(next, m ++ rewritten)
       Some(next)
     }

@@ -66,11 +66,20 @@ object TrigramKernel {
   /** Shared by interpreted eval and generated code. Walks the UTF-8
     * bytes directly — code-point units match `UTF8String.numChars`,
     * i.e. exactly the units Spark's `length`/`substring` address.
+    *
+    * UTF8String contents are NOT guaranteed valid UTF-8 (e.g. binary
+    * cast to string), so every continuation-byte read is bounded by
+    * the buffer: a truncated multi-byte sequence at the end decodes as
+    * one terminal code point instead of reading past the array —
+    * matching `UTF8String.numChars`' tolerance of malformed input.
+    * `cps` is sized by the BYTE count (each loop step consumes ≥ 1
+    * byte and emits exactly one code point), not `numChars()`, whose
+    * malformed-input stepping differs from this walk.
     */
   def uniqueCount(text: UTF8String): Long = {
     val bytes = text.getBytes
     val nb = bytes.length
-    val cps = new Array[Int](text.numChars())
+    val cps = new Array[Int](nb)
     var ci = 0
     var o = 0
     while (o < nb) {
@@ -78,13 +87,19 @@ object TrigramKernel {
       if (b0 < 0x80) {
         cps(ci) = b0; o += 1
       } else if (b0 < 0xe0) {
-        cps(ci) = ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f); o += 2
+        if (o + 2 <= nb) {
+          cps(ci) = ((b0 & 0x1f) << 6) | (bytes(o + 1) & 0x3f); o += 2
+        } else { cps(ci) = b0; o = nb }
       } else if (b0 < 0xf0) {
-        cps(ci) = ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
-          (bytes(o + 2) & 0x3f); o += 3
+        if (o + 3 <= nb) {
+          cps(ci) = ((b0 & 0x0f) << 12) | ((bytes(o + 1) & 0x3f) << 6) |
+            (bytes(o + 2) & 0x3f); o += 3
+        } else { cps(ci) = b0; o = nb }
       } else {
-        cps(ci) = ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
-          ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f); o += 4
+        if (o + 4 <= nb) {
+          cps(ci) = ((b0 & 0x07) << 18) | ((bytes(o + 1) & 0x3f) << 12) |
+            ((bytes(o + 2) & 0x3f) << 6) | (bytes(o + 3) & 0x3f); o += 4
+        } else { cps(ci) = b0; o = nb }
       }
       ci += 1
     }

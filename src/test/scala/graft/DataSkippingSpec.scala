@@ -59,6 +59,24 @@ class DataSkippingSpec extends AnyFunSuite {
       full.orderBy("id").collect().toSeq)
   }
 
+  test("lookup normalizes key types to the committed PK types") {
+    import spark.implicits._
+    val t = seed(tmp("skiplt"), nBuckets = 8)
+    // xxhash64 hashes values AS TYPED: an INT key column against the
+    // table's BIGINT PK would hash to different buckets and the pruned
+    // read would silently return nothing. lookup must cast first.
+    val intKeys = Seq(3, 7, 250).toDF("id") // IntegerType, table is LongType
+    val got = t.lookup(intKeys).get
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 7L, 250L))
+    // string-typed keys normalize the same way
+    val strKeys = Seq("3", "250").toDF("id")
+    assert(t.lookup(strKeys).get.select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 250L))
+    // a keys frame missing the PK column fails fast, not silently empty
+    intercept[Exception] { t.lookup(Seq(1L).toDF("nope")).get.collect() }
+  }
+
   test("clusterBy records per-file stats; scanWhere prunes and stays exact") {
     import spark.implicits._
     val t = seed(tmp("skipcl"), nBuckets = 4)

@@ -101,6 +101,40 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.changeFeed(cv).get.isEmpty)
   }
 
+  test("change feed degrades to None when the pre-image manifest is gone") {
+    val dir = tmp("cfvac")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    assert(t.changeFeed(1L).nonEmpty)
+    // a manifest-pruning cleanup dropped v0: the feed for v1 can no
+    // longer resolve its pre-image — graceful None, like stateAt
+    Files.delete(Paths.get(dir, "manifest-0.json"))
+    assert(t.changeFeed(1L).isEmpty)
+    assert(t.changeFeed(0L).isEmpty) // and the vacuumed version itself
+  }
+
+  test("maintenance rewrites never clobber a concurrently committed bucket dir") {
+    val dir = tmp("maintrace")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    // simulate a racing writer that already PUBLISHED a bucket dir for
+    // the version this compaction will target (v1)
+    val foreign = Paths.get(dir, "b0-v1")
+    Files.createDirectories(foreign)
+    val marker = foreign.resolve("committed-by-other-writer")
+    Files.write(marker, "x".getBytes)
+    intercept[graft.cdc.ConcurrentCommitException] { t.compact(minFiles = 1) }
+    // the other writer's data is intact and no manifest was committed
+    assert(Files.exists(marker), "racing writer's published data was clobbered")
+    assert(t.currentVersion.contains(0L))
+    assert(t.state.get.count() == 108)
+    // clusterZOrder takes the same staged-publish path
+    intercept[graft.cdc.ConcurrentCommitException] { t.clusterBy("EMPLOYEE_ID") }
+    assert(Files.exists(marker))
+    assert(t.currentVersion.contains(0L))
+  }
+
   test("commit is a version CAS: concurrent writers conflict, crashed " +
       "_LATEST pointers roll forward") {
     val dir = tmp("cas")

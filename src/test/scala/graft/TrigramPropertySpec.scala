@@ -44,6 +44,33 @@ class TrigramPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("malformed UTF-8 (truncated multi-byte tails) never reads out of bounds") {
+    // UTF8String contents are not guaranteed valid UTF-8 — e.g. binary
+    // cast to string. A truncated sequence at the buffer end must
+    // decode as a terminal code point, not throw AIOOBE and kill the
+    // task. Exact counts are unspecified for malformed input; the
+    // contract is "total and plausible".
+    val truncated = Seq(
+      Array(0xc3),                   // lone 2-byte lead
+      Array(0xe2, 0x82),             // truncated 3-byte (€)
+      Array(0xf0, 0x9f, 0x92),       // truncated 4-byte (emoji)
+      Array(0x80, 0x81, 0x82, 0x83), // bare continuation bytes
+      "abcd".getBytes("UTF-8").map(_ & 0xff).toSeq.toArray ++ Array(0xf4))
+    truncated.foreach { raw =>
+      val u = UTF8String.fromBytes(raw.map(_.toByte))
+      val n = TrigramKernel.uniqueCount(u)
+      assert(n >= 0L && n <= raw.length.toLong, s"count $n for ${raw.toSeq}")
+    }
+    // property: NO byte array, valid or not, throws
+    val anyBytes = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    val prop = Prop.forAll(anyBytes) { bs =>
+      TrigramKernel.uniqueCount(UTF8String.fromBytes(bs)) >= 0L
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kernel matches on pathological repeats and near-collisions") {
     // packing is 21 bits per code point: adjacent code points differing
     // only in high bits must not collide with shifted combinations

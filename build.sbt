@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's output through raw instead of relaying it
+// line-by-line through sbt's logger: the "[info] " prefix otherwise
+// lands in front of Bench's one-line JSON and breaks any strict
+// line-oriented parse of the run output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -167,6 +167,35 @@ object DedupQueries {
         .limit(20)
     },
 
+    // ---- dedup-aware train/val/test split (leakage guard) ----
+    // the split a training build actually needs: assignment is by
+    // NEAR-DUP CLUSTER, not by document — hashing doc ids would put
+    // two near-identical documents on opposite sides of the train/eval
+    // wall and leak the eval set. Every doc inherits its cluster label
+    // (its own id when unclustered), and `cluster % 10` buckets whole
+    // clusters into 80/10/10. Cost = the d06 clustering + one linear
+    // pass; the invariant (no cluster straddles splits) is proved in
+    // DedupKernelSpec on the pair relation itself.
+    "d12_leakage_split" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id", $"lang")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8))
+        .select($"id".as("doc_id"), $"cluster")
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .select($"doc_id",
+          coalesce($"cluster", $"doc_id").as("cluster"))
+        .withColumn("split",
+          when(pmod($"cluster", lit(10)) <= 7, "train")
+            .when(pmod($"cluster", lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"cluster").as("n_clusters"))
+        .orderBy($"split")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -298,6 +327,31 @@ object DedupQueries {
          |  GROUP BY 1)
          |SELECT sz, COUNT(*) AS n_clusters
          |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "d12_leakage_split" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges) n
+         |  UNION
+         |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x),
+         |clusters AS (SELECT x AS doc_id, MIN(label) AS cluster
+         |             FROM reach GROUP BY x),
+         |assigned AS (
+         |  SELECT doc.doc_id,
+         |    COALESCE(c.cluster, doc.doc_id) AS cluster,
+         |    CASE WHEN COALESCE(c.cluster, doc.doc_id) % 10 <= 7 THEN 'train'
+         |         WHEN COALESCE(c.cluster, doc.doc_id) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents doc LEFT JOIN clusters c ON doc.doc_id = c.doc_id)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT cluster) AS n_clusters
+         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "d10_repeated_ngrams" ->
       """WITH toks AS (

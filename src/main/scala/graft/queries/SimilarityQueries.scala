@@ -115,6 +115,16 @@ object SimilarityQueries {
       Similarity.ivfTopK(queriesDf(s, d),
           corpusDf(s, d).select($"id", $"vec"), K)
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- PQ-ADC ANN: code-compressed scan + exact re-rank ----
+    // (quantizer-defined like s03/s04 → rows-only check; recall vs
+    // brute force gated in VectorSpec)
+    "s08_pq_adc" -> { (s, d) =>
+      import s.implicits._
+      Similarity.pqTopK(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), K)
+        .orderBy($"qid", $"rank")
     }
   )
 

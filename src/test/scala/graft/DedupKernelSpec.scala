@@ -227,4 +227,31 @@ class DedupKernelSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((3L, 4L)))
   }
+
+  test("dedup-aware split: no near-dup pair ever straddles a split boundary") {
+    import spark.implicits._
+    // the d12 leakage invariant, checked against the PAIR relation
+    // itself (not the summary the oracle compares): both endpoints of
+    // every near-dup edge must land in the same split
+    val docs = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"id".as("doc_id"), $"cluster")
+    val split = docs.select($"doc_id")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+      .withColumn("split",
+        when(pmod($"cluster", lit(10)) <= 7, "train")
+          .when(pmod($"cluster", lit(10)) === 8, "val")
+          .otherwise("test"))
+    val straddling = pairs
+      .join(split.select($"doc_id".as("a"), $"split".as("sa")), "a")
+      .join(split.select($"doc_id".as("b"), $"split".as("sb")), "b")
+      .filter($"sa" =!= $"sb")
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    assert(straddling.isEmpty, "near-dup pair crossed the train/eval wall")
+    // and all three splits are populated at this corpus size
+    assert(split.select($"split").distinct().count() == 3)
+  }
 }

@@ -67,6 +67,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s08: PQ encode stays inside whole-stage codegen; shortlist re-rank " +
+      "broadcasts") {
+    val df = SparkEntry.queries("s08_pq_adc")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages print
+    val p = df.queryExecution.executedPlan.toString
+    // the fused PqCodes kernel must not fall out of codegen: the line
+    // projecting pqcodes(...) carries a "*(n)" whole-stage-codegen mark
+    val codesLine = p.linesIterator.find(_.contains("pqcodes"))
+    assert(codesLine.exists(_.contains("*(")),
+      s"pqcodes projection not inside a codegen stage:\n$p")
+    // full corpus vectors are touched only via broadcast joins (the
+    // Q-pass ADC scan and the shortlist re-rank) — no sort-merge join
+    // anywhere: nothing shuffles the corpus by key
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d09: benchmark side broadcasts; corpus side joins without shuffle") {
     val p = plan("d09_decontam")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -37,6 +37,7 @@ class SparkEntrySpec extends AnyFunSuite {
   test("rows-only queries are the documented hash-defined set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d03_simhash_pairs", "s03_ann_lsh",
-      "s04_ann_ivf", "m03_fake_features", "q30_approx_sketches"), rowsOnly)
+      "s04_ann_ivf", "s08_pq_adc", "m03_fake_features",
+      "q30_approx_sketches"), rowsOnly)
   }
 }

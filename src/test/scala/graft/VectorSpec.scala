@@ -89,5 +89,59 @@ class VectorSpec extends AnyFunSuite {
     // learned spherical-k-means cells must not regress below the
     // lowest-id-centroid baseline this replaced (0.88)
     assert(ivfRecall >= 0.88)
+
+    val pq = Similarity.pqTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (exact & pq).size.toDouble / exact.size
+    info(s"PQ-ADC recall@10 = $pqRecall (m=16 ksub=32, shortlist=50, re-ranked)")
+    // the ADC shortlist (50 of 500) + exact re-rank must recover the
+    // exact top-10 almost completely on this corpus
+    assert(pqRecall >= 0.85)
+  }
+
+  test("PQ kernels: codegen path equals a hand-rolled reference; " +
+      "length mismatch yields null") {
+    import spark.implicits._
+    import graft.functions.ProductQuantizer
+    // 2 subspaces × 2 codes × 2 dims
+    val cb: IndexedSeq[IndexedSeq[Seq[Float]]] = IndexedSeq(
+      IndexedSeq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      IndexedSeq(Seq(-1.0f, 0.0f), Seq(0.5f, 0.5f)))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.4f, 0.6f)), // sub0 → code0, sub1 → code1
+      (2L, Seq(0.0f, 2.0f, -1.0f, 0.0f)), // sub0 → code1, sub1 → code0
+      (3L, Seq(1.0f, 0.0f))               // wrong length → null
+    ).toDF("id", "vec")
+    val got = df.select($"id", ProductQuantizer.codes($"vec", cb).as("c"),
+        ProductQuantizer.lut($"vec", cb).as("l"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Int](1),
+        if (r.isNullAt(2)) null else r.getSeq[Double](2))).toSeq
+    assert(got(0)._2 == Seq(0, 1))
+    assert(got(1)._2 == Seq(1, 0))
+    assert(got(2)._2 == null && got(2)._3 == null)
+    // LUT of row 1 (the kernel unit-normalizes the input first):
+    // [q̂0·c00, q̂0·c01, q̂1·c10, q̂1·c11]
+    val n = math.sqrt(0.9 * 0.9 + 0.1 * 0.1 + 0.4 * 0.4 + 0.6 * 0.6)
+    val l0 = got(0)._3
+    assert(math.abs(l0(0) - 0.9 / n) < 1e-6 && math.abs(l0(1) - 0.1 / n) < 1e-6)
+    assert(math.abs(l0(2) - (-0.4 / n)) < 1e-6 &&
+      math.abs(l0(3) - (0.4 / n + 0.6 / n) / 2) < 1e-6)
+  }
+
+  test("PQ encode/score is deterministic and ranks self-similar vectors first") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val a = Similarity.pqTopK(qs, corpus, 5).collect().map(_.toString).sorted.toSeq
+    val b = Similarity.pqTopK(qs, corpus, 5).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "pqTopK must replay identically (no RNG anywhere)")
+    // ranks are contiguous 1..5 per query
+    val ranks = Similarity.pqTopK(qs, corpus, 5)
+      .groupBy($"qid").agg(collect_list($"rank").as("rs")).collect()
+    ranks.foreach(r =>
+      assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3, 4, 5), r.toString))
   }
 }

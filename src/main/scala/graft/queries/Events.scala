@@ -223,6 +223,43 @@ object Events {
         .orderBy($"ws_us", $"event_type")
     },
 
+    // ---- transformWithState parity: per-user running totals on the
+    //      Spark 4.x arbitrary-state API (RocksDB-backed ValueState).
+    //      Append sink rows carry a per-key batch seq; the final state
+    //      is the max-seq row per user, so the oracle holds under any
+    //      file-source batching (see graft.streaming.StateV2) ----
+    "q56_stream_state_v2" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .filter($"user_id" % 10 === 0) // same deterministic sample as q45
+        .select($"user_id".as[Long], $"value".as[Double])
+      val out = graft.streaming.StateV2.runningTotals(stream)
+      val prevProv = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(s, 4) {
+        val q = out.toDF().writeStream
+          .format("memory").queryName("q56_stream_state_v2_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally prevProv match {
+        case Some(p) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"seq".desc)
+      s.table("q56_stream_state_v2_sink")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"n_events", $"total_value")
+        .orderBy($"user_id")
+    },
+
     "q41_stream_dedup" -> { (s, d) =>
       import s.implicits._
       val schema = load(s, d, "events").schema
@@ -281,6 +318,12 @@ object Events {
     // alignment Spark's window() uses for a UTC session
     "q46_sliding_window" -> slidingSql,
     "q55_stream_sliding" -> slidingSql,
+
+    "q56_stream_state_v2" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events WHERE user_id % 10 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+
+/** Arbitrary stateful processing on the `transformWithState` API (the
+  * Spark 4.x successor of `flatMapGroupsWithState`, backed by the
+  * RocksDB state store with fine-grained typed state): per-user
+  * running totals maintained in a `ValueState`.
+  *
+  * Determinism under ANY batching: long additions are commutative, so
+  * the ACCUMULATED state after the last batch is batching-independent
+  * even though which rows arrive per micro-batch is not. Each
+  * `handleInputRows` call emits the state with a per-key `seq` that
+  * increments once per batch; the batch-side consumer keeps the
+  * max-`seq` row per key — the final totals — so the parity oracle
+  * holds whether the file source delivered one batch or fifty.
+  *
+  * Money-exact accumulation: values are fixed to 4 decimal places
+  * (HALF_UP, the DECIMAL(18,4) contract every other money aggregate
+  * in this engine uses) and summed as scaled longs — order-insensitive
+  * and overflow-checked, unlike a running double sum.
+  *
+  * Scale: state is one small row per key, partitioned by the grouping
+  * key across the state store's shuffle partitions; no driver state,
+  * no unbounded growth (TTL is available via TTLConfig for keys that
+  * must expire — unused here because the parity query is bounded).
+  */
+object StateV2 {
+
+  case class Totals(seq: Long, n: Long, cents: Long)
+  case class TotalsOut(user_id: Long, seq: Long, n_events: Long,
+      total_value: Double)
+
+  class RunningTotals extends StatefulProcessor[Long, (Long, Double), TotalsOut] {
+    @transient private var state: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[TotalsOut] = {
+      val prev = Option(state.get()).getOrElse(Totals(0L, 0L, 0L))
+      var n = prev.n
+      var cents = prev.cents
+      rows.foreach { case (_, v) =>
+        n += 1
+        cents = math.addExact(cents,
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .underlying.unscaledValue.longValueExact)
+      }
+      val cur = Totals(prev.seq + 1, n, cents)
+      state.update(cur)
+      Iterator.single(TotalsOut(key, cur.seq, n, cents / 10000.0))
+    }
+  }
+
+  /** (user_id, value) stream → per-batch cumulative totals per user;
+    * keep the max-`seq` row per user for the final state. */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[TotalsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotals, TimeMode.None(),
+        OutputMode.Append())
+  }
+}

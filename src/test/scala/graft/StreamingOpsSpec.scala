@@ -98,4 +98,48 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
     } finally q.stop()
   }
+
+  test("transformWithState running totals accumulate across batches; " +
+      "max-seq row is the batching-independent final state") {
+    import spark.implicits._
+    import graft.streaming.StateV2
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Double)]
+    val q = StateV2.runningTotals(input.toDS()).toDF().writeStream
+      .format("memory").queryName("twstate_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1.5), (2L, 2.0), (1L, 0.125))
+      q.processAllAvailable()
+      input.addData((1L, 0.25)) // second batch touches only user 1
+      q.processAllAvailable()
+      val rows = spark.table("twstate_sink")
+        .as[StateV2.TotalsOut].collect()
+      // user 1 saw two batches: seq rows 1 and 2, cumulative totals
+      val u1 = rows.filter(_.user_id == 1L).sortBy(_.seq)
+      assert(u1.map(_.seq).toSeq == Seq(1L, 2L))
+      assert(u1.last.n_events == 3 && u1.last.total_value == 1.875)
+      // user 2 saw one batch
+      val u2 = rows.filter(_.user_id == 2L)
+      assert(u2.map(_.seq).toSeq == Seq(1L))
+      assert(u2.head.n_events == 1 && u2.head.total_value == 2.0)
+      // the q56 reduction (max seq per key) equals a batch groupBy
+      val finals = rows.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.seq)).values.map(t =>
+          (t.user_id, t.n_events, t.total_value)).toSet
+      assert(finals == Set((1L, 3L, 1.875), (2L, 1L, 2.0)))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

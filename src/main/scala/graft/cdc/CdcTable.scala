@@ -564,6 +564,20 @@ class CdcTable(
       })
   }
 
+  /** Remove staging directories a crashed writer left behind (staging
+    * names carry a nonce, so a dead writer's dir is never reused).
+    * Age-gated by last-modified time: a LIVE writer's staging dir is
+    * actively written and far younger than `maxAgeMs` — the same
+    * safety argument lakehouse vacuum makes for uncommitted files. */
+  def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    withListing(dir)(_.toSeq)
+      .filter(p => p.getFileName.toString.startsWith("_staging-") &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map { p => deleteRecursively(p); p.getFileName.toString }
+      .sorted
+  }
+
   private def vacuumKeeping(versions: Seq[Long]): Seq[String] = {
     val keep = versions.flatMap(k => manifest(k).values).toSet
     val removed = withListing(dir)(_.toSeq)

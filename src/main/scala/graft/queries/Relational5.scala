@@ -32,6 +32,17 @@ object Relational5 {
       s.sql(sharedSql)
     },
 
+    // ---- correlated SCALAR subquery through the SQL analyzer ----
+    // Catalyst decorrelates the COUNT subquery into an outer join +
+    // aggregate; the capability trap is COUNT over an empty correlated
+    // group, which must be 0, not NULL (sf0.1 contains a zero-order
+    // customer that sits exactly on that edge)
+    "q57_scalar_subquery" -> { (s, d) =>
+      load(s, d, "customer").createOrReplaceTempView("customer")
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(scalarSubquerySql)
+    },
+
     // ---- GROUPING SETS via the shared-SQL path ----
     "q39_grouping_sets" -> { (s, d) =>
       load(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -190,8 +201,21 @@ FROM customer c, LATERAL (
 WHERE c.c_custkey <= 50
 ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
 
+  /** Shared-SQL like q38: the identical text runs in both engines.
+    * The correlated scalar COUNT must decorrelate to 0 (never NULL)
+    * for customers with no orders. */
+  val scalarSubquerySql: String =
+    """SELECT c_custkey,
+  (SELECT COUNT(*) FROM orders o
+   WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) <= 2
+ORDER BY c_custkey"""
+
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
+    "q57_scalar_subquery" -> scalarSubquerySql,
     "q50_lateral" -> lateralSql,
     "q40_small_qty_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0

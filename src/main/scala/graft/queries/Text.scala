@@ -244,6 +244,44 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- interpolated bigram LM scoring ----
+    // the next rung above t13's unigram model: per position,
+    // p = 0.7·p(w2|w1) + 0.3·p(w2), score = mean −ln p. Counts are
+    // two hash aggregates (bigram- and unigram-keyed, both map-side
+    // partial); the score pass joins on token-sized keys — shuffled,
+    // not broadcast, for the same reason as t13 (a 100 TB corpus's
+    // n-gram table is itself large). Arithmetic is written in the
+    // exact same operation order as the oracle; the decimal-summed
+    // mean keeps the result order-insensitive.
+    "t14_bigram_lm" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val toks = docs.select($"doc_id", explode(tokens($"text")).as("tk"))
+      val ugc = toks.groupBy($"tk").agg(count(lit(1)).as("c"))
+      val total = ugc.agg(sum($"c").as("n_corpus"))
+      val bg = docs
+        .select($"doc_id", tokens($"text").as("t"))
+        .filter(size($"t") >= 2)
+        .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 1),
+          i => struct(element_at($"t", i).as("w1"),
+            element_at($"t", i + 1).as("w2")))).as("p"))
+        .select($"doc_id", $"p.w1", $"p.w2")
+      val bgc = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("cbg"))
+      bg.join(bgc, Seq("w1", "w2"))
+        .join(ugc.select($"tk".as("w1"), $"c".as("c1")), "w1")
+        .join(ugc.select($"tk".as("w2"), $"c".as("c2")), "w2")
+        .crossJoin(broadcast(total))
+        .select($"doc_id",
+          (-log(lit(0.7) * ($"cbg".cast("double") / $"c1") +
+            lit(0.3) * ($"c2".cast("double") / $"n_corpus"))).as("nlp"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum($"nlp".cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 6).as("avg_neg_logp2"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -409,6 +447,30 @@ object Text {
         |  round(CAST(SUM(CAST(-ln(CAST(c AS DOUBLE) / n_corpus)
         |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
         |FROM toks JOIN tf USING (tk), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t14_bigram_lm" ->
+      """WITH toksl AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, u AS tk
+        |  FROM documents, unnest(string_split(text,' ')) s(u)),
+        |ugc AS (SELECT tk, COUNT(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM ugc),
+        |bg AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |          i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+        |        FROM toksl WHERE len(t) >= 2) s),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(-ln(0.7 * (CAST(cbg AS DOUBLE) / c1.c) +
+        |      0.3 * (CAST(c2.c AS DOUBLE) / n_corpus))
+        |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp2
+        |FROM bg
+        |JOIN bgc USING (w1, w2)
+        |JOIN ugc c1 ON bg.w1 = c1.tk
+        |JOIN ugc c2 ON bg.w2 = c2.tk, n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t12_vocab_growth" ->

@@ -135,6 +135,22 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.currentVersion.contains(0L))
   }
 
+  test("sweepStaging removes only aged-out crashed-writer staging dirs") {
+    val dir = tmp("sweep")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val dead = Paths.get(dir, "_staging-batch-v9-deadbeef")
+    Files.createDirectories(dead)
+    Files.write(dead.resolve("part-0.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+    val fresh = Paths.get(dir, "_staging-zorder-v9-cafecafe")
+    Files.createDirectories(fresh) // a live writer: too young to sweep
+    assert(t.sweepStaging() == Seq("_staging-batch-v9-deadbeef"))
+    assert(!Files.exists(dead) && Files.exists(fresh))
+    assert(t.state.get.count() == 108) // committed data untouched
+  }
+
   test("commit is a version CAS: concurrent writers conflict, crashed " +
       "_LATEST pointers roll forward") {
     val dir = tmp("cas")

@@ -43,7 +43,10 @@ object ScaleCheck {
     "d01_exact_dedup", "d02_minhash_pairs", "d04_blocked_jaccard",
     "s01_cosine_topk", "q46_sliding_window", "t09_tfidf",
     "d09_decontam", "d10_repeated_ngrams", "q53_corr_stats",
-    "t13_lm_score", "p01_train_pipeline")
+    "t13_lm_score", "p01_train_pipeline",
+    // round 4
+    "s08_pq_adc", "d12_leakage_split", "t14_bigram_lm",
+    "q56_stream_state_v2", "q57_scalar_subquery")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

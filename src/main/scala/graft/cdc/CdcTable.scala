@@ -8,10 +8,15 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** Thrown when a commit loses the version CAS to another writer; the
-  * caller re-reads the current version and retries (retryable in the
-  * reference's failure taxonomy, cf. graft.util.Retry). */
-class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+/** Thrown when a commit loses the version CAS (or a bucket-dir
+  * publish) to another writer; the caller re-reads the current
+  * version and retries. Extends the RECOVERABLE side of the failure
+  * taxonomy, so any commit op wrapped in `Retry.withBackoff` retries
+  * the lost race automatically — the same classification the
+  * reference gives transient control-plane faults
+  * (util/Utils.java:457-486). */
+class ConcurrentCommitException(msg: String)
+  extends graft.util.Retry.RecoverableSourceException(msg)
 
 /** Bucket-partitioned, versioned parquet table used as the CDC merge
   * target — a deliberately tiny stand-in for a lakehouse format (the

@@ -135,6 +135,28 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.currentVersion.contains(0L))
   }
 
+  test("a lost commit race is recoverable: Retry re-reads and lands on " +
+      "the next version") {
+    val dir = tmp("casretry")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val m0 = Paths.get(dir, "manifest-0.json")
+    // another writer beats us to version 1
+    Files.copy(m0, Paths.get(dir, "manifest-1.json"))
+    var attempt = 0
+    val committed = graft.util.Retry.withBackoff(
+      graft.util.Retry.Policy(initialDelayMs = 1), _ => ()) {
+      attempt += 1
+      // first attempt uses the STALE version read (the race); the
+      // retry re-reads and commits past the other writer
+      val next = if (attempt == 1) 1L else t.currentVersion.get + 1
+      t.writeManifest(next, Map(0 -> "b0-v0"))
+      next
+    }
+    assert(attempt == 2 && committed == 2L)
+    assert(t.currentVersion.contains(2L))
+  }
+
   test("sweepStaging removes only aged-out crashed-writer staging dirs") {
     val dir = tmp("sweep")
     val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)

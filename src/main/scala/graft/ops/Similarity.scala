@@ -428,6 +428,21 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Exact cosine RANGE search: every corpus vector with cos ≥ minCos
+    * per query — the unbounded-answer complement of [[bruteForceTopK]]
+    * (top-k caps the result; a dedup probe or contamination audit
+    * needs ALL matches). Same scale shape: Q broadcast passes over a
+    * linearly-scanned corpus, fused cosine per pair, no shuffle of
+    * the corpus. For corpus×corpus range joins use
+    * [[cosineRangePairs]] (bucketed, no Q-pass assumption). */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      minCos: Double): DataFrame =
+    broadcast(queries).crossJoin(corpus)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("qid"), col("id"), col("cos"))
+
   /** kNN majority-vote classification from a top-k result joined to
     * labels: per qid the most frequent label, smallest label on ties. */
   def knnClassify(topk: DataFrame, labels: DataFrame): DataFrame = {

@@ -196,6 +196,42 @@ object DedupQueries {
         .orderBy($"split")
     },
 
+    // ---- boilerplate span coverage ----
+    // the measurement behind "strip duplicated spans": what fraction
+    // of each document's token positions is covered by a verbatim
+    // 8-gram shared with at least one OTHER distinct document. One
+    // positional gram explode, a per-doc-distinct frequency table,
+    // and a position-union aggregate — explode volume is 8× tokens
+    // (bounded), every stage is a hash aggregate or equi-join, no
+    // pairwise work anywhere, so the shape is scan-linear at 100 TB.
+    "d13_boilerplate_cover" -> { (s, d) =>
+      import s.implicits._
+      val toks = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("t"))
+        .filter(size($"t") >= 8)
+      val grams = toks.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"t") - 7),
+          i => struct(i.as("i"),
+            array_join(slice($"t", i, lit(8)), " ").as("g")))).as("p"))
+        .select($"doc_id", $"p.i", $"p.g")
+      val freq = grams.select($"g", $"doc_id").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"g")
+      val covered = grams.join(freq, "g")
+        .select($"doc_id", explode(sequence($"i", $"i" + 7)).as("pos"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
+      toks.select($"doc_id", size($"t").cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"n_covered", lit(0L)).as("n_covered"),
+          round(coalesce($"n_covered", lit(0L)).cast("double") / $"n_tokens", 6)
+            .as("boilerplate_frac"))
+        .orderBy($"doc_id")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -363,6 +399,32 @@ object DedupQueries {
         |SELECT g, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM g GROUP BY 1 HAVING COUNT(*) >= 2
         |ORDER BY n_docs DESC, g LIMIT 20""".stripMargin,
+
+    "d13_boilerplate_cover" ->
+      """WITH toksl AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |  WHERE len(string_split(text,' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id, u.i AS i, u.g AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |          i -> struct_pack(i := i,
+        |            g := array_to_string(t[i:i+7], ' ')))) AS u
+        |        FROM toksl) s),
+        |freq AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM g) dg
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(range(i, i + 8)) AS p
+        |  FROM g JOIN freq USING (g)),
+        |covc AS (
+        |  SELECT doc_id, COUNT(*) AS n_covered
+        |  FROM (SELECT DISTINCT doc_id, p FROM cov0) c GROUP BY 1)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+        |  round(CAST(COALESCE(c.n_covered, 0) AS DOUBLE) / len(t.t), 6)
+        |    AS boilerplate_frac
+        |FROM toksl t LEFT JOIN covc c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

@@ -117,6 +117,14 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- exact cosine range search (all matches, not top-k) ----
+    "s09_range_search" -> { (s, d) =>
+      import s.implicits._
+      Similarity.rangeSearch(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), minCos = 0.3)
+        .orderBy($"qid", $"id")
+    },
+
     // ---- PQ-ADC ANN: code-compressed scan + exact re-rank ----
     // (quantizer-defined like s03/s04 → rows-only check; recall vs
     // brute force gated in VectorSpec)
@@ -143,6 +151,10 @@ object SimilarityQueries {
        |  AND q.vec_id <> c.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s09_range_search" ->
+      s"""SELECT qid, id, cos FROM ($topkSql) t
+         |WHERE cos >= 0.3 ORDER BY qid, id""".stripMargin,
+
     "s06_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |  CAST(t.pos AS BIGINT) AS pos, COUNT(*) AS n,

@@ -282,6 +282,27 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- BPE-style regex token counting (tokenizer fertility) ----
+    // the pre-training budget estimate: whitespace words vs GPT-2-ish
+    // regex pretokens (leading-space word / number / punctuation runs
+    // — the lookahead-free RE2-safe subset, so the IDENTICAL pattern
+    // runs in Spark's Java regex and DuckDB's RE2). fertility =
+    // pretokens per word, the number tokenizer planning actually
+    // uses. One linear projection, no shuffle beyond the sort.
+    "t15_bpe_count" -> { (s, d) =>
+      import s.implicits._
+      val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_words"),
+          size(regexp_extract_all($"text", lit(pat), lit(0)))
+            .cast("long").as("n_pretokens"))
+        .withColumn("fertility",
+          round($"n_pretokens".cast("double") / $"n_words", 6))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -448,6 +469,17 @@ object Text {
         |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
         |FROM toks JOIN tf USING (tk), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t15_bpe_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT)
+        |    AS n_pretokens,
+        |  round(CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE)
+        |    / len(string_split(text,' ')), 6) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t14_bigram_lm" ->
       """WITH toksl AS (

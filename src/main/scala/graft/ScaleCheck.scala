@@ -46,7 +46,8 @@ object ScaleCheck {
     "t13_lm_score", "p01_train_pipeline",
     // round 4
     "s08_pq_adc", "d12_leakage_split", "t14_bigram_lm",
-    "q56_stream_state_v2", "q57_scalar_subquery")
+    "q56_stream_state_v2", "q57_scalar_subquery",
+    "d13_boilerplate_cover", "s09_range_search", "t15_bpe_count")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

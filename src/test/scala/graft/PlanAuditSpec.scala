@@ -84,6 +84,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d13: boilerplate coverage has no pairwise stage — equi-joins and " +
+      "hash aggregates only") {
+    val p = plan("d13_boilerplate_cover")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the gram-frequency aggregate combines map-side before shuffling
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("d09: benchmark side broadcasts; corpus side joins without shuffle") {
     val p = plan("d09_decontam")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -507,6 +507,28 @@ class CdcTable(
         col(c) <= lit(hi.underlying()))
     }
 
+  /** Zero-copy (shallow) clone at version `v`: a NEW table at
+    * `destPath` whose version-0 manifest references THIS table's
+    * committed bucket dirs — no data is copied, the Delta/Iceberg
+    * SHALLOW CLONE semantics. The clone evolves independently: its
+    * own commits write under its own root and re-point buckets away
+    * from the source; untouched buckets keep reading the source's
+    * immutable dirs. Caveat (same as every shallow clone): vacuuming
+    * the SOURCE can drop dirs a clone still references — deep-copy
+    * before vacuum if clones must outlive source retention. Returns
+    * None if version `v` is not readable. */
+  def cloneAt(v: Long, destPath: String): Option[CdcTable] =
+    if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
+    else {
+      val clone = new CdcTable(spark, destPath, pkCols, numBuckets)
+      val rel = Paths.get(destPath).toAbsolutePath.normalize
+        .relativize(dir.toAbsolutePath.normalize)
+      clone.writeManifest(0L, manifest(v).map { case (b, d) =>
+        b -> s"$rel/$d"
+      })
+      Some(clone)
+    }
+
   /** Compaction (OPTIMIZE analog): rewrite fragmented buckets as a
     * single coalesced file set and commit a new manifest. Run
     * periodically where streaming produces many small files per batch

@@ -175,6 +175,23 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    // zero-copy clone: a shallow clone at version 2 must read exactly
+    // the version-2 state (it shares c10's golden oracle) without
+    // copying a byte — the clone's manifest references the source's
+    // immutable bucket dirs
+    "c17_clone" -> { (s, _) =>
+      import s.implicits._
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft-clone").toString
+      val clone = replayedTable(s).cloneAt(2L, dest).get
+      clone.state.get
+        .select($"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+        .orderBy($"employee_id")
+    },
+
     // schema drift through the merge: batch 1 adds a column; the
     // widened state serves old rows with NULL and the DDL log records
     // CREATE_TABLE then ALTER_TABLE (reference:
@@ -398,5 +415,6 @@ object CdcPipeline {
         |ORDER BY c_custkey""".stripMargin
   ) ++ CdcGoldenOracles.map ++
     Map("c15_json_decode" -> CdcGoldenOracles.map("c07_decode_cdc"),
-      "c16_stream_e2e" -> CdcGoldenOracles.map("c02_cdc_final_state"))
+      "c16_stream_e2e" -> CdcGoldenOracles.map("c02_cdc_final_state"),
+      "c17_clone" -> CdcGoldenOracles.map("c10_time_travel"))
 }

@@ -223,6 +223,25 @@ object Events {
         .orderBy($"ws_us", $"event_type")
     },
 
+    // ---- gap filling: forward-fill a sparse metric per user ----
+    // the time-series staple: only purchases carry the metric;
+    // every event sees the most recent purchase value via
+    // last_value(IGNORE NULLS) over a running frame — one window,
+    // one shuffle on user_id, values pass through bit-exact ----
+    "q58_forward_fill" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ev(s, d)
+        .select($"user_id", $"event_id", unix_micros($"t").as("ts_us"),
+          when($"event_type" === "purchase", $"value").as("v"))
+        .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+        .select($"user_id", $"event_id", $"ts_us", $"filled")
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    },
+
     // ---- transformWithState parity: per-user running totals on the
     //      Spark 4.x arbitrary-state API (RocksDB-backed ValueState).
     //      Append sink rows carry a per-key batch seq; the final state
@@ -318,6 +337,17 @@ object Events {
     // alignment Spark's window() uses for a UTC session
     "q46_sliding_window" -> slidingSql,
     "q55_stream_sliding" -> slidingSql,
+
+    "q58_forward_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q56_stream_state_v2" ->
       """SELECT user_id, COUNT(*) AS n_events,

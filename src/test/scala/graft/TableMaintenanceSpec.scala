@@ -135,6 +135,30 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.currentVersion.contains(0L))
   }
 
+  test("shallow clone reads the source version zero-copy and evolves " +
+      "independently") {
+    val srcDir = tmp("clonesrc")
+    val dstDir = tmp("clonedst")
+    val t = new CdcTable(spark, srcDir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val clone = t.cloneAt(0L, dstDir).get
+    assert(clone.state.get.count() == 108)
+    // zero-copy: the clone root holds metadata only, no bucket dirs
+    val localDirs = java.nio.file.Files.list(Paths.get(dstDir)).iterator()
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(localDirs).asScala.map(_.getFileName.toString).toSeq
+    assert(!names.exists(_.startsWith("b")), names)
+    // the clone commits independently: source version does not move,
+    // and the clone's new data lands under its own root
+    clone.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    assert(clone.state.get.count() == 109)
+    assert(clone.currentVersion.contains(1L))
+    assert(t.currentVersion.contains(0L))
+    assert(t.state.get.count() == 108)
+    // a missing source version clones to None
+    assert(t.cloneAt(7L, tmp("clonenone")).isEmpty)
+  }
+
   test("a lost commit race is recoverable: Retry re-reads and lands on " +
       "the next version") {
     val dir = tmp("casretry")

@@ -129,6 +129,47 @@ class VectorSpec extends AnyFunSuite {
       math.abs(l0(3) - (0.4 / n + 0.6 / n) / 2) < 1e-6)
   }
 
+  test("PQ kernel property: codes/lut equal an independent reference on " +
+      "random vectors and codebooks") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.PqKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val m = 4; val ksub = 3; val ds = 2; val dim = m * ds
+    val fGen = Gen.chooseNum(-5.0, 5.0).map(_.toFloat)
+    val vecGen = Gen.listOfN(dim, fGen).map(_.toArray)
+    val cbGen = Gen.listOfN(m * ksub * ds, fGen).map(_.toArray)
+    val prop = Prop.forAll(vecGen, cbGen) { (vec, cb) =>
+      val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+      if (nrm == 0.0) {
+        PqKernel.codes(new GenericArrayData(vec), cb, m, ksub) == null
+      } else {
+        val got = PqKernel.codes(new GenericArrayData(vec), cb, m, ksub)
+        val gotLut = PqKernel.lut(new GenericArrayData(vec), cb, m, ksub)
+        (0 until m).forall { s =>
+          val dists = (0 until ksub).map { c =>
+            (0 until ds).map { i =>
+              val d = vec(s * ds + i) / nrm - cb((s * ksub + c) * ds + i)
+              d * d
+            }.sum
+          }
+          val dots = (0 until ksub).map { c =>
+            (0 until ds).map(i =>
+              vec(s * ds + i) / nrm * cb((s * ksub + c) * ds + i)).sum
+          }
+          got.getInt(s) == dists.indexOf(dists.min) &&
+            (0 until ksub).forall(c =>
+              math.abs(gotLut.getDouble(s * ksub + c) - dots(c)) < 1e-9)
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    // wrong-length input is null, never an exception
+    assert(PqKernel.codes(new GenericArrayData(Array(1.0f)),
+      new Array[Float](m * ksub * ds), m, ksub) == null)
+  }
+
   test("PQ encode/score is deterministic and ranks self-similar vectors first") {
     import spark.implicits._
     val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful processing on the `transformWithState` API (the
   * Spark 4.x successor of `flatMapGroupsWithState`, backed by the
@@ -64,5 +66,76 @@ object StateV2 {
     events.groupByKey(_._1)
       .transformWithState(new RunningTotals, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Gap sessionizer on the transformWithState API, exercising
+    * EVENT-TIME TIMERS (the corner `flatMapGroupsWithState` covers
+    * with GroupStateTimeout): sessions close in-stream when a gap
+    * appears inside a batch, or by a per-key timer when the watermark
+    * passes last-event + gap. Exactly one live timer per key (stale
+    * timers are deleted before re-registering), so timer state is
+    * O(active keys) like the value state itself. Output contract is
+    * identical to [[Sessionize.sessions]] — the parity spec feeds
+    * both the same batches and compares closed sessions. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Timestamp, Double),
+        Sessionize.SessionOut] {
+    @transient private var st: ValueState[Sessionize.SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Sessionize.SessionState]("sess",
+        Encoders.product[Sessionize.SessionState], TTLConfig.NONE)
+
+    private def close(key: Long, s: Sessionize.SessionState) =
+      Sessionize.SessionOut(key, s.start, s.last, s.n, s.total)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Timestamp, Double)],
+        timerValues: TimerValues): Iterator[Sessionize.SessionOut] = {
+      val sorted = rows.toArray.sortBy(_._2.getTime)
+      var out = List.empty[Sessionize.SessionOut]
+      var cur = Option(st.get())
+      sorted.foreach { case (_, ts, v) =>
+        val tUs = ts.getTime * 1000L
+        cur = cur match {
+          case Some(s) if tUs - s.last > gapMs * 1000L =>
+            out ::= close(key, s)
+            Some(Sessionize.SessionState(tUs, tUs, 1L, v))
+          case Some(s) =>
+            Some(Sessionize.SessionState(s.start, math.max(s.last, tUs),
+              s.n + 1, s.total + v))
+          case None =>
+            Some(Sessionize.SessionState(tUs, tUs, 1L, v))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        getHandle.listTimers()
+          .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last / 1000L + gapMs)
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Sessionize.SessionOut] =
+      Option(st.get()) match {
+        // the timer may be stale if events arrived after it was set
+        // and the rewrite raced; only close a genuinely idle session
+        case Some(s)
+            if expiredTimerInfo.getExpiryTimeInMs >= s.last / 1000L + gapMs =>
+          st.clear()
+          Iterator.single(close(key, s))
+        case _ => Iterator.empty
+      }
+  }
+
+  /** (user_id, t, value) watermarked stream → closed sessions. */
+  def sessions(events: Dataset[(Long, Timestamp, Double)],
+      gap: java.time.Duration): Dataset[Sessionize.SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

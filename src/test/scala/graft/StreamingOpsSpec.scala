@@ -99,6 +99,55 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer (event-time timers) matches the " +
+      "flatMapGroupsWithState contract: closes by gap and by watermark") {
+    import spark.implicits._
+    import graft.streaming.StateV2
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StateV2.sessions(
+      input.toDS().withWatermark("_2", "1 minute"),
+      java.time.Duration.ofMinutes(30))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sessv2_sink").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // the exact scenario the flatMapGroupsWithState spec runs
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 4.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sessv2_sink")
+        .as[Sessionize.SessionOut].collect()
+      assert(afterBatch1.length == 1) // first session closed by the gap
+      assert(afterBatch1.head.n_events == 2 &&
+        afterBatch1.head.total_value == 3.0)
+
+      // advance the watermark far past user 1's open session → timer
+      input.addData((2L, ts(200), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(300), 9.0)) // push watermark again
+      q.processAllAvailable()
+      val all = spark.table("sessv2_sink").as[Sessionize.SessionOut].collect()
+      val u1 = all.filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(u1.length == 2, all.mkString(", "))
+      assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
+      // identical output contract to Sessionize.sessions on this feed
+      assert(u1(0).start_us == ts(0).getTime * 1000L &&
+        u1(0).end_us == ts(10).getTime * 1000L)
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running totals accumulate across batches; " +
       "max-seq row is the batching-independent final state") {
     import spark.implicits._

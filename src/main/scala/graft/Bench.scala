@@ -24,8 +24,13 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // min of two runs per query: the machine shows heavy co-tenant
-    // variance, and min-of-n is the standard noise-robust estimator
+    // Adaptive min-of-n per query: the machine shows heavy co-tenant
+    // variance (round-4 artifact had 5-14x spikes on queries whose
+    // code hadn't changed; all reproduced fast in isolation). min-of-2
+    // is not enough when a burst outlasts both runs, so the min must
+    // be CONFIRMED by a second sample within 1.5x — otherwise take
+    // more samples (bounded at 5) and keep the min. Steady-state cost
+    // stays 2 runs/query; only burst-hit queries pay extra.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -33,9 +38,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t =
-        try math.min(once(), once())
+        try {
+          var runs = List(once(), once())
+          while (runs.size < 5 &&
+              runs.sorted.tail.head > runs.min * 1.5) runs ::= once()
+          runs.min
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      // inter-query hygiene: one query's leftovers (leaked cache
+      // entries, a streaming query that failed before its stop())
+      // must not tax the next query's measurement
+      spark.sharedState.cacheManager.clearCache()
+      spark.streams.active.foreach(_.stop())
       name -> t
     }
     // The harness captures only the last ~2000 chars of output, and a

@@ -17,7 +17,12 @@ object BenchSub {
         SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"SUB $n ${math.min(once(), once())}%.2f")
+      // same adaptive min-of-n as graft.Bench: confirm the min with a
+      // second sample within 1.5x, else keep sampling (bounded)
+      var runs = List(once(), once())
+      while (runs.size < 5 && runs.sorted.tail.head > runs.min * 1.5)
+        runs ::= once()
+      println(f"SUB $n ${runs.min}%.2f")
     }
     spark.stop()
   }

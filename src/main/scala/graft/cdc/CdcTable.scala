@@ -234,6 +234,16 @@ class CdcTable(
     * deleted or replaced out from under a manifest CAS. */
   private def publishDir(staged: Path, destName: String): Unit = {
     val dest = dir.resolve(destName)
+    // Defense-in-depth: Linux maps ATOMIC_MOVE to rename(2), which
+    // silently REPLACES an existing *empty* destination directory —
+    // only a non-empty dest fails with ENOTEMPTY. An explicit exists
+    // check surfaces even an empty published dir as a conflict
+    // (published parquet dirs are never empty in practice, but the
+    // invariant "a published name is never clobbered" shouldn't rely
+    // on that).
+    if (Files.exists(dest))
+      throw new ConcurrentCommitException(
+        s"bucket dir $destName already exists; re-read and retry")
     try Files.move(staged, dest, StandardCopyOption.ATOMIC_MOVE)
     catch {
       // Linux rename(2) onto an existing dir surfaces as EEXIST or
@@ -523,9 +533,38 @@ class CdcTable(
       val clone = new CdcTable(spark, destPath, pkCols, numBuckets)
       val rel = Paths.get(destPath).toAbsolutePath.normalize
         .relativize(dir.toAbsolutePath.normalize)
-      clone.writeManifest(0L, manifest(v).map { case (b, d) =>
-        b -> s"$rel/$d"
-      })
+      val m = manifest(v)
+      clone.writeManifest(0L, m.map { case (b, d) => b -> s"$rel/$d" })
+      // Carry the small metadata sidecars, matching Delta/Iceberg
+      // shallow-clone semantics (metadata is copied, data is not):
+      //  - _schema.json keeps the committed-schema fast path (without
+      //    it payloadSchema falls back to a full mergeSchema scan)
+      //  - _ddl.jsonl keeps the DDL history
+      //  - _filestats.jsonl lines for referenced dirs keep data-skipping
+      //    stats; keys are rewritten to the clone's re-pointed dir names
+      //    so filesFor matches them exactly
+      for (f <- Seq("_schema.json", "_ddl.jsonl")) {
+        val src = dir.resolve(f)
+        if (Files.exists(src))
+          Files.copy(src, clone.dir.resolve(f),
+            StandardCopyOption.REPLACE_EXISTING)
+      }
+      if (Files.exists(statsFile)) {
+        val dirs = m.values.toSet
+        val kept = new String(Files.readAllBytes(statsFile)).split("\n")
+          .filter(_.nonEmpty).flatMap { line =>
+            "\"file\": \"([^\"]+)\"".r.findFirstMatchIn(line).flatMap { fm =>
+              val d = fm.group(1).split("/").dropRight(1).mkString("/")
+              if (dirs(d))
+                Some(line.replace(s""""file": "${fm.group(1)}"""",
+                  s""""file": "$rel/${fm.group(1)}""""))
+              else None
+            }
+          }
+        if (kept.nonEmpty)
+          Files.write(clone.dir.resolve("_filestats.jsonl"),
+            kept.mkString("", "\n", "\n").getBytes)
+      }
       Some(clone)
     }
 
@@ -593,14 +632,24 @@ class CdcTable(
 
   /** Remove staging directories a crashed writer left behind (staging
     * names carry a nonce, so a dead writer's dir is never reused).
-    * Age-gated by last-modified time: a LIVE writer's staging dir is
-    * actively written and far younger than `maxAgeMs` — the same
-    * safety argument lakehouse vacuum makes for uncommitted files. */
+    * Age-gated by the NEWEST last-modified time found anywhere under
+    * the staging dir, not the root's: a long partitioned parquet write
+    * mutates only nested `_bucket=N/_temporary` entries, so a live
+    * writer whose write outlasts `maxAgeMs` would look idle at the
+    * root and get swept mid-write. Recursion makes the gate track
+    * actual write activity; `maxAgeMs` must still exceed the longest
+    * possible *stall* between two file writes of one batch. */
   def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
+    def newestMtime(p: Path): Long = {
+      val own = Files.getLastModifiedTime(p).toMillis
+      if (!Files.isDirectory(p)) own
+      else math.max(own,
+        withListing(p)(_.map(newestMtime).foldLeft(0L)(math.max)))
+    }
     withListing(dir)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("_staging-") &&
-        Files.getLastModifiedTime(p).toMillis < cutoff)
+        newestMtime(p) < cutoff)
       .map { p => deleteRecursively(p); p.getFileName.toString }
       .sorted
   }

@@ -186,17 +186,18 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 32-bit SimHash per row: per-bit majority vote over xxhash64
+  /** `bits`-wide SimHash per row: per-bit majority vote over xxhash64
     * token hashes, fused into one codegen pass
     * ([[graft.functions.SimHashSignature]]) — shuffle-free, vs the
-    * explode + 32 conditional-sum aggregates this replaces (same
+    * explode + n conditional-sum aggregates this replaces (same
     * values: per-bit ±1 votes over the token MULTISET, ties → 0). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).cast("long").as("id"),
         transform(split(col(textCol), " "), t => xxhash64(t)).as("hs"))
       .select(col("id"),
-        graft.functions.SimHash.signature(col("hs"), 32).as("sig"))
+        graft.functions.SimHash.signature(col("hs"), bits).as("sig"))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -265,8 +266,19 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations " +
         "(component diameter exceeds maxIter); raise maxIter")
+    // observability for the per-round cost model (each round is one
+    // join + one aggregate over the edge list): specs gate on this so
+    // a seeding/convergence regression shows up as a round-count jump,
+    // not as an unexplained wall-clock anomaly in a bench artifact
+    lastCcRounds = i
     labels
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge
+    * (the fused seed round is not counted). Shallow near-dup clusters
+    * converge in 1-2 confirm rounds; anything more means deep chains
+    * in the pair graph or a convergence-logic regression. */
+  @volatile var lastCcRounds: Int = -1
 
   /** Streaming exact dedup: drop rows whose key was already seen,
     * with state bounded by the event-time watermark (a key's state is
@@ -304,16 +316,41 @@ object Dedup {
       .select(col("cluster_id"), col("doc").as("canonical"), col("n_members"))
   }
 
-  /** Near-dup pairs by SimHash: block on the signature's high 16 bits,
-    * compare hamming distance within blocks. */
+  /** ALL near-dup pairs with `hamming(sig_a, sig_b) <= maxHamming`,
+    * EXACTLY — the Manku/Jain/Das Sarma pigeonhole scheme: split the
+    * `sigBits`-bit signature into `maxHamming + 1` blocks; a pair
+    * differing in ≤ maxHamming bits cannot differ in every block, so
+    * it agrees on at least one and the per-block equi-join finds it.
+    * (The earlier single-block variant was a recall bet: a pair whose
+    * 4 differing bits straddled the block boundary was silently
+    * missed — the brute-force spec gate now pins exactness instead.)
+    *
+    * Scale shape: explode ×(maxHamming+1) on a (long,long) frame, one
+    * shuffled equi-join on the (blockIdx, blockValue) band key, pair
+    * dedup. 64-bit default → ~13-bit blocks (8k values per band);
+    * natural-text simhash bits are biased, so band buckets skew — at
+    * corpus scale the skewed bands resolve via AQE skew-join like
+    * every other banded join here (same as minhashPairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 4): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
-      .withColumn("block", shiftright(col("sig"), 16))
-    val l = sigs.as("l"); val r = sigs.as("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      maxHamming: Int = 4, sigBits: Int = 64): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(sigBits >= nBlocks && sigBits <= 64,
+      s"sigBits must be in [$nBlocks, 64]")
+    val bounds = (0 to nBlocks).map(i => i * sigBits / nBlocks)
+    val sigs = simhashSignatures(df, idCol, textCol, sigBits)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until nBlocks).map { i =>
+        val off = bounds(i)
+        val len = bounds(i + 1) - bounds(i)
+        struct(lit(i).as("bi"),
+          shiftrightunsigned(col("sig"), off)
+            .bitwiseAND(lit((1L << len) - 1L)).as("bv"))
+      }: _*)).as("b"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.b") === col("r.b") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several blocks; emit it once
   }
 }

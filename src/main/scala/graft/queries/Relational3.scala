@@ -84,6 +84,14 @@ object Relational3 {
     },
 
     // ---- salted skew join: result equals the plain join ----
+    // BENCH NOTE: deliberately pessimized. At sf0.1 `part` is
+    // broadcastable and the fastest plan is a broadcast join — but
+    // this query exists to exercise the skew-salting path (explode
+    // small side ×8, shuffle BOTH sides on the salted key), the tool
+    // for skewed joins where neither side broadcasts. Read its bench
+    // number as "cost of the salted shuffle join", not as a plan to
+    // "fix" by broadcasting; the oracle being the plain join is the
+    // correctness point.
     "q31_salted_join" -> { (s, d) =>
       import s.implicits._
       val li = load(s, d, "lineitem")

@@ -71,3 +71,104 @@ class TableAssessor(registry: TableRegistry) {
     Assessment(standardized, problems)
   }
 }
+
+/** Environment pre-flight (DatastreamTableAssessor.java:308-367
+  * buildAssessment): the reference maps each FAILED validation code to
+  * a problem report carrying the issue, a suggestion, and the
+  * replication impact, split into connectivity failures vs missing
+  * features. This is the engine analog over this library's seams —
+  * the control plane ([[graft.streaming.SourceAdmin]]), the source
+  * file location, and the target table root — so a user whose
+  * pipeline cannot start learns WHY (unreachable control plane,
+  * missing source path, unwritable target) before any stream runs. */
+object PipelineValidator {
+
+  /** One validation failure, in the reference's report shape
+    * (title/issue/suggestion/impact). `connectivity` mirrors the
+    * reference's connectivityIssues-vs-missingFeatures split. */
+  case class ValidationProblem(
+      code: String,
+      issue: String,
+      suggestion: String,
+      impact: String,
+      connectivity: Boolean)
+
+  case class PreflightReport(problems: Seq[ValidationProblem]) {
+    def connectivityIssues: Seq[ValidationProblem] =
+      problems.filter(_.connectivity)
+    def missingFeatures: Seq[ValidationProblem] =
+      problems.filterNot(_.connectivity)
+    def ok: Boolean = problems.isEmpty
+  }
+
+  /** Probe the three pipeline legs; each failure maps to a coded
+    * problem like the reference's switch over validation codes:
+    *
+    *  - CONTROL_PLANE_CONNECTIVITY ← ORACLE_VALIDATE_CONNECTIVITY
+    *    (the stream's management surface is unreachable/unknown)
+    *  - SOURCE_PATH_UNREACHABLE    ← ORACLE_VALIDATE_TUNNEL_CONNECTIVITY
+    *    (the provisioned data location cannot be listed)
+    *  - TARGET_WRITE_PERMISSIONS   ← GCS_VALIDATE_PERMISSIONS
+    *    (the sink root is not writable)
+    */
+  def preflight(admin: graft.streaming.SourceAdmin, streamId: String,
+      targetRoot: String): PreflightReport = {
+    import java.nio.file.{Files, Paths}
+    val problems = Seq.newBuilder[ValidationProblem]
+
+    val glob: Option[String] =
+      try {
+        if (!admin.exists(streamId))
+          throw new graft.util.Retry.FatalPipelineException(
+            s"stream $streamId does not exist")
+        Some(admin.sourceGlob(streamId))
+      } catch {
+        case e: Exception =>
+          problems += ValidationProblem("CONTROL_PLANE_CONNECTIVITY",
+            s"cannot read stream '$streamId': ${e.getMessage}",
+            "Check the stream id and the control-plane location/credentials.",
+            "Cannot read any snapshot or CDC changes from the source.",
+            connectivity = true)
+          None
+      }
+
+    glob.foreach { g =>
+      // the deepest non-glob prefix must exist and be listable — the
+      // engine-side analog of "the tunnel to the data is up"
+      val fixedPrefix = Paths.get(
+        g.split("/").takeWhile(seg => !seg.contains("*")).mkString("/") match {
+          case "" => "/"
+          case p => p
+        })
+      val listable =
+        try Files.isDirectory(fixedPrefix) && {
+          val s = Files.list(fixedPrefix); s.close(); true
+        }
+        catch { case _: Exception => false }
+      if (!listable)
+        problems += ValidationProblem("SOURCE_PATH_UNREACHABLE",
+          s"source location '$g' cannot be listed (checked '$fixedPrefix')",
+          "Check the provisioned source path and its read permissions.",
+          "Cannot read any snapshot or CDC changes from the source.",
+          connectivity = true)
+    }
+
+    // writable target probe: create-and-delete, like the reference's
+    // temporary-bucket permission check
+    try {
+      val root = Paths.get(targetRoot)
+      Files.createDirectories(root)
+      val probe = Files.createTempFile(root, "_preflight", ".probe")
+      Files.delete(probe)
+    } catch {
+      case e: Exception =>
+        problems += ValidationProblem("TARGET_WRITE_PERMISSIONS",
+          s"target root '$targetRoot' is not writable: ${e.getMessage}",
+          "Check the target location and its write permissions.",
+          "Cannot materialize any snapshot or CDC changes.",
+          connectivity = false)
+    }
+
+    PreflightReport(problems.result())
+  }
+}

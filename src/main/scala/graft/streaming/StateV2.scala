@@ -92,7 +92,11 @@ object StateV2 {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Timestamp, Double)],
         timerValues: TimerValues): Iterator[Sessionize.SessionOut] = {
-      val sorted = rows.toArray.sortBy(_._2.getTime)
+      // sort by (timestamp, value) exactly like Sessionize.sessions —
+      // with 3+ tied-timestamp events a timestamp-only sort could fold
+      // total_value in a different order and drift by an ULP, breaking
+      // the bit-exact parity contract the spec asserts
+      val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
       var out = List.empty[Sessionize.SessionOut]
       var cur = Option(st.get())
       sorted.foreach { case (_, ts, v) =>

@@ -38,4 +38,42 @@ class CdcConfigSpec extends AnyFunSuite {
       .exists(_.contains("retain every primary key")))
     assert(ok.copy(columns = Seq("ID", "A")).validate().isEmpty)
   }
+
+  test("mode interaction: existingStreamId replaces sourceGlob " +
+      "(the usingExistingStream rule)") {
+    // an existing stream id makes the source location optional
+    assert(ok.copy(sourceGlob = "",
+      existingStreamId = Some("s1")).validate().isEmpty)
+    // but a blank id is itself a problem
+    assert(ok.copy(existingStreamId = Some(" ")).validate()
+      .exists(_.contains("existingStreamId")))
+    // and with neither, the source is missing
+    assert(ok.copy(sourceGlob = "").validate()
+      .exists(_.contains("sourceGlob")))
+  }
+
+  test("path-shape and nesting rules") {
+    // checkpoint under the table root would be eaten by maintenance
+    assert(ok.copy(checkpoint = "/lake/t/_ckpt").validate()
+      .exists(_.contains("nested under tablePath")))
+    assert(ok.copy(tablePath = "/lake/_ckpt/t/data").validate()
+      .exists(_.contains("nested under checkpoint")))
+    // sibling with a shared name prefix is NOT nesting
+    assert(ok.copy(checkpoint = "/lake/t-ckpt").validate().isEmpty)
+    // write-side paths must be literal, not globs
+    assert(ok.copy(tablePath = "/lake/*").validate()
+      .exists(_.contains("literal path")))
+    assert(ok.copy(checkpoint = "/lake/ckpt-?").validate()
+      .exists(_.contains("literal path")))
+  }
+
+  test("bounds: trigger cadence, bucket count, duplicate columns") {
+    assert(ok.copy(triggerSeconds = 86401).validate()
+      .exists(_.contains("86400")))
+    assert(ok.copy(triggerSeconds = 86400).validate().isEmpty)
+    assert(ok.copy(numBuckets = 65537).validate()
+      .exists(_.contains("65536")))
+    assert(ok.copy(columns = Seq("ID", "A", "A")).validate()
+      .exists(_.contains("duplicates")))
+  }
 }

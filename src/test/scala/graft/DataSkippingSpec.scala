@@ -94,6 +94,31 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got.count() == 40L)
   }
 
+  test("shallow clone carries metadata: schema fast path, DDL history, " +
+      "and data-skipping stats keyed to the re-pointed dirs") {
+    import spark.implicits._
+    val t = seed(tmp("skipclonesrc"), nBuckets = 4)
+    t.clusterBy("v", filesPerBucket = 4)
+    val dst = tmp("skipclonedst")
+    val clone = t.cloneAt(1L, dst).get
+    // the small sidecars travelled (Delta/Iceberg shallow-clone
+    // semantics: metadata copies, data does not)
+    assert(Files.exists(Paths.get(dst, "_schema.json")), "_schema.json")
+    assert(clone.ddlEvents.nonEmpty, "_ddl.jsonl")
+    // stats keys were rewritten to the clone's re-pointed dir names,
+    // so the clone prunes exactly like the source
+    val (srcKept, srcTotal) = t.filesFor("v", BigDecimal(10), BigDecimal(19))
+    val (cloneKept, cloneTotal) =
+      clone.filesFor("v", BigDecimal(10), BigDecimal(19))
+    assert(cloneTotal == srcTotal)
+    assert(cloneKept.size == srcKept.size,
+      s"clone kept ${cloneKept.size} of $cloneTotal, source ${srcKept.size}")
+    assert(cloneKept.size * 2 < cloneTotal, "clone lost pruning")
+    // and the pruned scan is still exact
+    val got = clone.scanWhere("v", BigDecimal(10), BigDecimal(19)).get
+    assert(got.count() == 40L)
+  }
+
   test("post-clustering merges stay correct: new files lack stats and are read") {
     import spark.implicits._
     val t = seed(tmp("skipmg"), nBuckets = 4)

@@ -135,6 +135,14 @@ class DedupKernelSpec extends AnyFunSuite {
     // (its lifecycle belongs to the caller), regardless of round count
     val retained = spark.sparkContext.getPersistentRDDs.size - baseline
     assert(retained <= 1, s"leaked $retained cached RDDs beyond the result")
+    // round-count gate: the fused seed resolves the diameter-1 pairs;
+    // the 1-2-3 chain (diameter 2) needs one propagation round plus
+    // one confirming round. More rounds here means the seeding or the
+    // label-sum convergence check regressed — the cost model is one
+    // join + one aggregate per round, so a silent extra round shows up
+    // as unexplained bench wall-clock (the round-4 d06 suspicion).
+    assert(Dedup.lastCcRounds == 2,
+      s"connectedComponents took ${Dedup.lastCcRounds} rounds; expected 2")
     result.unpersist()
   }
 
@@ -226,6 +234,32 @@ class DedupKernelSpec extends AnyFunSuite {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((3L, 4L)))
+  }
+
+  test("blocked simhash pairs equal the brute-force hamming self-join " +
+      "on the corpus (the d03 oracle)") {
+    import spark.implicits._
+    // d03 is rows-only in CORRECTNESS (DuckDB has no xxhash64), but
+    // unlike the recall-gated ANN queries it is exact and
+    // deterministic — so the spec IS the oracle: the pigeonhole
+    // banded join must return exactly the pairs an all-pairs hamming
+    // self-join returns. This is a theorem (maxHamming+1 blocks ⇒ a
+    // qualifying pair agrees on ≥1 block), so any miss is a banding
+    // bug, not corpus drift.
+    val docs = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 64)
+    val l = sigs.as("l"); val r = sigs.as("r")
+    val brute = l.join(r, col("l.id") < col("r.id")) // all pairs: oracle only
+      .filter(Dedup.hamming(col("l.sig"), col("r.sig")) <= 4)
+      .select(col("l.id"), col("r.id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain simhash near-dups")
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).size} extra=${(blocked -- brute).size}")
   }
 
   test("dedup-aware split: no near-dup pair ever straddles a split boundary") {

@@ -51,6 +51,48 @@ class RegistrySpec extends AnyFunSuite {
       p.code == "NO_PRIMARY_KEY" && p.table == noPk.id))
   }
 
+  test("preflight maps control-plane, source-path and target-permission " +
+      "failures to coded problems with suggestion and impact") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory(Paths.get("target"), "preflight")
+    val admin = new graft.streaming.LocalDirSourceAdmin(
+      root.resolve("admin").toString)
+    val target = root.resolve("table").toString
+
+    // healthy pipeline: no problems
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    admin.create("s1", s"$src/*.avro")
+    val ok = PipelineValidator.preflight(admin, "s1", target)
+    assert(ok.ok, ok.problems.mkString("; "))
+
+    // unreachable control plane (unknown stream) → connectivity issue,
+    // the ORACLE_VALIDATE_CONNECTIVITY analog
+    val noStream = PipelineValidator.preflight(admin, "nope", target)
+    assert(noStream.connectivityIssues
+      .exists(_.code == "CONTROL_PLANE_CONNECTIVITY"))
+    assert(noStream.problems.forall(p =>
+      p.suggestion.nonEmpty && p.impact.nonEmpty))
+
+    // provisioned source path missing → connectivity issue, the
+    // ORACLE_VALIDATE_TUNNEL_CONNECTIVITY analog
+    admin.create("s2", s"$root/missing-dir/*.avro")
+    val noPath = PipelineValidator.preflight(admin, "s2", target)
+    assert(noPath.connectivityIssues
+      .exists(_.code == "SOURCE_PATH_UNREACHABLE"))
+
+    // unwritable target → permission problem (missingFeatures side),
+    // the GCS_VALIDATE_PERMISSIONS analog. A plain file where the
+    // directory should go blocks createDirectories for ANY uid (tests
+    // run as root, which bypasses permission bits)
+    val blocked = root.resolve("blocked")
+    Files.write(blocked, "x".getBytes)
+    val noWrite = PipelineValidator.preflight(admin, "s1", blocked.toString)
+    assert(noWrite.missingFeatures
+      .exists(_.code == "TARGET_WRITE_PERMISSIONS"))
+    assert(noWrite.connectivityIssues.isEmpty)
+  }
+
   test("schema drift: widen-only with type-change rejection") {
     val cur = StructType(Seq(
       StructField("A", LongType), StructField("B", StringType)))

@@ -148,6 +148,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tied-timestamp events fold bit-exactly identically in both " +
+      "sessionizers: the (timestamp, value) sort is the parity contract") {
+    // three tied-timestamp values whose double-sum is order-sensitive:
+    // (0.1+0.2)+0.3 = 0.6000000000000001 but (0.3+0.2)+0.1 = 0.6 — a
+    // timestamp-only sort leaves the fold order to iterator whim and
+    // the parity drifts by an ULP
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = Seq((1L, ts(0), 0.3), (1L, ts(0), 0.1), (1L, ts(0), 0.2),
+      (1L, ts(50), 9.0)) // the gap closes the tied session in-batch
+    def run(name: String,
+        mk: org.apache.spark.sql.Dataset[(Long, Timestamp, Double)] =>
+          org.apache.spark.sql.Dataset[Sessionize.SessionOut]): Double = {
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      val q = mk(input.toDS()).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        input.addData(feed: _*)
+        q.processAllAvailable()
+        val closed = spark.table(name).as[Sessionize.SessionOut].collect()
+        assert(closed.length == 1 && closed.head.n_events == 3)
+        closed.head.total_value
+      } finally q.stop()
+    }
+    val v1 = run("tie_sess_v1", ds => Sessionize.sessions(
+      ds.toDF("user_id", "t", "value").withWatermark("t", "1 minute"),
+      java.time.Duration.ofMinutes(30)))
+    // transformWithState requires the RocksDB provider (column families)
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val v2 =
+      try run("tie_sess_v2", ds => graft.streaming.StateV2.sessions(
+        ds.withWatermark("_2", "1 minute"), java.time.Duration.ofMinutes(30)))
+      finally prevProv match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    assert(java.lang.Double.doubleToLongBits(v1) ==
+      java.lang.Double.doubleToLongBits(v2),
+      s"parity drift: $v1 vs $v2")
+  }
+
   test("transformWithState running totals accumulate across batches; " +
       "max-seq row is the batching-independent final state") {
     import spark.implicits._

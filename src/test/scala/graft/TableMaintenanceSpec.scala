@@ -185,16 +185,40 @@ class TableMaintenanceSpec extends AnyFunSuite {
     val dir = tmp("sweep")
     val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
     t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000)
     val dead = Paths.get(dir, "_staging-batch-v9-deadbeef")
     Files.createDirectories(dead)
     Files.write(dead.resolve("part-0.parquet"), Array[Byte](1))
-    Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
-      .fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+    Files.setLastModifiedTime(dead.resolve("part-0.parquet"), old)
+    Files.setLastModifiedTime(dead, old)
     val fresh = Paths.get(dir, "_staging-zorder-v9-cafecafe")
     Files.createDirectories(fresh) // a live writer: too young to sweep
+    // a LONG write: the root mtime aged out but a nested task file is
+    // still being written — a root-mtime age gate would sweep this
+    // live writer mid-write and fail its commit
+    val live = Paths.get(dir, "_staging-merge-v9-baadf00d")
+    Files.createDirectories(live.resolve("_bucket=0").resolve("_temporary"))
+    Files.write(live.resolve("_bucket=0").resolve("_temporary")
+      .resolve("task-0.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(live, old) // root looks idle
     assert(t.sweepStaging() == Seq("_staging-batch-v9-deadbeef"))
-    assert(!Files.exists(dead) && Files.exists(fresh))
+    assert(!Files.exists(dead) && Files.exists(fresh) && Files.exists(live))
     assert(t.state.get.count() == 108) // committed data untouched
+  }
+
+  test("publishing onto an EMPTY already-published dir is a conflict, " +
+      "not a silent rename-replace") {
+    // Linux rename(2) silently replaces an empty destination directory,
+    // so without an explicit exists guard this race would clobber the
+    // (empty) published name without any ConcurrentCommitException
+    val dir = tmp("emptydest")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    Files.createDirectories(Paths.get(dir, "b0-v1")) // empty foreign publish
+    intercept[graft.cdc.ConcurrentCommitException] { t.compact(minFiles = 1) }
+    assert(Files.exists(Paths.get(dir, "b0-v1")))
+    assert(t.currentVersion.contains(0L))
   }
 
   test("commit is a version CAS: concurrent writers conflict, crashed " +

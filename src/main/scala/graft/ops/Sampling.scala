@@ -32,4 +32,28 @@ object Sampling {
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 10): DataFrame =
     df.withColumn("keep",
       stratifiedKeep(col(strataCol), col(idCol), rates, defaultRate, outOf))
+
+  /** Token-budget sampling — the other half of training-data mixing:
+    * where [[stratifiedSample]] keeps a RATE per stratum, this keeps
+    * documents per stratum (in deterministic `orderCol` order) until a
+    * TOKEN budget is exhausted — "2 B tokens of source X, 500 M of Y"
+    * is how mixtures are actually specified. Deterministic like
+    * stratifiedSample: a document's fate depends only on the documents
+    * ordered before it within its stratum, so re-runs reproduce the
+    * mixture exactly.
+    *
+    * One window (cumulative sum partitioned by stratum) = one shuffle
+    * on the stratum key. Strata counts are small (sources, languages)
+    * while strata can be huge — at 100 TB a single-stratum window
+    * serializes that stratum through one task chain, the inherent cost
+    * of an order-dependent budget; if order doesn't matter, cap by
+    * [[stratifiedSample]] rate instead. */
+  def tokenBudgetKeep(df: DataFrame, strataCol: String, orderCol: String,
+      tokenCount: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(orderCol))
+    df.withColumn("__nt", tokenCount.cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      .withColumn("keep", col("__cum") <= budget)
+  }
 }

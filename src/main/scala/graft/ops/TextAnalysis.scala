@@ -31,6 +31,32 @@ object TextAnalysis {
   def hitCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
 
+  /** True iff the text contains ANY blocklisted token — the term
+    * blocklist filter every production corpus applies (profanity /
+    * spam / boilerplate markers) before training. Expression-only
+    * (`arrays_overlap` against a literal array): codegen'd, shuffle-
+    * free, linear — the right shape for a blocklist that fits in the
+    * plan (up to ~thousands of terms). For a blocklist too large to
+    * inline, use [[blockedDocs]] — a token-explode + broadcast
+    * semi-join that keeps the corpus un-shuffled. */
+  def blocked(text: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(tokens(text),
+      array(blocklist.map(lit(_)): _*))
+
+  /** Doc ids containing any term of a blocklist RELATION (the scale
+    * path: a blocklist is corpus-independent and small relative to
+    * 100 TB of documents, so it broadcasts; the corpus explodes to
+    * (id, token) but never shuffles — the semi-join streams against
+    * the broadcast hash table and duplicates collapse per-partition). */
+  def blockedDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = blocklist.toDF("t")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .join(broadcast(terms), Seq("t"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Function-word lists for the n-gram-free language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),

@@ -117,6 +117,25 @@ object DedupQueries {
         .orderBy($"lang")
     },
 
+    // ---- token-budget sampling (mixture spec in tokens) ----
+    // training mixtures are specified as "N tokens of source X":
+    // within each source, keep documents in deterministic doc_id
+    // order until the cumulative whitespace-token count passes the
+    // budget. One cumulative-sum window = one shuffle on the stratum
+    // key; fate of a doc depends only on its predecessors within its
+    // source, so re-runs reproduce the mixture exactly.
+    "d14_token_budget" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.{Sampling, TextAnalysis}
+      Sampling.tokenBudgetKeep(load(s, d, "documents"), "source", "doc_id",
+          TextAnalysis.tokenCount($"text"), budget = 2000L)
+        .filter($"keep")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"__nt").as("n_tokens"))
+        .orderBy($"source")
+    },
+
     // ---- benchmark decontamination: 8-gram overlap ----
     // the eval-set leak check a training-data build runs before
     // shipping: corpus documents sharing any verbatim 8-token n-gram
@@ -290,6 +309,17 @@ object DedupQueries {
          |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x)
          |SELECT x AS doc_id, MIN(label) AS cluster
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "d14_token_budget" ->
+      """WITH c AS (
+        |  SELECT source, len(string_split(text,' ')) AS nt,
+        |    SUM(len(string_split(text,' ')))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM c WHERE cum <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "d08_sample_mix" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -303,6 +303,28 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- term-blocklist filter (profanity/spam/marker terms) ----
+    // the other standard corpus gate next to t08's quality score: drop
+    // any document containing a blocklisted token. Expression-only
+    // (arrays_overlap against the literal list — codegen, no shuffle,
+    // no explode); the large-blocklist path is TextAnalysis.blockedDocs
+    // (broadcast semi-join), proven equal in TrigramPropertySpec.
+    // "deadlock" is deliberately corpus-absent: real blocklists carry
+    // terms that may never occur, and the filter must not care.
+    "t16_blocklist" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.TextAnalysis
+      load(s, d, "documents")
+        .select($"source",
+          TextAnalysis.blocked($"text", Seq("dup", "deadlock")).as("hit"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!$"hit", 1)).as("n_kept"))
+        .withColumn("retention",
+          round($"n_kept".cast("double") / $"n_docs", 6))
+        .orderBy($"source")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -516,6 +538,15 @@ object Text {
         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
         |    AS ttr
         |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "t16_blocklist" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN len(list_filter(string_split(text,' '),
+        |    x -> x IN ('dup','deadlock'))) = 0 THEN 1 END) AS n_kept,
+        |  round(CAST(COUNT(CASE WHEN len(list_filter(string_split(text,' '),
+        |      x -> x IN ('dup','deadlock'))) = 0 THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS retention
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "t08_quality_filter" -> {
       val all = markersSql.values.mkString(", ")

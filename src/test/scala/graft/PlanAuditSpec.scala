@@ -67,6 +67,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t16: blocklist gate is expression-only — no join, no explode, " +
+      "one aggregation exchange") {
+    val p = plan("t16_blocklist")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Generate"), p) // arrays_overlap, not explode
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // agg + final sort
+  }
+
+  test("d14: token-budget sampling is one window over one stratum " +
+      "shuffle — no join, no self-scan") {
+    val p = plan("d14_token_budget")
+    assert(!p.toLowerCase.contains("join"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+    // one scan of documents only: the cumulative sum must not trigger
+    // a second pass over the input
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("s08: PQ encode stays inside whole-stage codegen; shortlist re-rank " +
       "broadcasts") {
     val df = SparkEntry.queries("s08_pq_adc")(spark, sf)

@@ -47,7 +47,12 @@ object Events {
     "q17_hourly_counts" -> { (s, d) =>
       import s.implicits._
       ev(s, d)
-        .groupBy(date_format($"t", "yyyy-MM-dd").as("day"),
+        // to_date().cast(string) renders the same yyyy-MM-dd as
+        // date_format but skips the per-row pattern formatter — this
+        // query's work is pure per-row CPU with a bounded output
+        // (hours x types), so the rendering path IS the scale cost
+        // (100x panel: date_format 21.3s, date cast 2.6s)
+        .groupBy(to_date($"t").cast("string").as("day"),
           hour($"t").cast("long").as("h"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec4($"value")).cast("double").as("total_value"))
@@ -127,7 +132,7 @@ object Events {
       val e = ev(s, d).select($"user_id", to_date($"t").as("day"))
       val first = e.groupBy($"user_id").agg(min($"day").as("cohort"))
       e.join(first, "user_id")
-        .groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        .groupBy($"cohort".cast("string").as("cohort"), // same yyyy-MM-dd, no formatter
           datediff($"day", $"cohort").cast("long").as("day_offset"))
         .agg(countDistinct($"user_id").as("n_users"))
         .orderBy($"cohort", $"day_offset")
@@ -178,7 +183,7 @@ object Events {
       val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("t", timestamp_micros($"ts_us"))
-        .groupBy(date_format($"t", "yyyy-MM-dd").as("day"),
+        .groupBy(to_date($"t").cast("string").as("day"), // match q17's path
           hour($"t").cast("long").as("h"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec4($"value")).cast("double").as("total_value"))

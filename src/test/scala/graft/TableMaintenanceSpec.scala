@@ -207,6 +207,47 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.state.get.count() == 108) // committed data untouched
   }
 
+  test("two THREADS racing applyBatch on one bucket: the loser retries " +
+      "past the winner; both batches land, nothing is lost") {
+    // the specs above simulate races sequentially; this is the real
+    // thing — numBuckets=1 forces both writers onto the same bucket
+    // dir and the same next version, so one MUST hit the publish/CAS
+    // conflict and recover through the production Retry wrapper
+    import spark.implicits._
+    val dir = tmp("race")
+    val t = new CdcTable(spark, dir, Seq("id"), numBuckets = 1)
+    def key(scn: Long) =
+      struct(lit(0L).as("ts_ms"), lit(scn).as("scn"),
+        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+    def batch(off: Long) = (0L until 10L).map(i => (off + i, s"p${off + i}"))
+      .toDF("id", "p")
+      .select(struct($"id", $"p").as("row"), lit("INSERT").as("op"), key(off))
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futures = Seq(0L, 100L).map { off =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            latch.await()
+            graft.util.Retry.withBackoff(
+              graft.util.Retry.Policy(initialDelayMs = 1), _ => ()) {
+              t.applyBatch(batch(off), off)
+            }
+          }
+        })
+      }
+      latch.countDown()
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // one writer took v0, the loser retried onto v1 — in either order
+      assert(versions.toSet == Set(0L, 1L), versions)
+      assert(t.currentVersion.contains(1L))
+      // both batches fully present: the loser's retry re-read the
+      // winner's committed state before merging
+      val ids = t.state.get.select("id").as[Long].collect().sorted.toSeq
+      assert(ids == ((0L until 10L) ++ (100L until 110L)).toSeq, ids)
+    } finally pool.shutdownNow()
+  }
+
   test("publishing onto an EMPTY already-published dir is a conflict, " +
       "not a silent rename-replace") {
     // Linux rename(2) silently replaces an empty destination directory,

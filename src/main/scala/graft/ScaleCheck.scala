@@ -47,7 +47,9 @@ object ScaleCheck {
     // round 4
     "s08_pq_adc", "d12_leakage_split", "t14_bigram_lm",
     "q56_stream_state_v2", "q57_scalar_subquery",
-    "d13_boilerplate_cover", "s09_range_search", "t15_bpe_count")
+    "d13_boilerplate_cover", "s09_range_search", "t15_bpe_count",
+    // round 5
+    "t16_blocklist", "d14_token_budget", "q31_salted_join")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -325,6 +325,29 @@ object Text {
         .orderBy($"source")
     },
 
+    // ---- context-window chunking with overlap ----
+    // the complement of t11's packing: long documents split into
+    // token-bounded chunks (size 32, stride 24 → 8-token overlap so
+    // no span is lost at a boundary), the standard pre-training /
+    // retrieval-indexing shape. One explode with bounded per-row
+    // fan-out (ceil(n_tokens/stride) chunks), no shuffle before the
+    // final sort — linear at any corpus size.
+    "t17_chunk" -> { (s, d) =>
+      import s.implicits._
+      val chunkSize = 32
+      val stride = 24
+      load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), floor((size($"toks") - 1) / stride)),
+          i => array_join(slice($"toks", i * stride + 1, lit(chunkSize)), " "))))
+        .select($"doc_id", $"pos".cast("long").as("chunk_id"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).cast("long").as("n_tokens"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -538,6 +561,17 @@ object Text {
         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
         |    AS ttr
         |FROM tf GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "t17_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id, u.i AS chunk_id,
+        |  array_to_string(toks[(u.i*24+1):(u.i*24+32)], ' ') AS chunk,
+        |  len(toks[(u.i*24+1):(u.i*24+32)]) AS n_tokens
+        |FROM t, unnest(list_transform(
+        |    range(0, CAST(floor((len(toks)-1)/24) AS BIGINT) + 1),
+        |    i -> i)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "t16_blocklist" ->
       """SELECT source, COUNT(*) AS n_docs,

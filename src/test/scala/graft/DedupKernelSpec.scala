@@ -262,6 +262,49 @@ class DedupKernelSpec extends AnyFunSuite {
       s"missed=${(brute -- blocked).size} extra=${(blocked -- brute).size}")
   }
 
+  test("pigeonhole banding is exact across (maxHamming, sigBits) corners") {
+    import spark.implicits._
+    // seeded synthetic docs: small vocabulary forces simhash signatures
+    // into near-collisions, so every corner has live pairs at several
+    // hamming distances — exercises the block-boundary arithmetic
+    // (uneven widths when sigBits % nBlocks != 0) that the corpus gate
+    // can't vary
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((mh, bits) <- Seq((2, 32), (3, 40), (4, 64))) {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text",
+          maxHamming = mh, sigBits = bits)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits)
+      val l = sigs.as("l"); val r = sigs.as("r")
+      val brute = l.join(r, col("l.id") < col("r.id"))
+        .filter(Dedup.hamming(col("l.sig"), col("r.sig")) <= mh)
+        .select(col("l.id"), col("r.id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(brute.nonEmpty, s"corner ($mh,$bits) has no pairs — weak fixture")
+      assert(banded == brute, s"corner ($mh,$bits): " +
+        s"missed=${(brute -- banded).size} extra=${(banded -- brute).size}")
+    }
+  }
+
+  test("connectedComponents is fatal, not silent, when the diameter " +
+      "exceeds maxIter") {
+    import spark.implicits._
+    // a 6-node chain (diameter 5) cannot converge in 1 round; the op
+    // must throw rather than return partially-propagated labels a
+    // canonical-dedup step would silently treat as clusters
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("dedup-aware split: no near-dup pair ever straddles a split boundary") {
     import spark.implicits._
     // the d12 leakage invariant, checked against the PAIR relation

@@ -263,9 +263,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations " +
-        "(component diameter exceeds maxIter); raise maxIter")
+    if (!converged) {
+      labels.unpersist() // the fatal path must not leak the last generation
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
+    }
     // observability for the per-round cost model (each round is one
     // join + one aggregate over the edge list): specs gate on this so
     // a seeding/convergence regression shows up as a round-count jump,

@@ -299,10 +299,14 @@ class DedupKernelSpec extends AnyFunSuite {
     // must throw rather than return partially-propagated labels a
     // canonical-dedup step would silently treat as clusters
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 1)
     }
     assert(e.getMessage.contains("converge"))
+    // the fatal path releases its caches too (edges + both label
+    // generations) — a retry loop around CC must not accrete storage
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
   }
 
   test("dedup-aware split: no near-dup pair ever straddles a split boundary") {

@@ -194,17 +194,11 @@ class CdcTable(
     val stagingPath = newStagingDir(s"batch-v$next")
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy("_bucket").parquet(stagingPath.toString)
-    val newDirs = withListing(stagingPath)(_.toSeq)
+    val staged = withListing(stagingPath)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("_bucket="))
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-        val dest = s"b$b-v$next"
-        publishDir(p, dest)
-        b -> dest
-      }.toMap
-    deleteRecursively(stagingPath)
-
-    writeManifest(next, curManifest ++ newDirs)
+      .map(p => p.getFileName.toString.stripPrefix("_bucket=").toInt -> p)
+    try publishAndCommit(next, curManifest, staged)
+    finally deleteRecursively(stagingPath)
     ddlEvent.foreach { case (line, recordedSchema) =>
       Files.write(dir.resolve("_ddl.jsonl"), (line + "\n").getBytes,
         java.nio.file.StandardOpenOption.CREATE,
@@ -255,6 +249,36 @@ class CdcTable(
         throw new ConcurrentCommitException(
           s"bucket dir $destName was published by another writer " +
             s"(${e.getClass.getSimpleName}); re-read and retry")
+    }
+  }
+
+  /** Publish every staged bucket dir under its `b<b>-v<next>` name,
+    * then commit the manifest — cleaning up THIS writer's published
+    * dirs if either step loses a race. The cleanup matters: a loser's
+    * published dirs are referenced by no committed manifest (its CAS
+    * lost or never ran), but they squat on deterministic names; if the
+    * conflict came from a bucket-name collision rather than the
+    * manifest CAS, leaving them would block version `next` for every
+    * later writer (see sweepStaging, which mops the crashed-writer
+    * variant of the same hazard). Deleting only `published` — never
+    * `dest` dirs someone ELSE won — is safe because publishDir's
+    * move-without-replace guarantees a name we published is ours. */
+  private def publishAndCommit(next: Long, base: Map[Int, String],
+      staged: Seq[(Int, Path)]): Map[Int, String] = {
+    val published = Seq.newBuilder[Path]
+    try {
+      val newDirs = staged.map { case (b, p) =>
+        val dest = s"b$b-v$next"
+        publishDir(p, dest)
+        published += dir.resolve(dest)
+        b -> dest
+      }.toMap
+      writeManifest(next, base ++ newDirs)
+      newDirs
+    } catch {
+      case e: ConcurrentCommitException =>
+        published.result().foreach(deleteRecursively)
+        throw e
     }
   }
 
@@ -430,7 +454,7 @@ class CdcTable(
       // applyBatch that already committed b<b>-v<next> keeps its data
       // and this maintenance pass fails loudly as a conflict
       val stagingPath = newStagingDir(s"zorder-v$next")
-      val rewritten = m.map { case (b, d) =>
+      val staged = m.toSeq.map { case (b, d) =>
         val dest = s"b$b-v$next"
         spark.read.parquet(s"$path/$d")
           .withColumn("__z", sortCol)
@@ -439,15 +463,16 @@ class CdcTable(
           .drop("__z")
           .write.mode(SaveMode.Overwrite)
           .parquet(stagingPath.resolve(dest).toString)
-        b -> dest
+        b -> stagingPath.resolve(dest)
       }
-      rewritten.foreach { case (_, dest) =>
-        publishDir(stagingPath.resolve(dest), dest)
-      }
-      deleteRecursively(stagingPath)
+      val rewritten =
+        try publishAndCommit(next, m, staged)
+        finally deleteRecursively(stagingPath)
       // one scan of the rewritten (batch-sized, not table-sized) data
       // computes per-file stats for every clustered column; all-null
-      // files get no stats line and simply stay unpruned
+      // files get no stats line and simply stay unpruned. Stats land
+      // AFTER the manifest commit: a lost race appends nothing, and a
+      // reader in the gap merely scans the new files unpruned.
       val statRows = spark.read
         .parquet(rewritten.values.map(d => s"$path/$d").toSeq: _*)
         .groupBy(input_file_name().as("f"))
@@ -471,7 +496,6 @@ class CdcTable(
         Files.write(statsFile, statLines.mkString("", "\n", "\n").getBytes,
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-      writeManifest(next, m ++ rewritten)
       next
     }
 
@@ -543,12 +567,41 @@ class CdcTable(
       //  - _filestats.jsonl lines for referenced dirs keep data-skipping
       //    stats; keys are rewritten to the clone's re-pointed dir names
       //    so filesFor matches them exactly
-      for (f <- Seq("_schema.json", "_ddl.jsonl")) {
-        val src = dir.resolve(f)
-        if (Files.exists(src))
-          Files.copy(src, clone.dir.resolve(f),
-            StandardCopyOption.REPLACE_EXISTING)
-      }
+      //
+      // Both schema sidecars are reconstructed AS OF version `v`, not
+      // copied from the source's head: cloning an older version after
+      // later ALTER_TABLE drift must not hand the clone a fast-path
+      // schema naming columns absent from the referenced data dirs
+      // (it would skew the clone's own next drift diff) — the
+      // clone-as-of-version semantics Delta/Iceberg define. The DDL
+      // log is truncated at `v` and the last kept entry's embedded
+      // schema becomes the clone's _schema.json.
+      val ddlSrc = dir.resolve("_ddl.jsonl")
+      val keptDdl =
+        if (!Files.exists(ddlSrc)) Nil
+        else {
+          val verRe = "\"version\":\\s*(\\d+)".r
+          new String(Files.readAllBytes(ddlSrc)).split("\n").toSeq
+            .filter(_.nonEmpty)
+            .filter(l => verRe.findFirstMatchIn(l)
+              .exists(_.group(1).toLong <= v))
+        }
+      if (keptDdl.nonEmpty) {
+        Files.write(clone.dir.resolve("_ddl.jsonl"),
+          keptDdl.mkString("", "\n", "\n").getBytes)
+        // "schema" is the LAST field of every DDL line we write:
+        // {..., "schema": {...}} — extract it up to the outer brace
+        val last = keptDdl.last
+        val i = last.indexOf("\"schema\": ")
+        if (i >= 0)
+          Files.write(clone.dir.resolve("_schema.json"),
+            last.substring(i + "\"schema\": ".length, last.length - 1)
+              .getBytes)
+      } else if (Files.exists(schemaFile))
+        // legacy table predating the DDL log: head schema is the only
+        // record there is
+        Files.copy(schemaFile, clone.dir.resolve("_schema.json"),
+          StandardCopyOption.REPLACE_EXISTING)
       if (Files.exists(statsFile)) {
         val dirs = m.values.toSet
         val kept = new String(Files.readAllBytes(statsFile)).split("\n")
@@ -588,18 +641,14 @@ class CdcTable(
       // same staged-publish discipline as clusterZOrder: never
       // Overwrite a final bucket-dir name before the manifest CAS
       val stagingPath = newStagingDir(s"compact-v$next")
-      val rewritten = fragmented.map { case (b, d) =>
-        val dest = s"b$b-v$next"
+      val staged = fragmented.toSeq.map { case (b, d) =>
         spark.read.parquet(s"$path/$d").coalesce(1)
           .write.mode(SaveMode.Overwrite)
-          .parquet(stagingPath.resolve(dest).toString)
-        b -> dest
+          .parquet(stagingPath.resolve(s"b$b-v$next").toString)
+        b -> stagingPath.resolve(s"b$b-v$next")
       }
-      rewritten.foreach { case (_, dest) =>
-        publishDir(stagingPath.resolve(dest), dest)
-      }
-      deleteRecursively(stagingPath)
-      writeManifest(next, m ++ rewritten)
+      try publishAndCommit(next, m, staged)
+      finally deleteRecursively(stagingPath)
       Some(next)
     }
   }
@@ -638,21 +687,50 @@ class CdcTable(
     * writer whose write outlasts `maxAgeMs` would look idle at the
     * root and get swept mid-write. Recursion makes the gate track
     * actual write activity; `maxAgeMs` must still exceed the longest
-    * possible *stall* between two file writes of one batch. */
+    * possible *stall* between two file writes of one batch.
+    *
+    * Also sweeps PUBLISHED-but-uncommitted bucket dirs (`b<b>-v<n>`
+    * where `manifest-<n>.json` never landed): a writer that dies
+    * between publishing its buckets and the manifest CAS leaves dirs
+    * under deterministic names, and every later writer of version `n`
+    * would hit the publish exists-guard forever — a livelock, not just
+    * garbage. The same age gate applies; a live writer's publish→CAS
+    * gap is milliseconds, far inside any sane `maxAgeMs`. */
   def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    def newestMtime(p: Path): Long = {
-      val own = Files.getLastModifiedTime(p).toMillis
-      if (!Files.isDirectory(p)) own
-      else math.max(own,
-        withListing(p)(_.map(newestMtime).foldLeft(0L)(math.max)))
+    // A LIVE writer deleting/renaming entries under a dir mid-walk
+    // (exactly the in-flight-write scenario the recursion exists for)
+    // surfaces as NoSuchFile/DirectoryIterator/UncheckedIO exceptions;
+    // a vanished entry means ACTIVITY, so report the dir as maximally
+    // fresh rather than crashing the sweep or, worse, sweeping a dir
+    // that is being written this instant.
+    def newestMtime(p: Path): Long =
+      try {
+        val own = Files.getLastModifiedTime(p).toMillis
+        if (!Files.isDirectory(p)) own
+        else math.max(own,
+          withListing(p)(_.map(newestMtime).foldLeft(0L)(math.max)))
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.nio.file.DirectoryIteratorException |
+             _: java.io.UncheckedIOException => Long.MaxValue
+      }
+    def uncommittedBucketDir(name: String): Boolean = name match {
+      case BucketDirName(_, v) =>
+        !Files.exists(dir.resolve(s"manifest-$v.json"))
+      case _ => false
     }
     withListing(dir)(_.toSeq)
-      .filter(p => p.getFileName.toString.startsWith("_staging-") &&
-        newestMtime(p) < cutoff)
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("_staging-") || uncommittedBucketDir(n)) &&
+          newestMtime(p) < cutoff
+      }
       .map { p => deleteRecursively(p); p.getFileName.toString }
       .sorted
   }
+
+  private val BucketDirName = "b(\\d+)-v(\\d+)".r
 
   private def vacuumKeeping(versions: Seq[Long]): Seq[String] = {
     val keep = versions.flatMap(k => manifest(k).values).toSet

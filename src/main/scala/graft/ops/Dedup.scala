@@ -29,9 +29,12 @@ object Dedup {
     * the duplicate count. */
   def exactDedup(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    // the count shares w's partitioning AND ordering (full frame), so
+    // Catalyst plans ONE Window operator over one sort — not a second
+    // window pass alongside the row_number
     df.withColumn("__rn", row_number().over(w))
       .withColumn("n_dups", count(lit(1)).over(
-        Window.partitionBy(keys.map(col): _*)))
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
@@ -334,21 +337,35 @@ object Dedup {
     * natural-text simhash bits are biased, so band buckets skew — at
     * corpus scale the skewed bands resolve via AQE skew-join like
     * every other banded join here (same as minhashPairs). */
+  /** The pigeonhole band structs `(bi, bv)` for one signature column —
+    * exposed for the spec that pins the full-width-block edge: JVM
+    * long shifts are mod 64, so `(1L << 64) - 1 == 0`; a 64-bit block
+    * (maxHamming=0, sigBits=64) must mask with -1L or every row lands
+    * in band value 0 and the equi-join silently degenerates into an
+    * all-pairs cross join (output stays correct via the hamming
+    * filter; SCALE collapses). */
+  private[graft] def simhashBandExprs(sig: Column, nBlocks: Int,
+      sigBits: Int): Seq[Column] = {
+    val bounds = (0 to nBlocks).map(i => i * sigBits / nBlocks)
+    (0 until nBlocks).map { i =>
+      val off = bounds(i)
+      val len = bounds(i + 1) - bounds(i)
+      val mask = if (len == 64) -1L else (1L << len) - 1L
+      struct(lit(i).as("bi"),
+        shiftrightunsigned(sig, off)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 4, sigBits: Int = 64): DataFrame = {
     val nBlocks = maxHamming + 1
     require(sigBits >= nBlocks && sigBits <= 64,
       s"sigBits must be in [$nBlocks, 64]")
-    val bounds = (0 to nBlocks).map(i => i * sigBits / nBlocks)
     val sigs = simhashSignatures(df, idCol, textCol, sigBits)
     val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until nBlocks).map { i =>
-        val off = bounds(i)
-        val len = bounds(i + 1) - bounds(i)
-        struct(lit(i).as("bi"),
-          shiftrightunsigned(col("sig"), off)
-            .bitwiseAND(lit((1L << len) - 1L)).as("bv"))
-      }: _*)).as("b"))
+      explode(array(
+        simhashBandExprs(col("sig"), nBlocks, sigBits): _*)).as("b"))
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.b") === col("r.b") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

@@ -134,9 +134,14 @@ object PipelineValidator {
 
     glob.foreach { g =>
       // the deepest non-glob prefix must exist and be listable — the
-      // engine-side analog of "the tunnel to the data is up"
+      // engine-side analog of "the tunnel to the data is up". All
+      // three glob metacharacters ('*', '?', '[') end the fixed
+      // prefix; treating only '*' as magic would probe a literal
+      // "...?..." path that never exists and report a false
+      // SOURCE_PATH_UNREACHABLE.
       val fixedPrefix = Paths.get(
-        g.split("/").takeWhile(seg => !seg.contains("*")).mkString("/") match {
+        g.split("/").takeWhile(seg => !seg.exists(c => "*?[".contains(c)))
+          .mkString("/") match {
           case "" => "/"
           case p => p
         })
@@ -153,12 +158,20 @@ object PipelineValidator {
           connectivity = true)
     }
 
-    // writable target probe: create-and-delete, like the reference's
-    // temporary-bucket permission check
+    // Writable target probe, WITHOUT mutating the environment under
+    // validation: a preflight that creates the target root as a side
+    // effect turns a read-only check into a write. Probe against the
+    // nearest EXISTING ancestor instead — that is the directory a real
+    // write would have to create children under — via a create-and-
+    // delete temp file, like the reference's temporary-bucket
+    // permission check.
     try {
-      val root = Paths.get(targetRoot)
-      Files.createDirectories(root)
-      val probe = Files.createTempFile(root, "_preflight", ".probe")
+      var anc = Paths.get(targetRoot).toAbsolutePath.normalize
+      while (anc != null && !Files.exists(anc)) anc = anc.getParent
+      if (anc == null || !Files.isDirectory(anc))
+        throw new java.io.IOException(
+          s"nearest existing ancestor '$anc' is not a directory")
+      val probe = Files.createTempFile(anc, "_preflight", ".probe")
       Files.delete(probe)
     } catch {
       case e: Exception =>

@@ -292,6 +292,47 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("maxHamming=0 / sigBits=64: the full-width block bands on the " +
+      "whole signature, not on a zeroed mask") {
+    import spark.implicits._
+    // JVM long shifts are mod 64: (1L << 64) - 1 == 0, so an unguarded
+    // mask for the single 64-bit block (maxHamming=0) maps EVERY
+    // signature to band value 0 — output stays correct through the
+    // hamming filter, but the equi-join is a cross join and scale
+    // collapses. The tested corners (2,32),(3,40),(4,64) never hit a
+    // 64-bit block; this pins it directly on the band expression.
+    val sigs = Seq(1L, -1L, 0L, 42L, Long.MinValue, Long.MaxValue)
+      .toDF("sig")
+    val bands = sigs.select(col("sig"),
+      Dedup.simhashBandExprs(col("sig"), nBlocks = 1, sigBits = 64)
+        .head.getField("bv").as("bv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    bands.foreach { case (sig, bv) =>
+      assert(bv == sig, s"full-width band of $sig collapsed to $bv")
+    }
+    // and the operator end-to-end: identical texts pair, near-misses
+    // (hamming > 0) never do
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = ((0L until 40L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    } ++ Seq((100L, "p q r s t u v"), (101L, "p q r s t u v")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig2 = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 64)
+    val l = sig2.as("l"); val r = sig2.as("r")
+    val brute = l.join(r, col("l.id") < col("r.id"))
+      .filter(Dedup.hamming(col("l.sig"), col("r.sig")) <= 0)
+      .select(col("l.id"), col("r.id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.contains((100L, 101L)), "identical docs must pair")
+    assert(exact == brute,
+      s"missed=${(brute -- exact).size} extra=${(exact -- brute).size}")
+  }
+
   test("connectedComponents is fatal, not silent, when the diameter " +
       "exceeds maxIter") {
     import spark.implicits._

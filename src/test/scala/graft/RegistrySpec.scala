@@ -91,6 +91,38 @@ class RegistrySpec extends AnyFunSuite {
     assert(noWrite.missingFeatures
       .exists(_.code == "TARGET_WRITE_PERMISSIONS"))
     assert(noWrite.connectivityIssues.isEmpty)
+
+    // a target nested UNDER the blocking file is just as unwritable —
+    // the nearest existing ancestor is the file
+    val nested = PipelineValidator.preflight(admin, "s1",
+      blocked.resolve("sub/table").toString)
+    assert(nested.missingFeatures
+      .exists(_.code == "TARGET_WRITE_PERMISSIONS"))
+  }
+
+  test("preflight is read-only and treats ? and [ as glob metacharacters") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory(Paths.get("target"), "preflightro")
+    val admin = new graft.streaming.LocalDirSourceAdmin(
+      root.resolve("admin").toString)
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+
+    // '?' and '[' end the fixed prefix exactly like '*': the probe
+    // must land on the existing $src, not on a literal "part-?" path
+    admin.create("q", s"$src/part-?/*.avro")
+    admin.create("b", s"$src/y=[0-9]*/*.avro")
+    assert(PipelineValidator.preflight(admin, "q", src.toString).ok)
+    assert(PipelineValidator.preflight(admin, "b", src.toString).ok)
+
+    // validating must not MUTATE the environment under validation: a
+    // missing target root is probed against its nearest existing
+    // ancestor, never created as a side effect
+    val absent = root.resolve("not-yet/created/table")
+    val report = PipelineValidator.preflight(admin, "q", absent.toString)
+    assert(report.ok, report.problems.mkString("; "))
+    assert(!Files.exists(root.resolve("not-yet")),
+      "preflight created the target root as a side effect")
   }
 
   test("schema drift: widen-only with type-change rejection") {

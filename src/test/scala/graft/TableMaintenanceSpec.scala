@@ -133,6 +133,85 @@ class TableMaintenanceSpec extends AnyFunSuite {
     intercept[graft.cdc.ConcurrentCommitException] { t.clusterBy("EMPLOYEE_ID") }
     assert(Files.exists(marker))
     assert(t.currentVersion.contains(0L))
+    // the LOSER cleaned up the v1 dirs it had already published before
+    // hitting the conflict: only the foreign writer's dir squats on
+    // the version namespace (its own writer is responsible for it)
+    val v1Dirs = java.nio.file.Files.list(Paths.get(dir)).iterator()
+    val v1Names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(v1Dirs).asScala.map(_.getFileName.toString)
+      .filter(_.endsWith("-v1")).toSeq
+    assert(v1Names == Seq("b0-v1"), v1Names)
+  }
+
+  test("sweepStaging GCs aged published-but-uncommitted bucket dirs, " +
+      "unblocking the version a crashed writer squatted on") {
+    val dir = tmp("orphan")
+    val t = new CdcTable(spark, dir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val old = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000)
+    // a writer died between publishing b0-v1 and the manifest CAS:
+    // manifest-1.json never landed, so every later writer of v1 hits
+    // the publish exists-guard — the livelock sweepStaging must break
+    val orphan = Paths.get(dir, "b0-v1")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    Files.setLastModifiedTime(orphan.resolve("part-0.parquet"), old)
+    Files.setLastModifiedTime(orphan, old)
+    // a LIVE writer's just-published (uncommitted) dir is too young
+    val live = Paths.get(dir, "b1-v1")
+    Files.createDirectories(live)
+    // a COMMITTED dir never sweeps however old: the manifest check,
+    // not the age gate, protects it
+    val committed = t.state.get // force-resolve, then age a v0 dir
+    assert(committed.count() == 108)
+    val v0dir = java.nio.file.Files.list(Paths.get(dir)).iterator()
+    val aged0 = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(v0dir).asScala
+      .find(_.getFileName.toString.endsWith("-v0")).get
+    Files.setLastModifiedTime(aged0, old)
+    assert(t.sweepStaging() == Seq("b0-v1"))
+    assert(!Files.exists(orphan) && Files.exists(live) && Files.exists(aged0))
+    // once the young squatter ages out too, version 1 commits again
+    Files.setLastModifiedTime(live, old)
+    assert(t.sweepStaging() == Seq("b1-v1"))
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    assert(t.currentVersion.contains(1L))
+    assert(t.state.get.count() == 109)
+  }
+
+  test("clone-as-of-version: sidecar schema and DDL history are " +
+      "reconstructed at v, not copied from the source head") {
+    import spark.implicits._
+    def ev(withExtra: Boolean, seq: Long) = {
+      val base = Seq((1L, 10.0), (2L, 20.0))
+        .toDF("pk", "v")
+      val payload =
+        if (withExtra) struct($"pk", $"v", lit("x").as("extra")).as("row")
+        else struct($"pk", $"v").as("row")
+      base.select(payload, lit("INSERT").as("op"),
+        struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+          lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+    }
+    val t = new CdcTable(spark, tmp("cloneasof"), Seq("pk"), numBuckets = 2)
+    t.applyBatch(ev(withExtra = false, 0L), 0L) // v0: CREATE (pk, v)
+    t.applyBatch(ev(withExtra = true, 1L), 1L)  // v1: ALTER adds "extra"
+    assert(t.ddlEvents.size == 2)
+    assert(t.payloadSchema.get.fieldNames.contains("extra"))
+    // clone of the PRE-drift version: its fast-path schema must
+    // describe the referenced data dirs, not the source's head
+    val c0 = t.cloneAt(0L, tmp("cloneasof0")).get
+    assert(c0.ddlEvents.size == 1, c0.ddlEvents)
+    assert(!c0.payloadSchema.get.fieldNames.contains("extra"),
+      c0.payloadSchema.get.treeString)
+    // so the clone re-detects the SAME drift on its own next commit
+    c0.applyBatch(ev(withExtra = true, 2L), 2L)
+    assert(c0.ddlEvents.size == 2)
+    assert(c0.payloadSchema.get.fieldNames.contains("extra"))
+    // a head clone carries the drifted schema and full history
+    val c1 = t.cloneAt(1L, tmp("cloneasof1")).get
+    assert(c1.ddlEvents.size == 2)
+    assert(c1.payloadSchema.get.fieldNames.contains("extra"))
   }
 
   test("shallow clone reads the source version zero-copy and evolves " +

@@ -211,11 +211,24 @@ object Similarity {
     * WORK (information-theoretically required for an exact answer)
     * while keeping the shuffle-partitionable equi-join plan. Grow
     * `nlist` ~ √n for 100 TB corpora and let AQE split skewed cells.
-    * Centroids and per-cell radii are collected to the driver —
+    * Centroids and per-cell stats are collected to the driver —
     * bounded by `nlist`, the same boundedness class as AQE stats.
+    *
+    * **Work-budget guard**: before launching any pairwise work, the
+    * admitted-cell-pair comparison count is estimated from the cell
+    * histogram (Σ nᵢ·nⱼ over admitted pairs — an upper bound on kernel
+    * comparisons, costing one narrow aggregate pass). If it exceeds
+    * `maxComparisons` the call fails fast with guidance instead of
+    * silently running an effectively-N² job: on data with no metric
+    * structure (SURVEY §11: 500k random vectors never finished) no
+    * exact method can do better, and the approximate family
+    * (cosineTopK s09 / sign-LSH s03 / PQ-ADC s08) is the corpus-scale
+    * path. Raise `nlist` toward √n first — tighter cells prune more —
+    * or raise the budget deliberately for a one-off exact run.
     */
   def cosineRangePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, chunks: Int = 4): DataFrame = {
+      threshold: Double, nlist: Int = 16, chunks: Int = 4,
+      maxComparisons: Long = 4_000_000_000L): DataFrame = {
     val spark = emb.sparkSession
     // zero-norm vectors have an UNDEFINED cosine (0/0 = NaN) with
     // everything, so no pair involving one can satisfy `cos >= t` in
@@ -260,20 +273,43 @@ object Similarity {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    // admitted cell pairs (i ≤ j): centroid-pair angles are driver
-    // math over the collected literals; per-cell radii stay a LAZY
-    // aggregate joined in-plan (no extra eager job per call)
+    // Admitted cell pairs (i ≤ j): one EAGER bounded aggregate
+    // (nlist rows: per-cell angular radius + population) makes the
+    // admission AND the work estimate driver math over the collected
+    // centroids. The eager pass costs one narrow scan — the price of
+    // knowing the job's size before paying for it — and replaces the
+    // former lazy radii join, so total passes over `assigned` are
+    // unchanged (stats here, tiles below).
     val thetaThr = math.acos(math.max(-1.0, math.min(1.0, threshold)))
-    val cpAngles = spark.createDataFrame(for {
-      i <- 0 until nc; j <- i until nc
-    } yield (i, j, math.acos(math.max(-1.0, math.min(1.0,
-      cosD(centroids(i), centroids(j))))))).toDF("ci", "cj", "tij")
-    val radii = assigned.groupBy(col("cell")).agg(max(col("theta")).as("r"))
-    val admitted = cpAngles
-      .join(radii.select(col("cell").as("ci"), col("r").as("ri")), "ci")
-      .join(radii.select(col("cell").as("cj"), col("r").as("rj")), "cj")
-      .filter(col("tij") - col("ri") - col("rj") <= lit(thetaThr + 1e-9))
-      .select(col("ci"), col("cj"))
+    val cellStats: Map[Int, (Double, Long)] = assigned
+      .groupBy(col("cell"))
+      .agg(max(col("theta")).as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val admittedPairs: Seq[(Int, Int)] = for {
+      i <- 0 until nc
+      j <- i until nc
+      (ri, _) <- cellStats.get(i).toSeq
+      (rj, _) <- cellStats.get(j).toSeq
+      tij = math.acos(math.max(-1.0, math.min(1.0,
+        cosD(centroids(i), centroids(j)))))
+      if tij - ri - rj <= thetaThr + 1e-9
+    } yield (i, j)
+    val estComparisons: Long = admittedPairs.iterator.map { case (i, j) =>
+      val ni = cellStats(i)._2; val nj = cellStats(j)._2
+      if (i == j) ni * (ni - 1) / 2 else ni * nj
+    }.sum
+    if (estComparisons > maxComparisons)
+      throw new graft.util.Retry.FatalPipelineException(
+        s"cosineRangePairs: estimated $estComparisons pairwise " +
+          s"comparisons across ${admittedPairs.size} admitted cell " +
+          s"pairs exceeds the work budget of $maxComparisons — the " +
+          "corpus has too little metric structure for an exact range " +
+          "join at this threshold. Raise nlist toward sqrt(n) so " +
+          "cells tighten and prune, switch to the approximate family " +
+          "(cosineTopK / signLshAnn / pqSearch), or raise " +
+          "maxComparisons deliberately for a one-off exact run.")
+    val admitted = spark.createDataFrame(admittedPairs).toDF("ci", "cj")
 
     // bounded tiles per cell (hash-chunked: deterministic, no window),
     // each an id-sorted array of (id, vec, nrm) — at 100 TB the chunk

@@ -121,6 +121,43 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineRangePairs work-budget guard: clustered corpora run under " +
+      "the same budget that makes unstructured corpora fail fast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val n = 20000
+    // clustered: 16 tight clusters (the shape real embedding manifolds
+    // have); ids 0..15 are one vector per cluster, so the lowest-id
+    // coarse quantizer lands one centroid per cluster
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    val clustered = (0 until n).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("id", "vec").select($"id", $"vec".cast("array<float>").as("vec"))
+    // unstructured: uniform random — no metric structure, nothing prunes
+    val random = (0 until n).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "vec").select($"id", $"vec".cast("array<float>").as("vec"))
+
+    // clustered estimate ~ 16 * C(1250,2) ≈ 12.5M comparisons;
+    // random admits everything ≈ C(20000,2) ≈ 200M — one budget
+    // separates them
+    val budget = 60L * 1000 * 1000
+    val ok = graft.ops.Similarity.cosineRangePairs(
+      clustered, "id", "vec", 0.9, nlist = 16, maxComparisons = budget)
+    assert(ok.count() >= 0L) // launches and completes
+
+    val e = intercept[graft.util.Retry.FatalPipelineException] {
+      graft.ops.Similarity.cosineRangePairs(
+        random, "id", "vec", 0.9, nlist = 16, maxComparisons = budget)
+    }
+    assert(e.getMessage.contains("work budget of " + budget), e.getMessage)
+    // the message directs to the corpus-scale alternatives and knob
+    for (hint <- Seq("cosineTopK", "signLshAnn", "pqSearch", "nlist"))
+      assert(e.getMessage.contains(hint), s"message lacks '$hint'")
+  }
+
   test("connectedComponents leaves no cached plans behind") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))

@@ -547,10 +547,16 @@ class CdcTable(
     * SHALLOW CLONE semantics. The clone evolves independently: its
     * own commits write under its own root and re-point buckets away
     * from the source; untouched buckets keep reading the source's
-    * immutable dirs. Caveat (same as every shallow clone): vacuuming
-    * the SOURCE can drop dirs a clone still references — deep-copy
-    * before vacuum if clones must outlive source retention. Returns
-    * None if version `v` is not readable. */
+    * immutable dirs.
+    *
+    * The source records a back-reference (`_clones.jsonl`: dest path +
+    * cloned version) so its vacuum passes keep every bucket dir the
+    * cloned version references — a clone stays readable across source
+    * retention, the Delta/Iceberg "clones pin their snapshot" rule.
+    * The pin is conservative: it holds the WHOLE cloned version even
+    * after the clone re-points buckets away, until `forgetClone`
+    * releases it (the clone-drop analog). Returns None if version `v`
+    * is not readable. */
   def cloneAt(v: Long, destPath: String): Option[CdcTable] =
     if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
     else {
@@ -618,8 +624,36 @@ class CdcTable(
           Files.write(clone.dir.resolve("_filestats.jsonl"),
             kept.mkString("", "\n", "\n").getBytes)
       }
+      Files.write(clonesFile,
+        (s"""{"dest": "${Paths.get(destPath).toAbsolutePath.normalize}", """ +
+          s""""version": $v}""" + "\n").getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       Some(clone)
     }
+
+  private val clonesFile = dir.resolve("_clones.jsonl")
+
+  /** Registered clone back-references: (dest path, pinned version). */
+  def cloneRefs: Seq[(String, Long)] =
+    if (!Files.exists(clonesFile)) Nil
+    else "\\{\"dest\": \"([^\"]+)\", \"version\": (\\d+)\\}".r
+      .findAllMatchIn(new String(Files.readAllBytes(clonesFile)))
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+
+  /** Release a clone's retention pin (after the clone is dropped or
+    * deep-copied). Returns true if a back-reference was removed. */
+  def forgetClone(destPath: String): Boolean = {
+    val abs = Paths.get(destPath).toAbsolutePath.normalize.toString
+    val (dropped, kept) = cloneRefs.partition(_._1 == abs)
+    if (dropped.nonEmpty) {
+      val body = kept.map { case (d, v) =>
+        s"""{"dest": "$d", "version": $v}"""
+      }.mkString("", "\n", if (kept.nonEmpty) "\n" else "")
+      Files.write(clonesFile, body.getBytes)
+    }
+    dropped.nonEmpty
+  }
 
   /** Compaction (OPTIMIZE analog): rewrite fragmented buckets as a
     * single coalesced file set and commit a new manifest. Run
@@ -733,7 +767,13 @@ class CdcTable(
   private val BucketDirName = "b(\\d+)-v(\\d+)".r
 
   private def vacuumKeeping(versions: Seq[Long]): Seq[String] = {
-    val keep = versions.flatMap(k => manifest(k).values).toSet
+    // clone-pinned versions are retained regardless of the retention
+    // policy: a shallow clone's manifest references THIS table's dirs,
+    // and vacuuming them would orphan the clone (SURVEY §11 hazard,
+    // now closed). The pin lives until forgetClone.
+    val pinned = cloneRefs.map(_._2).distinct
+      .filter(k => Files.exists(dir.resolve(s"manifest-$k.json")))
+    val keep = (versions ++ pinned).flatMap(k => manifest(k).values).toSet
     val removed = withListing(dir)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("b") &&
         p.getFileName.toString.contains("-v") &&

@@ -238,6 +238,32 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(t.cloneAt(7L, tmp("clonenone")).isEmpty)
   }
 
+  test("vacuum-safe clones: the source keeps clone-pinned dirs until " +
+      "forgetClone releases them") {
+    val srcDir = tmp("clonevac")
+    val dstDir = tmp("clonevacdst")
+    val t = new CdcTable(spark, srcDir, Seq("EMPLOYEE_ID"), numBuckets = 4)
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/dump.avro"), 0L)
+    val clone = t.cloneAt(0L, dstDir).get
+    // source moves on: v1 re-points every touched bucket, so with
+    // keepVersions=1 the v0 dirs are vacuum candidates — exactly the
+    // dirs the clone's manifest references
+    t.applyBatch(Decode.fromAvro(spark, s"$fixtures/insert.avro"), 1L)
+    val removed = t.vacuum(keepVersions = 1)
+    // the clone's pinned version survived the vacuum wholesale
+    assert(clone.state.get.count() == 108,
+      s"clone broken after source vacuum (removed: $removed)")
+    assert(t.state.get.count() == 109) // source unaffected
+    assert(t.cloneRefs.map(_._2) == Seq(0L))
+    // releasing the pin lets the next vacuum reclaim the v0 dirs
+    assert(t.forgetClone(dstDir))
+    assert(!t.forgetClone(dstDir)) // idempotent
+    val removed2 = t.vacuum(keepVersions = 1)
+    assert(removed2.exists(_.endsWith("-v0")), removed2)
+    // and the source's current state is still intact
+    assert(t.state.get.count() == 109)
+  }
+
   test("a lost commit race is recoverable: Retry re-reads and lands on " +
       "the next version") {
     val dir = tmp("casretry")

@@ -125,7 +125,16 @@ object Relational5 {
 
     // ---- bivariate statistics: corr / covariance / regression ----
     // single-pass partial-aggregable moments per group; round-6 keeps
-    // the engines' accumulation-order differences out of the hash
+    // the engines' accumulation-order differences out of the hash.
+    // The full regr_* family rides the same moments — slope/intercept/
+    // r2/count/avgx/avgy are all ratios of the five sufficient
+    // statistics (n, Σx, Σy, Σxx, Σxy), so the whole row is ONE
+    // partial-aggregable pass however many are requested. The
+    // unnormalized S-family (regr_sxx/sxy/syy) is excluded from the
+    // oracle row: those are raw deviation sums (magnitude ~1e8 at this
+    // SF), where round-6 would demand ~1e-15 relative agreement on
+    // accumulation order — tighter than cross-engine float summation
+    // guarantees; the normalized forms carry the same information.
     "q53_corr_stats" -> { (s, d) =>
       import s.implicits._
       load(s, d, "lineitem")
@@ -136,7 +145,16 @@ object Relational5 {
             .as("covar_qp"),
           round(stddev_samp($"l_quantity"), 6).as("std_q"),
           round(regr_slope($"l_extendedprice", $"l_quantity"), 6)
-            .as("slope_pq"))
+            .as("slope_pq"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 6)
+            .as("icept_pq"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6)
+            .as("r2_pq"),
+          regr_count($"l_extendedprice", $"l_quantity").as("nreg"),
+          round(regr_avgx($"l_extendedprice", $"l_quantity"), 6)
+            .as("avgx_q"),
+          round(regr_avgy($"l_extendedprice", $"l_quantity"), 6)
+            .as("avgy_p"))
         .orderBy($"l_returnflag")
     },
 
@@ -291,7 +309,13 @@ ORDER BY c_custkey"""
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
         |  round(stddev_samp(l_quantity), 6) AS std_q,
-        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_pq
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_pq,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+        |    AS icept_pq,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_pq,
+        |  regr_count(l_extendedprice, l_quantity) AS nreg,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx_q,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy_p
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q37_window_frames" ->

@@ -1,10 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Isolation re-measurement for bench values that drift from the prior
+  * committed artifact: a fresh JVM (fresh heap, fresh codegen cache,
+  * fresh state-store dirs) re-runs just the drifted queries so a
+  * co-tenant burst that poisoned one query's slot in the main run
+  * cannot survive into the committed number. */
 object BenchSub {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -22,8 +29,51 @@ object BenchSub {
       var runs = List(once(), once())
       while (runs.size < 5 && runs.sorted.tail.head > runs.min * 1.5)
         runs ::= once()
-      println(f"SUB $n ${runs.min}%.2f")
+      spark.sharedState.cacheManager.clearCache()
+      spark.streams.active.foreach(_.stop())
+      println(f"SUB $n ${runs.min}%.3f")
     }
     spark.stop()
   }
+
+  /** Spawn this main in a fresh JVM (the bench JVM is forked by sbt,
+    * so java.class.path carries the full project classpath) and parse
+    * the per-query numbers back. Failure degrades to an empty map —
+    * the caller keeps its in-process measurements. */
+  def runIsolated(names: Seq[String], sfDir: String): Map[String, Double] =
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-Dspark.ui.enabled=false",
+        "-cp", sys.props("java.class.path"),
+        "graft.BenchSub", names.mkString(","))
+      val outFile = java.nio.file.Files.createTempFile("benchsub", ".out")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // file redirect, not pipes: a blocked pipe read cannot honor the
+      // timeout, and the child's stderr (Spark logs) is unbounded
+      pb.redirectOutput(outFile.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val ok = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!ok) proc.destroyForcibly()
+      val out = new String(java.nio.file.Files.readAllBytes(outFile))
+      java.nio.file.Files.deleteIfExists(outFile)
+      "SUB (\\S+) ([0-9.]+)".r.findAllMatchIn(out)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] isolation pass failed: ${e.getMessage}")
+      Map.empty
+    }
 }

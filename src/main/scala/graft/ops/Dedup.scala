@@ -373,4 +373,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several blocks; emit it once
   }
+
+  // ---- semantic dedup (SemDeDup: Abbas et al. 2023, arXiv:2303.09540) ----
+
+  /** Element-wise dot product of two array<double> columns, summed
+    * sequentially (index 0..n-1) — the same order a plain loop in the
+    * DuckDB oracle's `list_cosine_similarity` uses. HOF rather than
+    * the fused float kernel because the centroid side is double
+    * (exact-decimal means; rounding it to float would break
+    * cross-engine parity). Runs once per (row × centroid), k small. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** SemDeDup-style semantic deduplication over an embedding column:
+    *
+    *  1. centroids — per-`labelCol` element-wise means (the same
+    *     decimal-summed, 6-decimal-rounded arithmetic as the s06
+    *     centroid query, so both engines hold bit-identical centroid
+    *     vectors). The label seed stands in for a sampled k-means
+    *     pass: any deterministic coarse partition works, and callers
+    *     with unlabeled corpora can feed `Similarity`'s spherical
+    *     k-means assignment instead.
+    *  2. assignment — each vector goes to its nearest centroid by
+    *     rounded cosine (ties → smallest centroid id), computed as a
+    *     broadcast cross of k tiny centroid rows, then reduced with
+    *     one partial-aggregable max(struct) — no window, no sort.
+    *  3. dedup — within an assigned cluster only, a vector is a
+    *     semantic duplicate if some smaller-id vector in the same
+    *     cluster has rounded cosine >= tau (greedy keep-lowest-id, the
+    *     paper's keep-one-per-epsilon-neighborhood rule made
+    *     deterministic).
+    *
+    * Output: (id, cluster, kept) for every input row.
+    *
+    * Scale: the only pairwise work is the within-cluster self-join —
+    * the SemDeDup bound: k balanced clusters cut candidate pairs to
+    * N^2/k (pick k ~ sqrt(N) at corpus scale); the join is a plain
+    * equi-join on cluster so AQE splits skewed clusters. Everything
+    * else is linear: one posexplode aggregate for centroids (shuffle
+    * keyed on labels x dims), one broadcast cross + partial-agg max
+    * for assignment, one left-anti-shaped join for the kept flag. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, tau: Double): DataFrame = {
+    val cent = emb
+      .select(col(labelCol).cast("long").as("cl"), posexplode(col(vecCol)))
+      .groupBy(col("cl"), col("pos"))
+      .agg(round(sum(col("col").cast("double").cast("decimal(18,9)"))
+        .cast("double") / count(lit(1)), 6).as("m"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cvec"))
+
+    val asgn = emb
+      .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__ed"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__cos", round(
+        dotD(col("__ed"), col("cvec")) /
+          (sqrt(dotD(col("__ed"), col("__ed"))) *
+            sqrt(dotD(col("cvec"), col("cvec")))), 6))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos").as("c"), (-col("cl")).as("nc"),
+        col("cl").as("cl"))).getField("cl").as("cluster"))
+
+    val withCl = emb.select(col(idCol), col(vecCol)).join(asgn, idCol)
+    val b = withCl.toDF("__bid", "__bvec", "__bcl")
+    val dupIds = withCl
+      .join(b, col("cluster") === col("__bcl") && col(idCol) < col("__bid"))
+      .filter(round(graft.functions.Vectors.cosine(
+        col(vecCol), col("__bvec")), 6) >= tau)
+      .select(col("__bid").as(idCol)).distinct()
+
+    asgn.join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
+  }
 }

@@ -261,6 +261,15 @@ object DedupQueries {
       Similarity.cosineRangePairs(load(s, d, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
         .orderBy($"a", $"b")
+    },
+
+    // ---- semantic dedup (SemDeDup): cluster-then-dedup over the
+    //      embedding manifold — pairwise work confined to clusters ----
+    "d15_semantic_dedup" -> { (s, d) =>
+      import s.implicits._
+      Dedup.semanticDedup(load(s, d, "embeddings"),
+          "vec_id", "embedding", "label", tau = 0.35)
+        .orderBy($"vec_id")
     }
   )
 
@@ -461,6 +470,35 @@ object DedupQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // centroid means use s06's exact decimal-sum arithmetic rounded to
+    // 6 decimals, so both engines rank against bit-identical centroid
+    // vectors; all cosine comparisons happen on round(...,6) values on
+    // both sides (the d05 boundary-safety pattern)
+    "d15_semantic_dedup" ->
+      """WITH cm AS (
+        |  SELECT CAST(label AS BIGINT) AS cl, t.pos AS pos,
+        |    round(CAST(SUM(CAST(CAST(embedding[t.pos+1] AS DOUBLE)
+        |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS m
+        |  FROM embeddings, range(0, 64) t(pos) GROUP BY 1, 2),
+        |cv AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cl),
+        |asg AS (
+        |  SELECT vec_id, cl AS cluster FROM (
+        |    SELECT e.vec_id, c.cl,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+        |          DESC, c.cl ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cv c) r WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |    eb.embedding::DOUBLE[]), 6) >= 0.35)
+        |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+        |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin
   )
 }

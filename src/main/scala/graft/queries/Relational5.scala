@@ -43,6 +43,12 @@ object Relational5 {
       s.sql(scalarSubquerySql)
     },
 
+    // ---- recursive CTE (month-spine fixed point + reporting join) ----
+    "q59_recursive_cte" -> { (s, d) =>
+      load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(recursiveSql("INTERVAL '1' MONTH", "date_format(m, 'yyyy-MM-dd')"))
+    },
+
     // ---- GROUPING SETS via the shared-SQL path ----
     "q39_grouping_sets" -> { (s, d) =>
       load(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -231,8 +237,30 @@ WHERE (SELECT COUNT(*) FROM orders o
        WHERE o.o_custkey = c.c_custkey) <= 2
 ORDER BY c_custkey"""
 
+  /** Recursive CTE (Spark 4's UnionLoop): an 81-row month spine built
+    * by fixed-point iteration, then a broadcast equi-join of orders
+    * against it. The spine is driver-side-tiny by construction
+    * (recursion depth = months, bounded by the cteRecursionLevelLimit
+    * of 100), so the only distributed work is one scan + one
+    * broadcast-hash aggregate — the calendar never shuffles.
+    * Spark and DuckDB differ in interval literal spelling and date
+    * formatting (the string output keeps pandas date/timestamp
+    * representations out of the compare; 81 post-aggregate rows, so
+    * the formatter cost is nil). */
+  private def recursiveSql(interval: String, fmt: String): String =
+    s"""WITH RECURSIVE months(m) AS (
+       |  SELECT DATE '1995-01-01'
+       |  UNION ALL
+       |  SELECT CAST(m + $interval AS DATE) FROM months
+       |  WHERE m < DATE '2001-09-01')
+       |SELECT $fmt AS month_start, COUNT(o_orderkey) AS n_orders
+       |FROM months LEFT JOIN orders
+       |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+       |GROUP BY m ORDER BY m""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
+    "q59_recursive_cte" -> recursiveSql("INTERVAL 1 MONTH", "strftime(m, '%Y-%m-%d')"),
     "q57_scalar_subquery" -> scalarSubquerySql,
     "q50_lateral" -> lateralSql,
     "q40_small_qty_revenue" ->

@@ -413,4 +413,32 @@ class DedupKernelSpec extends AnyFunSuite {
     // and all three splits are populated at this corpus size
     assert(split.select($"split").distinct().count() == 3)
   }
+
+  test("semanticDedup: within-cluster near-dups drop, cross-cluster survive") {
+    import spark.implicits._
+    // two label clusters along the x- and y-axes. Ids 1/2 (cluster A)
+    // and 5/6 (cluster B) are near-identical pairs — the larger id of
+    // each must drop. Ids 3/4 straddle the cluster bisector: cosine
+    // 0.995 to each other (>= tau) but 3 assigns to A's centroid and 4
+    // to B's, and SemDeDup only dedups within a cluster — both stay.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.03f, 0.0f, 0.0f), 0),  // ~1.0 cos vs id 1
+      (3L, Array(0.74f, 0.67f, 0.0f, 0.0f), 0),  // x-side of the bisector
+      (4L, Array(0.67f, 0.74f, 0.0f, 0.0f), 1),  // y-side, cos 0.995 vs 3
+      (5L, Array(0.02f, 1.0f, 0.0f, 0.0f), 1),
+      (6L, Array(0.03f, 0.99f, 0.0f, 0.0f), 1)   // ~1.0 cos vs id 5
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        tau = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0))
+    assert(Seq(4L, 5L, 6L).forall(out(_)._1 == 1))
+    assert(out(1L)._2, "lowest id in a dup neighborhood is kept")
+    assert(!out(2L)._2, "higher-id near-dup must drop")
+    assert(out(5L)._2 && !out(6L)._2)
+    assert(out(3L)._2 && out(4L)._2,
+      "a near-dup pair split across clusters is outside SemDeDup's scope")
+  }
 }

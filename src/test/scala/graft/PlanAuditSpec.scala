@@ -117,6 +117,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d15: the only pairwise stage is the within-cluster equi-join; " +
+      "centroid assignment broadcasts, no cartesian") {
+    val p = plan("d15_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the k-centroid cross is a broadcast nested loop over k tiny rows
+    // (intended); the N^2-risk stage — vector-vs-vector — must be an
+    // equi-join keyed on the assigned cluster
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q59: the recursive month spine broadcasts; orders aggregate " +
+      "partially before the shuffle") {
+    val p = plan("q59_recursive_cte")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q46: sliding windows are one generate + hash aggregate, no self-join") {
     val p = plan("q46_sliding_window")
     assert(!p.contains("Join"), p)

@@ -350,6 +350,70 @@ class CdcTable(
     }
   }
 
+  /** CDF-style change feed: pre- AND post-images of version `v`'s
+    * changes, tagged with `_change_type` — the contract downstream
+    * incremental view maintenance consumes (an aggregate is
+    * maintained by ADDING insert/update_postimage rows and
+    * RETRACTING update_preimage/delete rows; the table is never
+    * rescanned). Mirrors the Delta Lake change-data-feed row set:
+    *
+    *  - `insert`            — post image of a new live row (including
+    *                          a resurrected tombstone)
+    *  - `update_preimage`   — the replaced live row's old values
+    *  - `update_postimage`  — its new values
+    *  - `delete`            — the old values of a row this commit
+    *                          tombstoned (the tombstone itself is not
+    *                          emitted; both sides of a dead→dead
+    *                          rewrite are invisible to consumers)
+    *
+    * Same manifest-diff pruning as [[changeFeed]]: cost is bounded by
+    * the commit's re-pointed buckets, not the table. */
+  def changeFeedCdf(v: Long): Option[DataFrame] = {
+    if (!Files.exists(dir.resolve(s"manifest-$v.json"))) None
+    else if (v == 0)
+      readBuckets(manifest(0L).values.toSeq)
+        .map(df => df.filter(!col("_is_deleted"))
+          .withColumn("_change_type", lit("insert")))
+    else if (!Files.exists(dir.resolve(s"manifest-${v - 1}.json"))) None
+    else {
+      val curM = manifest(v)
+      val prevM = manifest(v - 1)
+      val repointed = curM.filter { case (b, d) => !prevM.get(b).contains(d) }
+      val pre = readBuckets(repointed.keys.flatMap(prevM.get).toSeq)
+      readBuckets(repointed.values.toSeq).map { post =>
+        val cols = post.columns
+        pre match {
+          case None => post.filter(!col("_is_deleted"))
+            .withColumn("_change_type", lit("insert"))
+          case Some(p) =>
+            val joined = post.as("n").join(p.as("o"),
+              pkCols.map(c => col(s"n.$c") <=> col(s"o.$c")).reduce(_ && _),
+              "left_outer")
+              .filter(col("o._sort_key").isNull ||
+                !(col("n._sort_key") <=> col("o._sort_key")) ||
+                !(col("n._is_deleted") <=> col("o._is_deleted")))
+            // widen-only drift can leave the pre-image buckets without
+            // newly added columns — surface them as nulls, like a read
+            // of the old version would
+            val preCols = p.columns.toSet
+            def oCol(c: String) =
+              if (preCols(c)) col(s"o.$c")
+              else lit(null).cast(post.schema(c).dataType).as(c)
+            val oldLive = col("o._sort_key").isNotNull && !col("o._is_deleted")
+            val postImg = joined.filter(!col("n._is_deleted"))
+              .select(cols.map(c => col(s"n.$c")) :+
+                when(oldLive, lit("update_postimage"))
+                  .otherwise(lit("insert")).as("_change_type"): _*)
+            val preImg = joined.filter(oldLive)
+              .select(cols.map(oCol) :+
+                when(col("n._is_deleted"), lit("delete"))
+                  .otherwise(lit("update_preimage")).as("_change_type"): _*)
+            postImg.unionByName(preImg)
+        }
+      }
+    }
+  }
+
   /** Point lookup: read ONLY the PK-hash buckets the keys fall in.
     * `keys` is a small DataFrame with exactly the PK columns (a point
     * or IN-list lookup, so collecting its distinct bucket ids is a

@@ -183,6 +183,35 @@ object CdcPipeline {
         .orderBy($"employee_id")
     },
 
+    // incremental view maintenance from the CDF feed: the head-version
+    // aggregate is derived from the version-2 aggregate plus the
+    // pre/post-image deltas of every later commit — post images add,
+    // pre images retract, the table is never rescanned. At 100 TB this
+    // is the pattern that keeps downstream marts O(commit) instead of
+    // O(table): each changeFeedCdf(v) reads only the commit's
+    // re-pointed buckets. TableMaintenanceSpec asserts the semantic
+    // identity (incremental == direct head aggregate); the golden
+    // VALUES row locks the value.
+    "c18_incremental_agg" -> { (s, _) =>
+      import s.implicits._
+      val t = replayedTable(s)
+      val head = t.currentVersion.get
+      val base = t.stateAt(2L).get.filter(!$"_is_deleted")
+        .select($"SALARY".cast("decimal(18,4)").as("w_salary"),
+          lit(1L).as("w_n"))
+      val deltas = (3L to head).map { v =>
+        t.changeFeedCdf(v).get
+          .withColumn("sign",
+            when($"_change_type".isin("insert", "update_postimage"),
+              lit(1L)).otherwise(lit(-1L)))
+          .select(($"SALARY".cast("decimal(18,4)") * $"sign")
+            .cast("decimal(18,4)").as("w_salary"), $"sign".as("w_n"))
+      }
+      deltas.foldLeft(base)(_ unionByName _)
+        .agg(sum($"w_n").as("n_live"),
+          sum($"w_salary").cast("double").as("sum_salary"))
+    },
+
     // zero-copy clone: a shallow clone at version 2 must read exactly
     // the version-2 state (it shares c10's golden oracle) without
     // copying a byte — the clone's manifest references the source's

@@ -459,6 +459,51 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(v3 == 3L) // committed past the orphan, no conflict loop
   }
 
+  test("changeFeedCdf: pre/post images reconcile any version's aggregate " +
+      "to the next — the incremental-view-maintenance identity") {
+    val t = new CdcTable(spark, tmp("cdf"), Seq("EMPLOYEE_ID"), numBuckets = 4)
+    Seq("dump.avro", "insert.avro", "update.avro", "update-pk.avro",
+      "delete.avro").zipWithIndex.foreach { case (f, i) =>
+      t.applyBatch(Decode.fromAvro(spark, s"$fixtures/$f"), i.toLong)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+      val r = df.filter(!col("_is_deleted"))
+        .agg(count(lit(1)), sum(col("SALARY").cast("decimal(18,4)")))
+        .collect().head
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    // fold the CDF deltas of v over the v-1 aggregate and compare to
+    // the direct stateAt(v) aggregate, for every version transition
+    (1L to t.currentVersion.get).foreach { v =>
+      val (n0, s0) = agg(t.stateAt(v - 1).get)
+      val cdf = t.changeFeedCdf(v).get
+        .withColumn("sign", when(col("_change_type")
+          .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L)))
+      val d = cdf.agg(sum(col("sign")),
+          sum(col("SALARY").cast("decimal(18,4)") * col("sign")))
+        .collect().head
+      val (dn, ds) = (Option(d.get(0)).fold(0L)(_ => d.getLong(0)),
+        Option(d.get(1)).fold(BigDecimal(0))(_ => BigDecimal(d.getDecimal(1))))
+      val (n1, s1) = agg(t.stateAt(v).get)
+      assert(n0 + dn == n1, s"row count at v$v")
+      assert(s0 + ds == s1, s"salary sum at v$v")
+    }
+    // the PK-update commit must decompose into delete (old PK) +
+    // insert (new PK)
+    val v3types = t.changeFeedCdf(3L).get.groupBy(col("_change_type"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v3types.contains("insert") && v3types.contains("delete"), v3types)
+    // the fixture's delete batch re-deletes the row the PK-update
+    // already tombstoned (the out-of-order-delivery scenario): the
+    // sort-key-guarded merge makes it a no-op, and a dead→dead rewrite
+    // must be CDF-INVISIBLE — consumers see no phantom retraction
+    assert(t.changeFeedCdf(4L).get.isEmpty)
+    // a pure compaction commit is CDF-invisible
+    t.compact(minFiles = 1).foreach { cv =>
+      assert(t.changeFeedCdf(cv).get.isEmpty)
+    }
+  }
+
   test("multiplexed stream routes events to per-table targets") {
     val root = tmp("router")
     val router = new CdcRouter(spark, root, _ => Seq("EMPLOYEE_ID"),

@@ -24,6 +24,8 @@ QUERIES = {
         ("employee_id, first_name, salary, deleted", "employee_id"),
     "c11_change_feed":
         ("employee_id, first_name, salary, deleted", "employee_id"),
+    "c18_incremental_agg":
+        ("n_live, sum_salary", "n_live"),
 }
 
 

@@ -49,7 +49,9 @@ object ScaleCheck {
     "q56_stream_state_v2", "q57_scalar_subquery",
     "d13_boilerplate_cover", "s09_range_search", "t15_bpe_count",
     // round 5
-    "t16_blocklist", "d14_token_budget", "q31_salted_join")
+    "t16_blocklist", "d14_token_budget", "q31_salted_join",
+    // round 6
+    "d16_semantic_dedup_scaled", "q59_recursive_cte")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -435,6 +435,16 @@ object Dedup {
       .agg(max(struct(col("__cos").as("c"), (-col("cl")).as("nc"),
         col("cl").as("cl"))).getField("cl").as("cluster"))
 
+    clusterGreedyDedup(emb, idCol, vecCol, asgn, tau)
+  }
+
+  /** The within-cluster stage shared by both SemDeDup forms: a vector
+    * is a semantic duplicate iff some smaller-id vector in the SAME
+    * assigned cluster has rounded cosine >= tau. `asgn` is
+    * (idCol, cluster). The pair join is a plain equi-join on cluster —
+    * the N^2/k SemDeDup bound; AQE splits skewed clusters. */
+  private def clusterGreedyDedup(emb: DataFrame, idCol: String,
+      vecCol: String, asgn: DataFrame, tau: Double): DataFrame = {
     val withCl = emb.select(col(idCol), col(vecCol)).join(asgn, idCol)
     val b = withCl.toDF("__bid", "__bvec", "__bcl")
     val dupIds = withCl
@@ -445,5 +455,34 @@ object Dedup {
 
     asgn.join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
+  }
+
+  /** Production-scale SemDeDup: clusters come from a learned spherical
+    * k-means coarse quantizer (`Similarity.learnCentroids`, nlist ≈
+    * sqrt(N)) instead of a label seed — the paper's actual
+    * configuration, and the knob that keeps the within-cluster pair
+    * work at N^2/nlist as the corpus grows. Quantizer-defined, so the
+    * result is gated by spec (the greedy stage is re-derived by brute
+    * force over the operator's own assignment; the quantizer is
+    * deterministic by construction) rather than a SQL oracle. */
+  def semanticDedupKmeans(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, tau: Double, sampleSize: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    val learned = graft.ops.Similarity.learnCentroids(
+      emb.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      nlist, sampleSize)
+    val centroids = broadcast(spark.createDataFrame(
+      learned.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("cl", "cvec")
+      .select(col("cl"), col("cvec").cast("array<float>").as("cvec")))
+    val asgn = emb
+      .select(col(idCol), col(vecCol))
+      .crossJoin(centroids)
+      .withColumn("__sim",
+        graft.functions.Vectors.cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__sim").as("s"), (-col("cl")).as("nc"),
+        col("cl").as("cl"))).getField("cl").as("cluster"))
+    clusterGreedyDedup(emb, idCol, vecCol, asgn, tau)
   }
 }

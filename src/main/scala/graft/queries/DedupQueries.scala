@@ -270,6 +270,21 @@ object DedupQueries {
       Dedup.semanticDedup(load(s, d, "embeddings"),
           "vec_id", "embedding", "label", tau = 0.35)
         .orderBy($"vec_id")
+    },
+
+    // ---- the corpus-scale form: learned k-means cells, nlist =
+    //      sqrt(N), so pair work stays ~N^1.5 however the corpus
+    //      grows (the one count() job that sizes nlist is metadata-
+    //      cheap next to the dedup itself); quantizer-defined →
+    //      rows-only check, greedy stage brute-force-gated in
+    //      DedupKernelSpec ----
+    "d16_semantic_dedup_scaled" -> { (s, d) =>
+      import s.implicits._
+      val emb = load(s, d, "embeddings")
+      val nlist = math.max(8, math.ceil(math.sqrt(emb.count())).toInt)
+      Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
+          nlist, tau = 0.35, sampleSize = math.max(4096, nlist * 8))
+        .orderBy($"vec_id")
     }
   )
 

@@ -133,6 +133,47 @@ object SimilarityQueries {
       Similarity.pqTopK(queriesDf(s, d),
           corpusDf(s, d).select($"id", $"vec"), K)
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- hybrid retrieval: lexical + semantic channels fused by
+    //      reciprocal-rank fusion (the standard RAG pattern) ----
+    // Lexical: distinct-token overlap between the query document and
+    // each candidate (integer, engine-independent); semantic: fused
+    // cosine kernel over the paired embeddings. Each channel ranks
+    // its top-20 per query; RRF = Σ 1/(60+rank) over the channels a
+    // candidate appears in, final top-10. Scale: both channels are
+    // broadcast-Q linear scans (5 query docs/vectors broadcast against
+    // the corpus — the token join is a broadcast hash join on token,
+    // the cosine scan is one fused projection); ranks are windows over
+    // per-query top-20 slices, so no stage is ever corpus×corpus.
+    "s10_hybrid_rrf" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.TextAnalysis.tokens
+      val docs = load(s, d, "documents")
+        .select($"doc_id", array_distinct(tokens($"text")).as("toks"))
+      val qdocs = docs.filter($"doc_id" < 5)
+        .select($"doc_id".as("qid"), explode($"toks").as("tok"))
+      val overlap = docs.select($"doc_id".as("id"), explode($"toks").as("tok"))
+        .join(broadcast(qdocs), "tok")
+        .filter($"id" =!= $"qid")
+        .groupBy($"qid", $"id").agg(count(lit(1)).as("ovl"))
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"ovl".desc, $"id")
+      val lex = overlap.withColumn("r_lex", row_number().over(wL))
+        .filter($"r_lex" <= 20).select($"qid", $"id", $"r_lex")
+      val sem = Similarity.bruteForceTopK(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), 20)
+        .select($"qid", $"id", $"rank".as("r_sem"))
+      lex.join(sem, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / ($"r_lex" + 60), lit(0.0)) +
+            coalesce(lit(1.0) / ($"r_sem" + 60), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"qid").orderBy($"rrf".desc, $"id")).cast("long"))
+        .filter($"rank" <= K)
+        .select($"qid", $"id", $"rrf", $"rank")
+        .orderBy($"qid", $"rank")
     }
   )
 
@@ -151,6 +192,37 @@ object SimilarityQueries {
        |  AND q.vec_id <> c.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s10_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |  FROM documents),
+         |lexall AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS id,
+         |    len(list_intersect(q.toks, c.toks)) AS ovl
+         |  FROM toks q JOIN toks c
+         |    ON q.doc_id < 5 AND c.doc_id <> q.doc_id),
+         |lex AS (
+         |  SELECT qid, id, r_lex FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ovl DESC, id) AS r_lex
+         |    FROM lexall WHERE ovl > 0) t WHERE r_lex <= 20),
+         |sem AS (
+         |  SELECT qid, id, r_sem FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, id) AS r_sem FROM ($topkSql) t) r
+         |  WHERE r_sem <= 20),
+         |fused AS (
+         |  SELECT COALESCE(lex.qid, sem.qid) AS qid,
+         |    COALESCE(lex.id, sem.id) AS id,
+         |    round(COALESCE(CAST(1.0 AS DOUBLE) / (r_lex + 60), 0) +
+         |          COALESCE(CAST(1.0 AS DOUBLE) / (r_sem + 60), 0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.qid = sem.qid AND lex.id = sem.id)
+         |SELECT qid, id, rrf, rank FROM (
+         |  SELECT qid, id, rrf, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf DESC, id) AS rank FROM fused) f
+         |WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+
     "s09_range_search" ->
       s"""SELECT qid, id, cos FROM ($topkSql) t
          |WHERE cos >= 0.3 ORDER BY qid, id""".stripMargin,

@@ -441,4 +441,45 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(out(3L)._2 && out(4L)._2,
       "a near-dup pair split across clusters is outside SemDeDup's scope")
   }
+
+  test("semanticDedupKmeans: greedy stage matches a brute-force re-derivation " +
+      "over its own assignment; deterministic across runs") {
+    import spark.implicits._
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
+      nlist = 8, tau = 0.35)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == emb.count())
+    // brute-force reference: within the operator's own clusters, a
+    // vector must be dropped iff a smaller-id cluster-mate has rounded
+    // cosine >= tau (exactly the greedy keep-lowest-id rule)
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (id, cl, kept) =>
+      val expectDrop = byCluster(cl).exists { case (other, _, _) =>
+        other < id &&
+          BigDecimal(cos(vecs(other), vecs(id)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.35
+      }
+      assert(kept == !expectDrop, s"vec $id in cluster $cl")
+    }
+    assert(rows.count(!_._3) > 0, "tau must drop something at this SF")
+    // the deterministic sample/seed/iteration scheme must replay to
+    // the identical relation
+    val again = Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
+      nlist = 8, tau = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

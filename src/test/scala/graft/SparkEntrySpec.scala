@@ -38,6 +38,6 @@ class SparkEntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d03_simhash_pairs", "s03_ann_lsh",
       "s04_ann_ivf", "s08_pq_adc", "m03_fake_features",
-      "q30_approx_sketches"), rowsOnly)
+      "q30_approx_sketches", "d16_semantic_dedup_scaled"), rowsOnly)
   }
 }

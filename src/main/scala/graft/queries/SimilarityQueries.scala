@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Similarity
@@ -135,6 +135,83 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- MMR re-rank: diversified retrieval (Carbonell & Goldstein
+    //      1998) — greedy argmax of λ·sim(q,d) − (1−λ)·max sim(d, S)
+    //      over a top-30 candidate pool, k=10 picks ----
+    // Similarity is the INTEGER dot product of int8-quantized vectors
+    // (s07's exact quantization formula): every pool-admission and
+    // greedy comparison is integer-derived, so no float-rounding
+    // boundary can ever split the engines — the first float-cosine
+    // formulation DID split on a raw cosine 1 ulp from its 6-decimal
+    // boundary (and int8 similarity is the production trick anyway:
+    // integer SIMD scan, exact re-rank later if needed).
+    // Pure declarative iteration: each of the 10 rounds is one join
+    // (candidate→selected pair dots, per-query max) + one window
+    // argmax, all on per-query slices of ≤30 rows; the selected set
+    // is localCheckpoint'ed per round so the plan stays linear in k
+    // (the connectedComponents discipline). At corpus scale the
+    // rounds are k bounded shuffles over (queries × pool) — never
+    // corpus-sized. The oracle unrolls the same 10 steps as chained
+    // materialized CTEs.
+    "s11_mmr_rerank" -> { (s, d) =>
+      import s.implicits._
+      val codes = {
+        val ed = load(s, d, "embeddings")
+          .select($"vec_id", transform($"embedding", _.cast("double")).as("ed"))
+          .withColumn("mx", array_max(transform($"ed", x => abs(x))))
+        ed.select($"vec_id", when($"mx" > 0,
+            transform($"ed", x => floor(x * 127.0 / $"mx" + 0.5).cast("long")))
+          .otherwise(transform($"ed", x => lit(0L))).as("c"))
+      }
+      def dotL(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      val qc = codes.filter($"vec_id" < 5)
+        .select($"vec_id".as("qid"), $"c".as("qc"))
+      val dots = codes.crossJoin(broadcast(qc))
+        .filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("id"), dotL($"qc", $"c").as("d"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"d".desc, $"id")
+      val cand = dots.withColumn("rn", row_number().over(wP))
+        .filter($"rn" <= 30).select($"qid", $"id", $"d")
+      val candC = cand.join(codes.withColumnRenamed("vec_id", "id"), "id")
+      val pairs = candC.select($"qid", $"id".as("a"), $"c".as("ca"))
+        .join(candC.select($"qid", $"id".as("b"), $"c".as("cb")), "qid")
+        .filter($"a" =!= $"b")
+        .select($"qid", $"a", $"b", dotL($"ca", $"cb").as("pd"))
+        .localCheckpoint(true)
+      val c0 = cand.localCheckpoint(true)
+      var sel = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType))))
+      for (step <- 1 to K) {
+        val msim = pairs
+          .join(sel.select($"qid", $"id".as("b")), Seq("qid", "b"))
+          .groupBy($"qid", $"a").agg(max($"pd").as("msim"))
+          .select($"qid", $"a".as("id"), $"msim")
+        val scored = c0.join(sel.select($"qid", $"id"), Seq("qid", "id"),
+            "left_anti")
+          .join(msim, Seq("qid", "id"), "left")
+          .withColumn("score",
+            $"d" * 0.7 - coalesce($"msim", lit(0L)) * 0.3)
+        val pick = scored.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"qid").orderBy($"score".desc, $"id")))
+          .filter($"rn" === 1)
+          .select($"qid", $"id", $"score", lit(step.toLong).as("rank"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      sel.orderBy($"qid", $"rank")
+    },
+
     // ---- hybrid retrieval: lexical + semantic channels fused by
     //      reciprocal-rank fusion (the standard RAG pattern) ----
     // Lexical: distinct-token overlap between the query document and
@@ -191,7 +268,74 @@ object SimilarityQueries {
        |FROM embeddings q JOIN embeddings c ON q.vec_id < 5
        |  AND q.vec_id <> c.vec_id""".stripMargin
 
+  /** The MMR greedy unrolled as 10 chained CTE steps (k is fixed, so
+    * the fixed-point needs no recursion): step i retracts the already-
+    * selected rows, scores the rest against the selected set's max
+    * pair dot, and picks the per-query argmax. Similarity is the
+    * integer dot product of int8 codes (s07's exact quantization
+    * formula) — integer-derived everywhere, so both engines compare
+    * identical values. CTEs are MATERIALIZED: the chain references
+    * each sel twice per step, and DuckDB's default inlining would
+    * blow up exponentially in k. */
+  private def mmrSql: String = {
+    val prologue =
+      s"""codes AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN mx > 0 THEN
+         |      list_transform(ed, x -> CAST(floor(x * CAST(127.0 AS DOUBLE)
+         |        / mx + CAST(0.5 AS DOUBLE)) AS BIGINT))
+         |    ELSE list_transform(ed, x -> CAST(0 AS BIGINT)) END AS c
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ed,
+         |          list_max(list_transform(embedding::DOUBLE[],
+         |            x -> abs(x))) AS mx
+         |        FROM embeddings) z),
+         |cand AS MATERIALIZED (
+         |  SELECT qid, id, d FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS id,
+         |      CAST(list_dot_product(q.c::DOUBLE[], c.c::DOUBLE[]) AS BIGINT)
+         |        AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.c::DOUBLE[], c.c::DOUBLE[]) DESC,
+         |        c.vec_id) AS rn
+         |    FROM codes q JOIN codes c
+         |      ON q.vec_id < 5 AND q.vec_id <> c.vec_id) t
+         |  WHERE rn <= 30),
+         |mpairs AS MATERIALIZED (
+         |  SELECT c1.qid, c1.id AS a, c2.id AS b,
+         |    CAST(list_dot_product(k1.c::DOUBLE[], k2.c::DOUBLE[]) AS BIGINT)
+         |      AS pd
+         |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.id <> c2.id
+         |  JOIN codes k1 ON k1.vec_id = c1.id
+         |  JOIN codes k2 ON k2.vec_id = c2.id),
+         |sel0(qid, id, score, rank) AS (
+         |  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT) WHERE 1 = 0)""".stripMargin
+    val steps = (1 to K).map { i =>
+      s"""msim$i AS MATERIALIZED (
+         |  SELECT p.qid, p.a AS id, MAX(p.pd) AS msim
+         |  FROM mpairs p JOIN sel${i - 1} s ON p.qid = s.qid AND p.b = s.id
+         |  GROUP BY 1, 2),
+         |pick$i AS MATERIALIZED (
+         |  SELECT qid, id, score, CAST($i AS BIGINT) AS rank FROM (
+         |    SELECT a.qid, a.id,
+         |      a.d * CAST(0.7 AS DOUBLE) -
+         |        COALESCE(m.msim, 0) * CAST(0.3 AS DOUBLE) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY a.qid
+         |        ORDER BY a.d * CAST(0.7 AS DOUBLE) -
+         |          COALESCE(m.msim, 0) * CAST(0.3 AS DOUBLE) DESC, a.id)
+         |        AS rn
+         |    FROM (SELECT c.* FROM cand c LEFT JOIN sel${i - 1} s
+         |          ON c.qid = s.qid AND c.id = s.id WHERE s.id IS NULL) a
+         |    LEFT JOIN msim$i m ON a.qid = m.qid AND a.id = m.id) t
+         |  WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    s"WITH $prologue,\n${steps.mkString(",\n")}\n" +
+      s"SELECT qid, id, score, rank FROM sel$K ORDER BY qid, rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "s11_mmr_rerank" -> mmrSql,
+
     "s10_hybrid_rrf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

@@ -136,6 +136,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("s10: both retrieval channels are broadcast-side joins — " +
+      "the corpus never feeds a cartesian") {
+    val p = plan("s10_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q46: sliding windows are one generate + hash aggregate, no self-join") {
     val p = plan("q46_sliding_window")
     assert(!p.contains("Join"), p)

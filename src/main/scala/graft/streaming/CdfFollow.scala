@@ -37,6 +37,12 @@ object CdfFollow {
     val manifests = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .format("text")
+      // the file source's default maxFileAge (7 days) would silently
+      // skip older manifests when a FRESH subscription starts on an
+      // old table — a follower must see every committed version, so
+      // age-based pruning is disabled (the CDC source's 3-day SLA
+      // window is a different contract for a different directory)
+      .option("maxFileAge", "36500d")
       .load(s"$tableDir/manifest-*.json")
       .select(col("_metadata.file_path").as("path"))
     manifests.writeStream

@@ -113,5 +113,34 @@ class StreamingCdcSpec extends AnyFunSuite {
     seen.clear()
     drain()
     assert(seen.map(_._1).toSeq == Seq(3L, 4L))
+    // a fresh subscription delivers every version regardless of age
+    // (first-listing accepts all mtimes)
+    import java.nio.file.attribute.FileTime
+    Files.list(Paths.get(dir)).iterator().forEachRemaining { p =>
+      if (p.getFileName.toString.matches("manifest-[012]\\.json"))
+        Files.setLastModifiedTime(p,
+          FileTime.fromMillis(System.currentTimeMillis() - 10L * 86400 * 1000))
+    }
+    val ckpt2 = Files.createTempDirectory(Paths.get("target"), "cdf-ckpt2")
+      .toString
+    seen.clear()
+    val q2 = graft.streaming.CdfFollow.run(spark, table, dir, ckpt2,
+      (v, cdf) => seen.synchronized { seen += ((v, cdf.count())) })
+    q2.awaitTermination(60000)
+    assert(seen.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      "aged manifests must not be age-pruned for a fresh follower")
+    // the REAL age-pruning loss case: a resumed follower whose seen-
+    // files threshold (newest mtime − maxFileAge) has already advanced
+    // past a never-seen manifest's mtime — the shape of a >7-day
+    // outage during which commits kept landing. Without CdfFollow's
+    // explicit maxFileAge override, v5 here is silently skipped.
+    val extra = graft.cdc.Decode.fromAvro(spark, s"$fixtures/insert.avro")
+    assert(table.applyBatch(extra, 5L) == 5L)
+    Files.setLastModifiedTime(Paths.get(dir, "manifest-5.json"),
+      FileTime.fromMillis(System.currentTimeMillis() - 10L * 86400 * 1000))
+    seen.clear()
+    drain() // resumes from ckpt, whose newest-seen mtime is current
+    assert(seen.map(_._1).toSeq == Seq(5L),
+      "a backdated never-seen manifest must survive the resume threshold")
   }
 }

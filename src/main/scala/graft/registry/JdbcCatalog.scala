@@ -64,7 +64,12 @@ object JdbcClientPool {
     * for one spec — is what matters). */
   def get(spec: JdbcConnectionSpec): Connection = pool.synchronized {
     val cached = pool.get(spec) // access-order touch
-    if (cached != null && !cached.isClosed) cached
+    // isValid, not isClosed: a server-side-killed session still reads
+    // isClosed=false on the client and would be handed out forever
+    // (each use failing recoverable until the retry budget turns it
+    // fatal); isValid pings the server — a control-plane round-trip,
+    // cheap on the discovery paths this pool serves
+    if (cached != null && cached.isValid(/*timeoutSec=*/ 2)) cached
     else {
       spec.driver.foreach(Class.forName)
       val fresh = DriverManager.getConnection(spec.url, spec.user,

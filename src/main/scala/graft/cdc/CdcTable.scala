@@ -46,6 +46,9 @@ class CdcTable(
     pkCols: Seq[String],
     numBuckets: Int = 16) {
 
+  /** The table's root directory (commit-log followers need it). */
+  def location: String = path
+
   private val dir = Paths.get(path)
   private val latestFile = dir.resolve("_LATEST")
   Files.createDirectories(dir)

@@ -212,6 +212,38 @@ object CdcPipeline {
           sum($"w_salary").cast("double").as("sum_salary"))
     },
 
+    // the STREAMING IVM path: a CdfFollow subscription maintains the
+    // same (n_live, sum_salary) mart as c18, but fed by the real
+    // Structured Streaming commit-log follower (file source +
+    // checkpoint) instead of batch changeFeedCdf calls — folding every
+    // version's pre/post deltas from empty must land exactly c18's
+    // golden head aggregate. The c16 precedent: the streaming path is
+    // gated end-to-end, not just its batch algebra.
+    "c19_stream_ivm" -> { (s, _) =>
+      import s.implicits._
+      val t = replayedTable(s)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ivm-ckpt").toString
+      val state = new java.util.concurrent.atomic.AtomicReference(
+        (0L, java.math.BigDecimal.ZERO))
+      val q = graft.streaming.CdfFollow.run(s, t, ckpt, { (_, cdf) =>
+        val d = cdf
+          .withColumn("sign", when($"_change_type"
+            .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L)))
+          .agg(sum($"sign").as("dn"),
+            sum($"SALARY".cast("decimal(18,4)") * $"sign").as("ds"))
+          .collect().head
+        val dn = if (d.isNullAt(0)) 0L else d.getLong(0)
+        val ds = if (d.isNullAt(1)) java.math.BigDecimal.ZERO
+          else d.getDecimal(1)
+        state.updateAndGet { case (n, sm) => (n + dn, sm.add(ds)) }
+        ()
+      })
+      q.awaitTermination(120000)
+      val (n, sm) = state.get()
+      Seq((n, sm.doubleValue)).toDF("n_live", "sum_salary")
+    },
+
     // zero-copy clone: a shallow clone at version 2 must read exactly
     // the version-2 state (it shares c10's golden oracle) without
     // copying a byte — the clone's manifest references the source's
@@ -453,5 +485,8 @@ object CdcPipeline {
   ) ++ CdcGoldenOracles.map ++
     Map("c15_json_decode" -> CdcGoldenOracles.map("c07_decode_cdc"),
       "c16_stream_e2e" -> CdcGoldenOracles.map("c02_cdc_final_state"),
-      "c17_clone" -> CdcGoldenOracles.map("c10_time_travel"))
+      "c17_clone" -> CdcGoldenOracles.map("c10_time_travel"),
+      // the streaming fold from empty must land the same head
+      // aggregate as c18's base+deltas derivation
+      "c19_stream_ivm" -> CdcGoldenOracles.map("c18_incremental_agg"))
 }

@@ -31,7 +31,7 @@ object CdfFollow {
     * committed version, ascending within and across batches; versions
     * whose pre-image manifest was vacuumed are skipped (same graceful
     * degradation as `changeFeedCdf`). Stop via the returned query. */
-  def run(spark: SparkSession, table: CdcTable, tableDir: String,
+  def run(spark: SparkSession, table: CdcTable,
       checkpointDir: String, onVersion: (Long, org.apache.spark.sql.DataFrame) => Unit,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val manifests = spark.readStream
@@ -43,7 +43,7 @@ object CdfFollow {
       // age-based pruning is disabled (the CDC source's 3-day SLA
       // window is a different contract for a different directory)
       .option("maxFileAge", "36500d")
-      .load(s"$tableDir/manifest-*.json")
+      .load(s"${table.location}/manifest-*.json")
       .select(col("_metadata.file_path").as("path"))
     manifests.writeStream
       .option("checkpointLocation", checkpointDir)

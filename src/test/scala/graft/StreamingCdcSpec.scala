@@ -93,7 +93,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     }
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     def drain(): Unit = {
-      val q = CdfFollow.run(spark, table, dir, ckpt, (v, cdf) =>
+      val q = CdfFollow.run(spark, table, ckpt, (v, cdf) =>
         seen.synchronized { seen += ((v, cdf.count())) })
       q.awaitTermination(60000); ()
     }
@@ -124,7 +124,7 @@ class StreamingCdcSpec extends AnyFunSuite {
     val ckpt2 = Files.createTempDirectory(Paths.get("target"), "cdf-ckpt2")
       .toString
     seen.clear()
-    val q2 = graft.streaming.CdfFollow.run(spark, table, dir, ckpt2,
+    val q2 = graft.streaming.CdfFollow.run(spark, table, ckpt2,
       (v, cdf) => seen.synchronized { seen += ((v, cdf.count())) })
     q2.awaitTermination(60000)
     assert(seen.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L),

@@ -49,6 +49,24 @@ object Relational5 {
       s.sql(recursiveSql("INTERVAL '1' MONTH", "date_format(m, 'yyyy-MM-dd')"))
     },
 
+    // ---- distribution-ranking window family: ntile / percent_rank /
+    //      cume_dist (q09/q37/q54 cover rank/row_number and frames) ----
+    // percent_rank=(rank-1)/(n-1) and cume_dist=peers/n are ratios of
+    // window-local INTEGERS, so the doubles are engine-exact; one sort
+    // per nation partition serves all four functions.
+    "q60_rank_functions" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+      load(s, d, "customer")
+        .filter($"c_nationkey" < 5)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"c_nationkey", $"c_acctbal", $"c_custkey")
+    },
+
     // ---- GROUPING SETS via the shared-SQL path ----
     "q39_grouping_sets" -> { (s, d) =>
       load(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -261,6 +279,15 @@ ORDER BY c_custkey"""
   val oracle: Map[String, String] = Map(
     "q38_sql_interface" -> sharedSql,
     "q59_recursive_cte" -> recursiveSql("INTERVAL 1 MONTH", "strftime(m, '%Y-%m-%d')"),
+    "q60_rank_functions" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin,
     "q57_scalar_subquery" -> scalarSubquerySql,
     "q50_lateral" -> lateralSql,
     "q40_small_qty_revenue" ->

@@ -51,7 +51,8 @@ object ScaleCheck {
     // round 5
     "t16_blocklist", "d14_token_budget", "q31_salted_join",
     // round 6
-    "d16_semantic_dedup_scaled", "q59_recursive_cte")
+    "d16_semantic_dedup_scaled", "q59_recursive_cte",
+    "s10_hybrid_rrf", "s11_mmr_rerank")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -7,6 +7,37 @@ import org.apache.spark.sql.SparkSession
   * materialized through the noop sink (count() would let Catalyst
   * prune the measured work down to row counting). */
 object Bench {
+
+  /** Per-query values from a committed BENCH_FULL.json — tolerant of
+    * both writers of that file (the Scala single-line format and the
+    * audit tool's compact json.dumps). */
+  private[graft] def parsePrior(txt: String): Map[String, Double] =
+    "\"([a-z][0-9a-z_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** A measurement needs a fresh-JVM isolation pass iff it drifted
+    * >1.5x above its previous committed value AND by >0.4 s absolute
+    * (sub-second jitter is not worth a JVM). 1.5x matches the round-5
+    * verdict's acceptance bar; the original 2x cut let a sustained
+    * burst park a family at 1.9x. Failed queries (t < 0) and queries
+    * with no prior never resample. */
+  private[graft] def needsResample(name: String, t: Double,
+      prior: Map[String, Double]): Boolean =
+    t > 0 && prior.get(name).exists(p => t > p * 1.5 && t - p > 0.4)
+
+  /** Keep the MIN of the in-run and isolation numbers: both measure
+    * the same code and co-tenant noise only ADDS time, so the
+    * quietest observation is the best estimate — a burst can span the
+    * isolation pass too (observed: the same query at 1.5 s, 5.0 s and
+    * 22.0 s in three consecutive fresh JVMs during one noisy window).
+    * Queries absent from the isolation result keep their in-run
+    * value. */
+  private[graft] def reconcile(measured: Seq[(String, Double)],
+      sub: Map[String, Double]): Seq[(String, Double)] =
+    measured.map { case (n, t) =>
+      n -> sub.get(n).map(v => math.min(v, t)).getOrElse(t)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,11 +71,8 @@ object Bench {
     val prior: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p))
-        "\"([a-z][0-9a-z_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      else Bench.parsePrior(
+        new String(java.nio.file.Files.readAllBytes(p)))
     }
 
     val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -78,8 +106,7 @@ object Bench {
     // value ≤1.5x its isolation number): the first 2x cut let a
     // sustained burst park the dedup family at 1.9x in the artifact.
     val drifted = measured.collect {
-      case (n, t) if t > 0 && prior.get(n).exists(p =>
-        t > p * 1.5 && t - p > 0.4) => n
+      case (n, t) if needsResample(n, t, prior) => n
     }
     val results =
       if (drifted.isEmpty) measured
@@ -88,15 +115,7 @@ object Bench {
           s"[bench] resampling ${drifted.size} drifted in fresh JVM: " +
             drifted.mkString(","))
         val sub = BenchSub.runIsolated(drifted, sfDir)
-        // keep the MIN of the in-run and isolation numbers: both
-        // measure the same code and co-tenant noise only ADDS time,
-        // so the quietest observation is the best estimate — a burst
-        // can span the isolation pass too (observed: the same query
-        // at 1.5 s, 5.0 s and 22.0 s in three consecutive fresh JVMs
-        // during one noisy window)
-        measured.map { case (n, t) =>
-          n -> sub.get(n).map(v => math.min(v, t)).getOrElse(t)
-        }
+        reconcile(measured, sub)
       }
     // The harness captures only the last ~2000 chars of output, and a
     // 109-entry per-query map (~2.9 KB even at ms precision) pushed

@@ -52,7 +52,7 @@ object ScaleCheck {
     "t16_blocklist", "d14_token_budget", "q31_salted_join",
     // round 6
     "d16_semantic_dedup_scaled", "q59_recursive_cte",
-    "s10_hybrid_rrf", "s11_mmr_rerank")
+    "s10_hybrid_rrf", "s11_mmr_rerank", "t18_novelty")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

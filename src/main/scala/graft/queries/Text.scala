@@ -348,6 +348,37 @@ object Text {
         .orderBy($"doc_id", $"chunk_id")
     },
 
+    // ---- novelty scoring: the dataset-curation redundancy curve ----
+    // fraction of a document's distinct 8-grams whose FIRST corpus
+    // occurrence (by doc_id order) is this document — d10's
+    // boilerplate view asks "what recurs"; this asks "what does each
+    // document newly contribute", the per-document form of t12's
+    // corpus-level vocabulary growth. Shape: one linear gram explode,
+    // one hash aggregate keyed on gram (min doc_id — partial-agg),
+    // one gram-keyed equi-join back (both sides hash on the same key,
+    // so the aggregate's exchange is reusable), one per-doc aggregate.
+    // Nothing pairwise, nothing driver-side; integer-ratio novelty is
+    // engine-exact.
+    "t18_novelty" -> { (s, d) =>
+      import s.implicits._
+      val grams = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id", explode(array_distinct(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " ")))).as("g"))
+      val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      grams.join(firstSeen, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+            .as("n_novel"))
+        .select($"doc_id", $"n_grams", $"n_novel",
+          round($"n_novel".cast("double") / $"n_grams", 6).as("novelty"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -372,6 +403,21 @@ object Text {
     s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
 
   val oracle: Map[String, String] = Map(
+    "t18_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM g JOIN f USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t01_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS n_tokens,

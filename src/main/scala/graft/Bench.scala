@@ -5,7 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully
   * materialized through the noop sink (count() would let Catalyst
-  * prune the measured work down to row counting). */
+  * prune the measured work down to row counting).
+  *
+  * Survival contract with the driver harness (round-6 post-mortem:
+  * the run was SIGKILLed mid-resample and left rc=1 / no parseable
+  * line): the committed artifact and the stdout JSON line are written
+  * from in-run numbers FIRST; only then does the optional fresh-JVM
+  * drift resample run, and if it succeeds the artifact and line are
+  * re-written with the reconciled numbers. Any failure in the
+  * resample phase (timeout, OOM-killed child, parse failure) is
+  * swallowed — the in-run artifact already on disk is the result, and
+  * main exits 0. The parent SparkContext is stopped before the child
+  * JVM spawns so parent+child never hold two executor heaps at once.
+  */
 object Bench {
 
   /** Per-query values from a committed BENCH_FULL.json — tolerant of
@@ -38,9 +50,28 @@ object Bench {
       n -> sub.get(n).map(v => math.min(v, t)).getOrElse(t)
     }
 
+  /** Fast-path eligibility: a query whose prior committed value and
+    * whose first sample are both under the scheduling-floor threshold
+    * needs no confirmation sample — at that size the measurement is
+    * scheduling floor, not engine work, and a second run would only
+    * add to the 131-query surface's fixed wall-clock cost. Bounded
+    * error: the committed value can exceed the true min by at most
+    * the threshold. */
+  private[graft] val FastPathSec = 0.35
+  private[graft] def fastPath(name: String, t1: Double,
+      prior: Map[String, Double]): Boolean =
+    t1 >= 0 && t1 <= FastPathSec && prior.get(name).exists(_ <= FastPathSec)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional subset run for local iteration: --family=q,d runs only
+    // those family prefixes. Subset runs never overwrite the committed
+    // full-surface artifact.
+    val families: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("--family=") =>
+        a.stripPrefix("--family=").split(",").map(_.trim).toSet
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,19 +86,9 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Adaptive min-of-n per query: the machine shows heavy co-tenant
-    // variance (round-4 artifact had 5-14x spikes on queries whose
-    // code hadn't changed; all reproduced fast in isolation). min-of-2
-    // is not enough when a burst outlasts both runs, so the min must
-    // be CONFIRMED by a second sample within 1.5x — otherwise take
-    // more samples (bounded at 5) and keep the min. Steady-state cost
-    // stays 2 runs/query; only burst-hit queries pay extra.
     // Per-query values from the PREVIOUS committed artifact (if any):
-    // the round-5 verdict showed the adaptive confirm still admits a
-    // co-tenant burst that outlasts all samples of one query's slot,
-    // so any value that drifts >2x from its prior committed number is
-    // re-measured in a fresh isolated JVM (graft.BenchSub) and the
-    // fresh-JVM number is kept. Read BEFORE this run overwrites it.
+    // read BEFORE this run overwrites the file. Used twice — the
+    // sub-second fast path and the drift-resample decision.
     val prior: Map[String, Double] = {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -75,7 +96,18 @@ object Bench {
         new String(java.nio.file.Files.readAllBytes(p)))
     }
 
-    val measured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Adaptive min-of-n per query: the machine shows heavy co-tenant
+    // variance (round-4 artifact had 5-14x spikes on queries whose
+    // code hadn't changed; all reproduced fast in isolation). min-of-2
+    // is not enough when a burst outlasts both runs, so the min must
+    // be CONFIRMED by a second sample within 1.5x — otherwise take
+    // more samples (bounded at 5) and keep the min. Steady-state cost
+    // stays 2 runs/query (1 for prior-confirmed sub-second queries,
+    // the fastPath above); only burst-hit queries pay extra.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (n, _) => families.forall(fs => fs(n.takeWhile(!_.isDigit)))
+    }
+    val measured = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -83,10 +115,14 @@ object Bench {
       }
       val t =
         try {
-          var runs = List(once(), once())
-          while (runs.size < 5 &&
-              runs.sorted.tail.head > runs.min * 1.5) runs ::= once()
-          runs.min
+          val t1 = once()
+          if (fastPath(name, t1, prior)) t1
+          else {
+            var runs = List(t1, once())
+            while (runs.size < 5 &&
+                runs.sorted.tail.head > runs.min * 1.5) runs ::= once()
+            runs.min
+          }
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
@@ -98,25 +134,6 @@ object Bench {
       name -> t
     }
 
-    // Cross-check vs the prior artifact: queries that drifted >1.5x
-    // AND by more than a 0.4 s floor (sub-second jitter is not worth a
-    // JVM) get one fresh-JVM isolation pass; its number wins either
-    // way — that is the number a reader can reproduce in isolation.
-    // 1.5x matches the round-5 verdict's acceptance bar (committed
-    // value ≤1.5x its isolation number): the first 2x cut let a
-    // sustained burst park the dedup family at 1.9x in the artifact.
-    val drifted = measured.collect {
-      case (n, t) if needsResample(n, t, prior) => n
-    }
-    val results =
-      if (drifted.isEmpty) measured
-      else {
-        System.err.println(
-          s"[bench] resampling ${drifted.size} drifted in fresh JVM: " +
-            drifted.mkString(","))
-        val sub = BenchSub.runIsolated(drifted, sfDir)
-        reconcile(measured, sub)
-      }
     // The harness captures only the last ~2000 chars of output, and a
     // 109-entry per-query map (~2.9 KB even at ms precision) pushed
     // the line's START out of the capture — rounds 1-3 all recorded
@@ -128,9 +145,6 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val groups = results.groupBy(_._1.takeWhile(!_.isDigit)).toSeq.sortBy(_._1)
-      .map { case (g, rs) => g -> rs.map(_._2).filter(_ >= 0).sum }
     val headline = Set(
       "c01_decode_dump", "c02_cdc_final_state", "c09_router_multiplex",
       "c16_stream_e2e", "d01_exact_dedup", "d02_minhash_pairs",
@@ -142,16 +156,51 @@ object Bench {
       "q45_stream_join", "q46_sliding_window", "q55_stream_sliding",
       "s01_cosine_topk", "s03_ann_lsh", "s07_quantize", "t01_token_stats",
       "t03_langid", "t07_char_trigrams", "t09_tfidf", "t13_lm_score")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n_queries":${results.size},"queries":${jmap(results)}""" +
-      s""","sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n_queries":${results.size}""" +
-      s""","groups":${jmap(groups)}""" +
-      s""","queries":${jmap(results.filter(r => headline(r._1)))}""" +
-      s""","full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    def publish(results: Seq[(String, Double)]): Unit = {
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val groups = results.groupBy(_._1.takeWhile(!_.isDigit)).toSeq
+        .sortBy(_._1).map { case (g, rs) => g -> rs.map(_._2).filter(_ >= 0).sum }
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","n_queries":${results.size},"queries":${jmap(results)}""" +
+        s""","sf":"$sfDir"}"""
+      if (families.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (full + "\n").getBytes)
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+        s""","n_queries":${results.size}""" +
+        s""","groups":${jmap(groups)}""" +
+        s""","queries":${jmap(results.filter(r => headline(r._1)))}""" +
+        s""","full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    }
+
+    // ARTIFACT FIRST: the in-run numbers are committed to disk and
+    // stdout before any resample work begins, so a killed resample can
+    // no longer take the whole round's bench evidence with it.
+    publish(measured)
+
+    // Cross-check vs the prior artifact: queries that drifted >1.5x
+    // AND by more than a 0.4 s floor get one fresh-JVM isolation
+    // pass, then the artifact/line are re-published with
+    // min(in-run, isolation) per reconcile() above. The parent Spark
+    // context stops BEFORE the child spawns — measurement is done, and
+    // two live executor heaps at once is what got round 6's run
+    // SIGKILLed.
+    val drifted = measured.collect {
+      case (n, t) if needsResample(n, t, prior) => n
+    }
     spark.stop()
+    if (drifted.nonEmpty) {
+      try {
+        System.err.println(
+          s"[bench] resampling ${drifted.size} drifted in fresh JVM: " +
+            drifted.mkString(","))
+        val sub = BenchSub.runIsolated(drifted, sfDir, cpus)
+        if (sub.nonEmpty) publish(reconcile(measured, sub))
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] resample phase failed, in-run artifact stands: " +
+            e.getMessage)
+      }
+    }
   }
 }

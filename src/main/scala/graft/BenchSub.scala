@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object BenchSub {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default matches graft.Bench so a standalone BenchSub invocation
+    // measures under the same parallelism as the main run; runIsolated
+    // always forwards the parent's resolved value explicitly
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,8 +42,16 @@ object BenchSub {
   /** Spawn this main in a fresh JVM (the bench JVM is forked by sbt,
     * so java.class.path carries the full project classpath) and parse
     * the per-query numbers back. Failure degrades to an empty map —
-    * the caller keeps its in-process measurements. */
-  def runIsolated(names: Seq[String], sfDir: String): Map[String, Double] =
+    * the caller keeps its in-process measurements.
+    *
+    * `cpus` is the parent's resolved SPARK_GRAFT_CPUS: the isolation
+    * JVM must measure under the SAME parallelism as the main run or
+    * reconcile() min-splices numbers from a different machine shape
+    * into the artifact. Child heap is capped well below the parent's
+    * (the drifted subset is a handful of queries; a second full-size
+    * executor heap is what got round 6's run SIGKILLed). */
+  def runIsolated(names: Seq[String], sfDir: String,
+      cpus: String): Map[String, Double] =
     try {
       val javaBin = java.nio.file.Paths
         .get(sys.props("java.home"), "bin", "java").toString
@@ -54,19 +65,20 @@ object BenchSub {
         "java.base/sun.security.action", "java.base/sun.util.calendar",
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
       val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        s"-Xmx${sys.env.getOrElse("SPARK_GRAFT_SUB_MEM", "4g")}",
         "-Dspark.ui.enabled=false",
         "-cp", sys.props("java.class.path"),
         "graft.BenchSub", names.mkString(","))
       val outFile = java.nio.file.Files.createTempFile("benchsub", ".out")
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       // file redirect, not pipes: a blocked pipe read cannot honor the
       // timeout, and the child's stderr (Spark logs) is unbounded
       pb.redirectOutput(outFile.toFile)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val ok = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      val ok = proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
       if (!ok) proc.destroyForcibly()
       val out = new String(java.nio.file.Files.readAllBytes(outFile))
       java.nio.file.Files.deleteIfExists(outFile)

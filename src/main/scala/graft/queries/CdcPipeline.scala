@@ -239,7 +239,16 @@ object CdcPipeline {
         state.updateAndGet { case (n, sm) => (n + dn, sm.add(ds)) }
         ()
       })
-      q.awaitTermination(120000)
+      // awaitTermination(timeout) returns false on timeout — emitting
+      // the partial fold state then would be a silent wrong answer vs
+      // the golden oracle, and the still-running stream would leak
+      // into the next bench iteration
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "c19_stream_ivm: follower did not drain within 120 s; " +
+            "refusing to emit a partial aggregate")
+      }
       val (n, sm) = state.get()
       Seq((n, sm.doubleValue)).toDF("n_live", "sum_salary")
     },

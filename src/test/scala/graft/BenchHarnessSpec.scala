@@ -48,4 +48,16 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(out("b") == 2.0) // burst hit the ISOLATION pass: keep in-run
     assert(out("c") == 3.0) // not resampled: untouched
   }
+
+  test("fastPath: single sample only for prior-confirmed sub-threshold queries") {
+    val prior = Map("tiny" -> 0.2, "big" -> 2.0)
+    assert(Bench.fastPath("tiny", 0.25, prior))   // both under threshold
+    assert(!Bench.fastPath("tiny", 0.6, prior))   // sample too slow
+    assert(!Bench.fastPath("big", 0.3, prior))    // prior says not tiny
+    assert(!Bench.fastPath("new_query", 0.1, prior)) // no prior: confirm
+    assert(!Bench.fastPath("tiny", -1.0, prior))  // failed query
+    // fast-path values can never silently drift into resample range:
+    // a fastPath-accepted sample is within the needsResample floor
+    assert(!Bench.needsResample("tiny", Bench.FastPathSec, prior))
+  }
 }

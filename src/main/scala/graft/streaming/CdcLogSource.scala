@@ -1,0 +1,169 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, Path}
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Commit-log discovery for a [[graft.cdc.CdcTable]] WITHOUT directory
+  * listing: manifest versions are dense (`manifest-0.json`,
+  * `manifest-1.json`, …— [[graft.cdc.CdcTable.currentVersion]] relies
+  * on the same density), so the newest committed version is found by
+  * reading the `_LATEST` pointer and probing forward over its
+  * (bounded) crash lag. Cost per call: one small-file read plus
+  * O(pointer lag) existence probes — independent of how many commits
+  * the table has ever taken. This is the reference's listing
+  * lower-bound idea (DatastreamEventReader.java:471-478 derives a GCS
+  * listing start path from the checkpointed offset) taken to its
+  * limit: a version-numbered log needs no listing at all, only a tail
+  * probe — the same shape as Delta Lake's streaming source, which
+  * reads its commit log by version number rather than globbing the
+  * table directory.
+  *
+  * `probes` counts filesystem touches (pointer reads + existence
+  * checks) so a spec can PROVE discovery cost is tail-sized, not
+  * history-sized. */
+private[graft] object ManifestTail {
+
+  val probes = new AtomicLong(0)
+
+  /** Newest committed version in `dir`, or -1 if none. `from` is a
+    * known-committed lower bound (-1 when unknown); probing starts at
+    * max(from, pointer). */
+  def latest(dir: Path, from: Long): Long = {
+    val pointerFile = dir.resolve("_LATEST")
+    probes.incrementAndGet()
+    val pointer =
+      if (!Files.exists(pointerFile)) -1L
+      else
+        try new String(Files.readAllBytes(pointerFile)).trim.toLong
+        catch { case _: Exception => -1L }
+    var v = math.max(from, pointer)
+    // roll forward over the pointer's crash lag (a writer can die
+    // between manifest publish and pointer update)
+    while ({ probes.incrementAndGet()
+             Files.exists(dir.resolve(s"manifest-${v + 1}.json")) }) v += 1
+    v
+  }
+}
+
+private[streaming] case class CdcLogOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** DataSource V2 streaming source over a CdcTable's commit log:
+  * one row `(version: long)` per committed version, offsets ARE
+  * version numbers (checkpointed by Spark's offset log), discovery by
+  * [[ManifestTail]] probe. Used via
+  * `spark.readStream.format("graft.streaming.CdcLogSource").load(tableDir)`.
+  */
+class CdcLogSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcLogSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("cdc-log source requires .load(tableDir)"))
+    new CdcLogTable(path)
+  }
+}
+
+object CdcLogSource {
+  val Schema: StructType = StructType(Seq(StructField("version", LongType,
+    nullable = false)))
+}
+
+private[streaming] class CdcLogTable(path: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"cdc-log($path)"
+  override def schema(): StructType = CdcLogSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = CdcLogSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new CdcLogStream(path)
+    }
+}
+
+/** Micro-batch stream whose Offset is the newest delivered version.
+  * Implements admission control so Spark hands back the restored
+  * offset on restart (probing starts there, not at zero) and
+  * AvailableNow by pinning the tail once at query start. */
+private[streaming] class CdcLogStream(path: String) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val dir = Paths.get(path)
+  // end bound pinned by prepareForTriggerAvailableNow (AvailableNow
+  // runs against a fixed snapshot of the tail; commits landing during
+  // the drain belong to the next run)
+  @volatile private var pinned: Option[Long] = None
+
+  override def initialOffset(): Offset = CdcLogOffset(-1L)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(ManifestTail.latest(dir, -1L))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcLogOffset].v
+    pinned match {
+      case Some(end) => CdcLogOffset(math.max(s, end))
+      case None => CdcLogOffset(math.max(s, ManifestTail.latest(dir, s)))
+    }
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcLogOffset].v
+    val e = end.asInstanceOf[CdcLogOffset].v
+    if (e <= s) Array.empty
+    else Array(CdcLogPartition(s + 1, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcLogReaderFactory
+
+  override def deserializeOffset(json: String): Offset =
+    CdcLogOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Inclusive version range [first, last] — a handful of longs; one
+  * partition keeps delivery trivially ordered. */
+private[streaming] case class CdcLogPartition(first: Long, last: Long)
+    extends InputPartition
+
+private[streaming] class CdcLogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcLogPartition]
+    new PartitionReader[InternalRow] {
+      private var v = p.first - 1
+      override def next(): Boolean = { v += 1; v <= p.last }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](v))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,63 +1,79 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.cdc.CdcTable
 
 /** Follow a CdcTable's commit log as a Structured Streaming query —
   * the streaming half of the change-data-feed story: downstream
   * incremental view maintenance subscribes to the table and receives
-  * each commit's CDF rows (pre/post images, `changeFeedCdf`) exactly
-  * once, in version order.
+  * each commit's CDF rows (pre/post images, `changeFeedCdf`) in
+  * version order.
   *
-  * Spark-first design: version discovery rides the built-in file
-  * stream source over `manifest-*.json` — the manifests are published
-  * with ATOMIC_MOVE, so a half-written manifest is never visible, and
-  * the file source's checkpointed file log is what makes delivery
-  * exactly-once across restarts (no bespoke offset tracking to get
-  * wrong). Each micro-batch hands the NEW manifest versions, sorted
-  * ascending, to `onVersion` with that version's CDF DataFrame.
+  * Spark-first design: version discovery is a DataSource V2
+  * micro-batch source ([[CdcLogSource]]) whose OFFSETS are manifest
+  * version numbers, checkpointed by Spark's offset log. Because the
+  * log is dense, discovery is a `_LATEST`-pointer read plus tail
+  * probes — never a directory listing — so a micro-batch on a table
+  * with a million historical commits touches only the unseen tail
+  * (the built-in file source this replaced re-listed every
+  * `manifest-*.json` each batch and compacted an ever-growing
+  * seen-files log into the checkpoint: both O(history), forever).
   *
-  * At 100 TB nothing here scales with table size: a micro-batch
-  * carries a handful of manifest rows, and each `changeFeedCdf(v)`
+  * Delivery semantics: the version offsets are exactly-once (Spark's
+  * offset log), but `foreachBatch` is at-least-once — a batch retried
+  * after a failure re-runs its handler. A `delivered-watermark` file
+  * in the checkpoint directory (updated via atomic move after each
+  * `onVersion` returns) deduplicates those retries AND cross-restart
+  * replays, so `onVersion` sees each version once in normal operation
+  * and once more only in the hard-crash window between its own return
+  * and the watermark write. Consumers that cannot tolerate that
+  * single-version crash window must be idempotent on version number.
+  *
+  * At 100 TB nothing here scales with table size or history: a
+  * micro-batch carries version numbers, and each `changeFeedCdf(v)`
   * reads only the buckets version v re-pointed.
   */
 object CdfFollow {
 
   /** Start following `table`. `onVersion(v, cdf)` runs once per
-    * committed version, ascending within and across batches; versions
-    * whose pre-image manifest was vacuumed are skipped (same graceful
-    * degradation as `changeFeedCdf`). Stop via the returned query. */
+    * committed version (see delivery semantics above), ascending
+    * within and across batches; versions whose pre-image manifest was
+    * vacuumed are skipped (same graceful degradation as
+    * `changeFeedCdf`). Stop via the returned query. */
   def run(spark: SparkSession, table: CdcTable,
       checkpointDir: String, onVersion: (Long, org.apache.spark.sql.DataFrame) => Unit,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val manifests = spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
-      .format("text")
-      // the file source's default maxFileAge (7 days) would silently
-      // skip older manifests when a FRESH subscription starts on an
-      // old table — a follower must see every committed version, so
-      // age-based pruning is disabled (the CDC source's 3-day SLA
-      // window is a different contract for a different directory)
-      .option("maxFileAge", "36500d")
-      .load(s"${table.location}/manifest-*.json")
-      .select(col("_metadata.file_path").as("path"))
-    manifests.writeStream
+    val marker = Paths.get(checkpointDir, "delivered-watermark")
+    def delivered(): Long =
+      if (!Files.exists(marker)) -1L
+      else
+        try new String(Files.readAllBytes(marker)).trim.toLong
+        catch { case _: Exception => -1L }
+    def advance(v: Long): Unit = {
+      val tmp = Paths.get(checkpointDir, s".delivered-watermark.tmp")
+      Files.createDirectories(tmp.getParent)
+      Files.write(tmp, v.toString.getBytes)
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val versions = spark.readStream
+      .format("graft.streaming.CdcLogSource")
+      .load(table.location)
+    versions.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val versions = batch.select(col("path")).distinct().collect()
-          .map(_.getString(0))
-          .flatMap { p =>
-            "manifest-(\\d+)\\.json$".r.findFirstMatchIn(p)
-              .map(_.group(1).toLong)
-          }
+        val vs = batch.select(col("version")).collect().map(_.getLong(0))
           .sorted
-        versions.foreach { v =>
+        val maxSeen = delivered()
+        vs.filter(_ > maxSeen).foreach { v =>
           table.changeFeedCdf(v).foreach(cdf => onVersion(v, cdf))
+          advance(v)
         }
         ()
       }

@@ -143,4 +143,74 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(seen.map(_._1).toSeq == Seq(5L),
       "a backdated never-seen manifest must survive the resume threshold")
   }
+
+  test("CdfFollow discovery cost is tail-sized, not history-sized") {
+    import graft.streaming.{CdfFollow, ManifestTail}
+    val dir = Files.createTempDirectory(Paths.get("target"), "cdf-tail")
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "cdf-tail-ck")
+      .toString
+    val table = new CdcTable(spark, dir.toString, Seq("id"), numBuckets = 2)
+    // a long history: 40 synthetic commits (empty manifests are enough
+    // for discovery — delivery degrades gracefully like vacuumed
+    // versions, which is itself part of the contract under test)
+    (0L to 39L).foreach(v => table.writeManifest(v, Map.empty))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = CdfFollow.run(spark, table, ckpt,
+        (v, _) => seen.synchronized { seen += v })
+      q.awaitTermination(60000); ()
+    }
+    drain() // checkpoint now at version 39
+    table.writeManifest(40L, Map.empty)
+    table.writeManifest(41L, Map.empty)
+    ManifestTail.probes.set(0)
+    drain()
+    val probes = ManifestTail.probes.get()
+    // discovery must touch the _LATEST pointer and the unseen tail
+    // only — a 40-commit history re-listed per batch would be 40+
+    // filesystem touches right here
+    assert(probes > 0 && probes <= 10,
+      s"discovery cost grew with history: $probes probes for a 2-commit tail")
+  }
+
+  test("CdfFollow watermark suppresses redelivery when the engine replays") {
+    import graft.streaming.CdfFollow
+    val dir = Files.createTempDirectory(Paths.get("target"), "cdf-replay")
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "cdf-replay-ck")
+    val table = new CdcTable(spark, dir.toString, Seq("EMPLOYEE_ID"),
+      numBuckets = 4)
+    Seq("dump.avro", "insert.avro").zipWithIndex.foreach { case (f, i) =>
+      table.applyBatch(graft.cdc.Decode.fromAvro(spark, s"$fixtures/$f"),
+        i.toLong)
+    }
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = CdfFollow.run(spark, table, ckpt.toString,
+        (v, _) => seen.synchronized { seen += v })
+      q.awaitTermination(60000); ()
+    }
+    drain()
+    assert(seen.toSeq == Seq(0L, 1L))
+    // simulate an engine-level replay (foreachBatch is at-least-once):
+    // wipe Spark's offset/commit logs but keep the delivered-watermark
+    // — the batch re-runs from scratch, and the watermark alone must
+    // keep already-delivered versions away from the consumer
+    Seq("offsets", "commits").foreach { d =>
+      val p = ckpt.resolve(d)
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    }
+    seen.clear()
+    drain()
+    assert(seen.isEmpty,
+      s"watermark must suppress redelivered versions, got $seen")
+    // new commits still flow after the replayed batch
+    table.applyBatch(
+      graft.cdc.Decode.fromAvro(spark, s"$fixtures/update.avro"), 2L)
+    seen.clear()
+    drain()
+    assert(seen.toSeq == Seq(2L))
+  }
 }

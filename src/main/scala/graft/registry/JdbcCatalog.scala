@@ -58,24 +58,50 @@ object JdbcClientPool {
     try c.close() catch { case _: SQLException => () }
 
   /** The live connection for `spec` — cached, or opened and cached.
-    * Synchronized on the pool (the reference double-checks under a
-    * class lock; one lock suffices here because opening an embedded
-    * connection is cheap and correctness — never two live connections
-    * for one spec — is what matters). */
-  def get(spec: JdbcConnectionSpec): Connection = pool.synchronized {
-    val cached = pool.get(spec) // access-order touch
+    *
+    * The pool lock guards only map reads/writes. Both slow operations
+    * — the `isValid` server ping and `DriverManager.getConnection` —
+    * run OUTSIDE it, because a hung network connect to one source
+    * would otherwise block every other discovery caller (the
+    * reference's double-checked get-or-create discipline,
+    * util/Utils.java:969-981, exists for the same reason). The price
+    * is a benign race: two threads can open a connection for the same
+    * spec concurrently; the double-check on re-insert keeps exactly
+    * one and closes the loser, so the invariant — at most one POOLED
+    * live connection per spec, stale entries closed not leaked — still
+    * holds. */
+  def get(spec: JdbcConnectionSpec): Connection = {
+    val cached = pool.synchronized(pool.get(spec)) // access-order touch
     // isValid, not isClosed: a server-side-killed session still reads
     // isClosed=false on the client and would be handed out forever
     // (each use failing recoverable until the retry budget turns it
     // fatal); isValid pings the server — a control-plane round-trip,
     // cheap on the discovery paths this pool serves
-    if (cached != null && cached.isValid(/*timeoutSec=*/ 2)) cached
+    val valid = cached != null &&
+      (try cached.isValid(/*timeoutSec=*/ 2)
+       catch { case _: SQLException => false })
+    if (valid) cached
     else {
       spec.driver.foreach(Class.forName)
       val fresh = DriverManager.getConnection(spec.url, spec.user,
         spec.password)
-      pool.put(spec, fresh)
-      fresh
+      pool.synchronized {
+        pool.get(spec) match {
+          // another thread already installed a replacement while we
+          // were connecting — it validated or opened its entry just
+          // now, so trust it, and our connection is surplus
+          case raced if raced != null && (raced ne cached) =>
+            closeQuietly(fresh)
+            raced
+          case raced =>
+            // raced is either our known-dead `cached` or null: close
+            // the stale entry (replacing without closing leaks the
+            // client-side socket/session object) and install fresh
+            if (raced != null) closeQuietly(raced)
+            pool.put(spec, fresh)
+            fresh
+        }
+      }
     }
   }
 

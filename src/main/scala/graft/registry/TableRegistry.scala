@@ -101,8 +101,8 @@ object PipelineValidator {
     def ok: Boolean = problems.isEmpty
   }
 
-  /** Probe the three pipeline legs; each failure maps to a coded
-    * problem like the reference's switch over validation codes:
+  /** Probe the pipeline legs; each failure maps to a coded problem
+    * like the reference's switch over validation codes:
     *
     *  - CONTROL_PLANE_CONNECTIVITY ← ORACLE_VALIDATE_CONNECTIVITY
     *    (the stream's management surface is unreachable/unknown)
@@ -110,11 +110,40 @@ object PipelineValidator {
     *    (the provisioned data location cannot be listed)
     *  - TARGET_WRITE_PERMISSIONS   ← GCS_VALIDATE_PERMISSIONS
     *    (the sink root is not writable)
+    *  - SOURCE_CATALOG_CONNECTIVITY ← the assessor's live source probe
+    *    (DatastreamTableAssessor.java:182-277 runs discovery against
+    *    the real control plane and folds its failures into the
+    *    assessment): when a discovery catalog is supplied — e.g. a
+    *    [[JdbcSourceCatalog]] against the source database — one
+    *    `listTables()` round-trip validates connectivity/credentials,
+    *    and its failure taxonomy (fatal vs recoverable) is quoted in
+    *    the suggestion so the user knows whether retrying can help.
     */
   def preflight(admin: graft.streaming.SourceAdmin, streamId: String,
-      targetRoot: String): PreflightReport = {
+      targetRoot: String,
+      catalog: Option[SourceCatalog] = None): PreflightReport = {
     import java.nio.file.{Files, Paths}
     val problems = Seq.newBuilder[ValidationProblem]
+
+    catalog.foreach { cat =>
+      try { cat.listTables(); () }
+      catch {
+        case e: graft.util.Retry.RecoverableSourceException =>
+          problems += ValidationProblem("SOURCE_CATALOG_CONNECTIVITY",
+            s"source discovery failed (transient): ${e.getMessage}",
+            "The source reported a transient failure; retry, then check " +
+              "network reachability of the database.",
+            "Cannot list or assess source tables.",
+            connectivity = true)
+        case e: Exception =>
+          problems += ValidationProblem("SOURCE_CATALOG_CONNECTIVITY",
+            s"source discovery failed: ${e.getMessage}",
+            "Check the JDBC URL, credentials, and that the database " +
+              "exists and accepts connections.",
+            "Cannot list or assess source tables.",
+            connectivity = true)
+      }
+    }
 
     val glob: Option[String] =
       try {

@@ -133,4 +133,110 @@ class JdbcCatalogSpec extends AnyFunSuite {
       assert((c5b ne c5) && !c5b.isClosed)
     } finally JdbcClientPool.evictAll()
   }
+
+  test("preflight drives its source-catalog leg through a live JDBC " +
+      "source: failing Derby -> coded connectivity problem, healthy " +
+      "Derby -> clean") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory(Paths.get("target"), "jdbc-pre")
+    val admin = new graft.streaming.LocalDirSourceAdmin(
+      root.resolve("admin").toString)
+    val src = root.resolve("src"); Files.createDirectories(src)
+    admin.create("s1", s"$src/*.avro")
+    val target = root.resolve("table").toString
+
+    // a database that does not exist and is not created — the
+    // bad-URL/bad-credentials class of discovery failure
+    val dead = new JdbcSourceCatalog(
+      JdbcConnectionSpec("jdbc:derby:memory:preflight_absent",
+        driver = Driver), "xe")
+    val bad = PipelineValidator.preflight(admin, "s1", target, Some(dead))
+    val problem = bad.connectivityIssues
+      .find(_.code == "SOURCE_CATALOG_CONNECTIVITY")
+    assert(problem.isDefined, bad.problems.mkString("; "))
+    assert(problem.get.suggestion.contains("JDBC URL"))
+
+    // the same leg against the live seeded source: clean report
+    val live = new JdbcSourceCatalog(seeded, "xe")
+    val good = PipelineValidator.preflight(admin, "s1", target, Some(live))
+    assert(good.ok, good.problems.mkString("; "))
+  }
+
+  test("pool: a hung connect to one source does not block other callers") {
+    JdbcClientPool.evictAll()
+    SlowStubDriver.register()
+    val warm = seeded // force Derby setup before the clock starts
+    try {
+      val slowDone = new java.util.concurrent.CountDownLatch(1)
+      val slow = new Thread(() => {
+        try JdbcClientPool.get(
+          JdbcConnectionSpec("jdbc:graftslow:unreachable"))
+        catch { case _: Throwable => () }
+        finally slowDone.countDown()
+      })
+      slow.start()
+      // let the slow thread enter its 2 s connect before we time ours
+      Thread.sleep(200)
+      val t0 = System.nanoTime()
+      val c = JdbcClientPool.get(warm)
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(!c.isClosed)
+      // under the pre-fix pool (connect inside the pool lock) this
+      // caller waited out the full hung connect; now only map access
+      // is locked
+      assert(ms < 1000,
+        f"discovery caller blocked $ms%.0f ms behind another source's " +
+          "hung connect")
+      assert(slowDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally JdbcClientPool.evictAll()
+  }
+
+  test("pool: concurrent get for one spec keeps a single pooled " +
+      "connection and closes the surplus") {
+    JdbcClientPool.evictAll()
+    try {
+      val spec = memSpec("race")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val conns = (0 until 4).map(_ => pool.submit(
+          new java.util.concurrent.Callable[java.sql.Connection] {
+            def call(): java.sql.Connection = JdbcClientPool.get(spec)
+          })).map(_.get(10, java.util.concurrent.TimeUnit.SECONDS))
+        assert(JdbcClientPool.size == 1)
+        // losers of the install race hand back the winner's pooled
+        // connection (their surplus opens are closed internally), so
+        // every caller holds the same live object
+        val pooled = JdbcClientPool.get(spec)
+        assert(!pooled.isClosed)
+        assert(conns.forall(_ eq pooled))
+      } finally pool.shutdown()
+    } finally JdbcClientPool.evictAll()
+  }
+}
+
+/** A JDBC driver whose connect() hangs then fails — the unreachable-
+  * source shape for the pool's no-cross-blocking contract. */
+object SlowStubDriver extends java.sql.Driver {
+  @volatile private var registered = false
+  def register(): Unit = synchronized {
+    if (!registered) {
+      java.sql.DriverManager.registerDriver(this); registered = true
+    }
+  }
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith("jdbc:graftslow:")
+  override def connect(url: String,
+      info: java.util.Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null
+    else {
+      Thread.sleep(2000)
+      throw new java.sql.SQLException("source unreachable", "08001")
+    }
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(url: String, info: java.util.Properties):
+      Array[java.sql.DriverPropertyInfo] = Array.empty
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    throw new java.sql.SQLFeatureNotSupportedException()
 }

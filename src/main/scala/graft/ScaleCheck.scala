@@ -50,9 +50,14 @@ object ScaleCheck {
     "d13_boilerplate_cover", "s09_range_search", "t15_bpe_count",
     // round 5
     "t16_blocklist", "d14_token_budget", "q31_salted_join",
-    // round 6
+    // round 6 — c18/c19 replay a FIXED golden fixture regardless of
+    // sfDir, so their panel ratio ≈1 evidences the per-action floor,
+    // not data scaling; their scale story is the CdfFollow tail-bound
+    // spec + the StreamScale state-metrics panel
     "d16_semantic_dedup_scaled", "q59_recursive_cte",
-    "s10_hybrid_rrf", "s11_mmr_rerank", "t18_novelty")
+    "s10_hybrid_rrf", "s11_mmr_rerank", "t18_novelty",
+    "d15_semantic_dedup", "q60_rank_functions",
+    "c18_incremental_agg", "c19_stream_ivm")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -144,6 +144,30 @@ class StreamingCdcSpec extends AnyFunSuite {
       "a backdated never-seen manifest must survive the resume threshold")
   }
 
+  test("ManifestTail: pointer anchor, crash-lag roll-forward, empty dir") {
+    import graft.streaming.ManifestTail
+    val dir = Files.createTempDirectory(Paths.get("target"), "tail-unit")
+    // empty table: no pointer, no manifests
+    assert(ManifestTail.latest(dir, -1L) == -1L)
+    // pointer current
+    Files.write(dir.resolve("manifest-0.json"), "{}".getBytes)
+    Files.write(dir.resolve("manifest-1.json"), "{}".getBytes)
+    Files.write(dir.resolve("_LATEST"), "1".getBytes)
+    assert(ManifestTail.latest(dir, -1L) == 1L)
+    // crash lag: manifests published past the pointer are found by
+    // the roll-forward probe
+    Files.write(dir.resolve("manifest-2.json"), "{}".getBytes)
+    Files.write(dir.resolve("manifest-3.json"), "{}".getBytes)
+    assert(ManifestTail.latest(dir, -1L) == 3L)
+    // a known lower bound below the pointer is ignored (pointer wins);
+    // one above it is trusted as the probe start
+    assert(ManifestTail.latest(dir, 0L) == 3L)
+    assert(ManifestTail.latest(dir, 3L) == 3L)
+    // corrupt pointer degrades to the lower bound, not a crash
+    Files.write(dir.resolve("_LATEST"), "not-a-number".getBytes)
+    assert(ManifestTail.latest(dir, 2L) == 3L)
+  }
+
   test("CdfFollow discovery cost is tail-sized, not history-sized") {
     import graft.streaming.{CdfFollow, ManifestTail}
     val dir = Files.createTempDirectory(Paths.get("target"), "cdf-tail")

@@ -163,9 +163,17 @@ object Bench {
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"queries":${jmap(results)}""" +
         s""","sf":"$sfDir"}"""
-      if (families.isEmpty)
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-          (full + "\n").getBytes)
+      if (families.isEmpty) {
+        // tmp + atomic move, not Files.write in place: a SIGKILL mid-
+        // rewrite would otherwise truncate the very artifact the
+        // publish-first design exists to protect
+        val tmp = java.nio.file.Paths.get("BENCH_FULL.json.tmp")
+        java.nio.file.Files.write(tmp, (full + "\n").getBytes)
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get("BENCH_FULL.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size}""" +
         s""","groups":${jmap(groups)}""" +
@@ -175,7 +183,13 @@ object Bench {
 
     // ARTIFACT FIRST: the in-run numbers are committed to disk and
     // stdout before any resample work begins, so a killed resample can
-    // no longer take the whole round's bench evidence with it.
+    // no longer take the whole round's bench evidence with it. A
+    // successful resample prints a SECOND line; that is safe under the
+    // ~2000-char tail capture because the second line (~1.4 KB) fits
+    // whole, and the first line's surviving tail fragment cannot
+    // contain the '{"metric"' anchor (it only occurs at line start) —
+    // both first-anchor and last-line parsers land on the final,
+    // reconciled line.
     publish(measured)
 
     // Cross-check vs the prior artifact: queries that drifted >1.5x

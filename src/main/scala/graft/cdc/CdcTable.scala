@@ -56,16 +56,16 @@ class CdcTable(
   private def bucketCol =
     pmod(xxhash64(pkCols.map(col): _*), lit(numBuckets)).cast("int")
 
+  // Crash recovery lives in ManifestTail: the manifest publish is the
+  // commit point and a writer can die before updating the _LATEST
+  // pointer, so the pointer read rolls forward over committed
+  // manifests — including the v0 window where the pointer was never
+  // written at all, and a corrupt pointer, both of which degrade to
+  // probing instead of hiding committed versions or crashing.
   def currentVersion: Option[Long] =
-    if (!Files.exists(latestFile)) None
-    else {
-      var v = new String(Files.readAllBytes(latestFile)).trim.toLong
-      // crash recovery: the manifest move is the commit point, and a
-      // writer can die before updating the _LATEST pointer — roll
-      // forward over committed manifests so the pointer lag neither
-      // hides a committed version nor CAS-conflicts every later commit
-      while (Files.exists(dir.resolve(s"manifest-${v + 1}.json"))) v += 1
-      Some(v)
+    ManifestTail.latest(dir, -1L) match {
+      case -1L => None
+      case v => Some(v)
     }
 
   /** bucket id → relative dir name, for a manifest version. */

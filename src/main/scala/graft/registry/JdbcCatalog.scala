@@ -42,6 +42,15 @@ object JdbcClientPool {
   val PoolSize = 20
   private val LoadFactor = 0.75f
 
+  // Connections due for closing, staged under the pool lock and closed
+  // OUTSIDE it under each connection's own monitor: a capacity-evicted
+  // or stale-replaced connection can still be mid-drain in another
+  // discovery caller (callers hold the connection monitor for the
+  // duration of each metadata op — see JdbcSourceCatalog.classified),
+  // and closing it out from under that caller would turn a pool
+  // bookkeeping event into a spurious permanent-failure report.
+  private val pendingClose = new java.util.ArrayList[Connection]()
+
   private val pool =
     new java.util.LinkedHashMap[JdbcConnectionSpec, Connection](
       (PoolSize / LoadFactor).toInt, LoadFactor, /*accessOrder=*/ true) {
@@ -49,13 +58,24 @@ object JdbcClientPool {
           eldest: java.util.Map.Entry[JdbcConnectionSpec, Connection])
           : Boolean = {
         val evict = size() > PoolSize
-        if (evict) closeQuietly(eldest.getValue)
+        if (evict) pendingClose.add(eldest.getValue)
         evict
       }
     }
 
   private def closeQuietly(c: Connection): Unit =
     try c.close() catch { case _: SQLException => () }
+
+  /** Close everything staged for closing, outside the pool lock,
+    * waiting out any in-flight user via the connection monitor. */
+  private def drainPendingClose(): Unit = {
+    val due = pool.synchronized {
+      val copy = new java.util.ArrayList(pendingClose)
+      pendingClose.clear()
+      copy
+    }
+    due.forEach(c => c.synchronized(closeQuietly(c)))
+  }
 
   /** The live connection for `spec` — cached, or opened and cached.
     *
@@ -85,32 +105,40 @@ object JdbcClientPool {
       spec.driver.foreach(Class.forName)
       val fresh = DriverManager.getConnection(spec.url, spec.user,
         spec.password)
-      pool.synchronized {
+      val result = pool.synchronized {
         pool.get(spec) match {
           // another thread already installed a replacement while we
           // were connecting — it validated or opened its entry just
-          // now, so trust it, and our connection is surplus
+          // now, so trust it, and our connection is surplus (nobody
+          // else can hold `fresh`, safe to close immediately)
           case raced if raced != null && (raced ne cached) =>
             closeQuietly(fresh)
             raced
           case raced =>
-            // raced is either our known-dead `cached` or null: close
-            // the stale entry (replacing without closing leaks the
-            // client-side socket/session object) and install fresh
-            if (raced != null) closeQuietly(raced)
+            // raced is either our known-dead `cached` or null: stage
+            // the stale entry for closing (replacing without closing
+            // leaks the client-side socket/session object; closing it
+            // HERE could yank it from a caller mid-drain) and install
+            // fresh
+            if (raced != null) pendingClose.add(raced)
             pool.put(spec, fresh)
             fresh
         }
       }
+      drainPendingClose()
+      result
     }
   }
 
   def size: Int = pool.synchronized(pool.size())
 
   /** Close and drop every pooled connection (test hygiene / shutdown). */
-  def evictAll(): Unit = pool.synchronized {
-    pool.values().forEach(closeQuietly)
-    pool.clear()
+  def evictAll(): Unit = {
+    pool.synchronized {
+      pool.values().forEach(c => pendingClose.add(c))
+      pool.clear()
+    }
+    drainPendingClose()
   }
 }
 
@@ -147,7 +175,16 @@ class JdbcSourceCatalog(spec: JdbcConnectionSpec, database: String)
     extends SourceCatalog {
 
   private def classified[T](what: String)(op: Connection => T): T =
-    try op(JdbcClientPool.get(spec))
+    try {
+      val conn = JdbcClientPool.get(spec)
+      // JDBC Connections are not safe for concurrent multi-statement
+      // use; same-source discovery serializes on the connection
+      // monitor, and the pool's replacement/eviction paths close stale
+      // connections under this same monitor — an in-flight drain can
+      // never be closed out from under us. Different sources hold
+      // different monitors and stay fully concurrent.
+      conn.synchronized(op(conn))
+    }
     catch {
       case e @ (_: SQLTransientException | _: SQLRecoverableException) =>
         throw new Retry.RecoverableSourceException(

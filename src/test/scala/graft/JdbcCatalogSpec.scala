@@ -175,19 +175,22 @@ class JdbcCatalogSpec extends AnyFunSuite {
         finally slowDone.countDown()
       })
       slow.start()
-      // let the slow thread enter its 2 s connect before we time ours
+      // let the slow thread enter its 5 s connect before we time ours
       Thread.sleep(200)
       val t0 = System.nanoTime()
       val c = JdbcClientPool.get(warm)
       val ms = (System.nanoTime() - t0) / 1e6
+      // the ordering assertion is the real gate (wall-clock alone is
+      // flaky on this co-tenant machine): our get returned while the
+      // hung connect was STILL in flight. Under the pre-fix pool
+      // (connect inside the pool lock) this caller waited out the
+      // full hang, so the latch had already counted down.
+      val stillConnecting = slowDone.getCount == 1
       assert(!c.isClosed)
-      // under the pre-fix pool (connect inside the pool lock) this
-      // caller waited out the full hung connect; now only map access
-      // is locked
-      assert(ms < 1000,
+      assert(stillConnecting || ms < 3000,
         f"discovery caller blocked $ms%.0f ms behind another source's " +
           "hung connect")
-      assert(slowDone.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(slowDone.await(15, java.util.concurrent.TimeUnit.SECONDS))
     } finally JdbcClientPool.evictAll()
   }
 
@@ -229,7 +232,7 @@ object SlowStubDriver extends java.sql.Driver {
       info: java.util.Properties): java.sql.Connection =
     if (!acceptsURL(url)) null
     else {
-      Thread.sleep(2000)
+      Thread.sleep(5000)
       throw new java.sql.SQLException("source unreachable", "08001")
     }
   override def getMajorVersion: Int = 1

@@ -145,7 +145,7 @@ class StreamingCdcSpec extends AnyFunSuite {
   }
 
   test("ManifestTail: pointer anchor, crash-lag roll-forward, empty dir") {
-    import graft.streaming.ManifestTail
+    import graft.cdc.ManifestTail
     val dir = Files.createTempDirectory(Paths.get("target"), "tail-unit")
     // empty table: no pointer, no manifests
     assert(ManifestTail.latest(dir, -1L) == -1L)
@@ -169,7 +169,8 @@ class StreamingCdcSpec extends AnyFunSuite {
   }
 
   test("CdfFollow discovery cost is tail-sized, not history-sized") {
-    import graft.streaming.{CdfFollow, ManifestTail}
+    import graft.streaming.CdfFollow
+    import graft.cdc.ManifestTail
     val dir = Files.createTempDirectory(Paths.get("target"), "cdf-tail")
     val ckpt = Files.createTempDirectory(Paths.get("target"), "cdf-tail-ck")
       .toString

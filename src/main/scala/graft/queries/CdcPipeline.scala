@@ -60,8 +60,7 @@ object CdcPipeline {
   /** events table lifted into the engine's change-event shape. */
   private def eventsAsChanges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    load(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.util.Tables.loadEvents(s, d)
       .select(
         struct($"user_id", $"event_type", $"value").as("row"),
         lit("UPDATE").as("op"),

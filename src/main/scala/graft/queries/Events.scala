@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.util.Tables
 import graft.util.Tables.load
 import graft.util.Cols.dec4
 import graft.ops.AsOfJoin
@@ -14,17 +15,18 @@ import graft.ops.AsOfJoin
   * and a Structured Streaming variant whose result must equal the
   * batch oracle (stream/batch parity).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); read as long nanos (see
-  * [[graft.util.Tables]]) and floored to microseconds (`ts_us`) — the
-  * same floor the DuckDB oracle applies via epoch_ns(ts)//1000.
+  * `events.ts` has shipped as both TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS) across corpus regenerations; every consumer here
+  * derives the epoch-µs `ts_us` via the type-adaptive
+  * [[graft.util.Tables.tsMicros]] — the same floor the DuckDB oracle
+  * applies via epoch_ns(ts)//1000.
   */
 object Events {
 
   /** events + `ts_us` (long, µs) + `t` (TimestampType, UTC session). */
   private def ev(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    load(s, d, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    Tables.loadEvents(s, d)
       .withColumn("t", timestamp_micros($"ts_us"))
   }
 
@@ -94,7 +96,7 @@ object Events {
     // ---- binned range join: clicks within ±60 s of each purchase ----
     "q43_range_join" -> { (s, d) =>
       import s.implicits._
-      val e = load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+      val e = Tables.loadEvents(s, d)
       val purchases = e.filter($"event_type" === "purchase")
         .select($"event_id", $"ts_us")
       val clicks = e.filter($"event_type" === "click")
@@ -150,7 +152,7 @@ object Events {
       // at a tenth of the volume (the oracle samples the same users)
       def src = s.readStream.schema(schema).parquet(s"$d/events.*")
         .filter($"user_id" % 10 === 0)
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t", timestamp_micros(Tables.tsMicros(schema)))
       val purchases = src.filter($"event_type" === "purchase")
         .select($"user_id".as("p_user"), $"t".as("p_t"),
           $"event_id".as("event_id"))
@@ -181,7 +183,7 @@ object Events {
       val schema = load(s, d, "events").schema
       // file-stream source needs a directory or glob, not a bare file path
       val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
-        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_us", Tables.tsMicros(schema))
         .withColumn("t", timestamp_micros($"ts_us"))
         .groupBy(to_date($"t").cast("string").as("day"), // match q17's path
           hour($"t").cast("long").as("h"), $"event_type")
@@ -210,7 +212,7 @@ object Events {
       import s.implicits._
       val schema = load(s, d, "events").schema
       val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t", timestamp_micros(Tables.tsMicros(schema)))
         .groupBy(window($"t", "1 hour", "15 minutes").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"),
           sum(dec4($"value")).cast("double").as("total_value"))

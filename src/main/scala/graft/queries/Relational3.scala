@@ -29,8 +29,7 @@ object Relational3 {
     // ---- funnel: view → click → purchase per user, strictly ordered ----
     "q29_funnel" -> { (s, d) =>
       import s.implicits._
-      val e = load(s, d, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e = graft.util.Tables.loadEvents(s, d)
         .select($"user_id", $"event_type", $"ts_us")
       val v = e.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"ts_us").as("t1"))

@@ -1,7 +1,8 @@
 package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated corpus (TESTDATA.md).
   *
@@ -10,8 +11,19 @@ import org.apache.spark.sql.types.DecimalType
   * idempotently here so the queries behave identically no matter who
   * constructed the SparkSession (our Verify/Bench mains or the driver):
   *  - UTC session timezone (oracle parity with DuckDB's naive timestamps)
-  *  - nanosAsLong: `events.ts` is parquet TIMESTAMP(NANOS) which Spark
-  *    does not support natively; we read it as a long and convert.
+  *  - nanosAsLong: kept for corpora where `events.ts` is parquet
+  *    TIMESTAMP(NANOS), which Spark does not support natively; with it
+  *    set, a nanos column arrives as a plain long.
+  *
+  * The corpus has shipped `events.ts` under two different physical
+  * encodings across regenerations (TIMESTAMP(NANOS) → long via the
+  * legacy conf; TIMESTAMP(MICROS) → TimestampType/NTZ), so nothing in
+  * the query surface may assume one: derive the epoch-µs view via
+  * [[tsMicros]] / [[loadEvents]], which branch on the loaded type.
+  * This mirrors the reference's drift-aware schema discipline — it
+  * re-checks schemas on every schema-key change
+  * (DatastreamEventReader.java:652-674) rather than trusting wire
+  * stability; we apply the same rule to our own corpus seam.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -22,6 +34,31 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Epoch-microsecond (long) view of `events.ts`, adaptive to the
+    * corpus's physical encoding. Long = legacy nanos read → floor-div;
+    * timestamp(_ntz) = micros → unix_micros (the NTZ cast is an
+    * identity on the underlying micros under the UTC session timezone
+    * that [[load]] pins). Matches the DuckDB oracle's
+    * `epoch_ns(ts)//1000` on every encoding.
+    */
+  def tsMicros(schema: StructType): Column = schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampType    => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts has unexpected type $other — expected long (nanos) or timestamp (micros); " +
+        "extend graft.util.Tables.tsMicros for the new corpus encoding")
+  }
+
+  /** The `events` table plus `ts_us` (long, µs epoch) regardless of the
+    * corpus's timestamp encoding. All batch consumers of events go
+    * through here; streaming consumers reuse [[tsMicros]] against the
+    * batch-loaded schema. */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = load(spark, sfDir, "events")
+    df.withColumn("ts_us", tsMicros(df.schema))
   }
 }
 

@@ -240,9 +240,9 @@ class PlanAuditSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "partitioned").toString
-    graft.util.Tables.load(spark, sf, "events")
+    graft.util.Tables.loadEvents(spark, sf)
       .withColumn("day",
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        date_format(timestamp_micros($"ts_us"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
     val q = spark.read.parquet(dir).filter($"day" === "2024-01-05")
     val scan = q.queryExecution.executedPlan.toString

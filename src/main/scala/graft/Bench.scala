@@ -202,6 +202,11 @@ object Bench {
     val drifted = measured.collect {
       case (n, t) if needsResample(n, t, prior) => n
     }
+    // Unload state-store providers before stopping the context: a
+    // streaming query that died during setup never reaches its stop(),
+    // and its maintenance thread would otherwise outlive spark.stop()
+    // and stack-trace "SparkEnv not active" into the harness capture.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
     if (drifted.nonEmpty) {
       try {

@@ -36,6 +36,8 @@ object BenchSub {
       spark.streams.active.foreach(_.stop())
       println(f"SUB $n ${runs.min}%.3f")
     }
+    // see graft.Bench: stop state-store maintenance before the context
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 

@@ -43,6 +43,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // see graft.Bench: stop state-store maintenance before the context
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
   }
 }

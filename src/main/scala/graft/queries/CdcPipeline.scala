@@ -368,8 +368,12 @@ object CdcPipeline {
         s"$d/events"
       })
       val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
+      // read the directory, not a *.json glob: Spark probes glob paths
+      // for FileStreamSink metadata and WARNs a FileNotFoundException
+      // stack trace into the harness capture (json() skips _SUCCESS
+      // markers on its own)
       Decode.changeEvents(
-          DatastreamJson.read(s, s"$jsonDir/*.json", schema))
+          DatastreamJson.read(s, jsonDir, schema))
         .select($"row.EMPLOYEE_ID".as("employee_id"),
           $"row.FIRST_NAME".as("first_name"),
           $"row.SALARY".cast("double").as("salary"),

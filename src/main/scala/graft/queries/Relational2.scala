@@ -42,13 +42,20 @@ object Relational2 {
     },
 
     // ---- exact percentiles (interpolating) per group ----
+    // ---- exact percentiles, sort-based (graft.ops.Quantiles) ----
+    // NOT expr("percentile(...)"): the built-in ships a per-group
+    // value→count hash map through the shuffle — row-count-sized on
+    // continuous doubles and heap-bound in one task per group. The
+    // sort-based shape shuffles once on (flag, metric) and spills.
     "q23_percentiles" -> { (s, d) =>
       import s.implicits._
-      load(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      graft.ops.Quantiles.quantileCont(load(s, d, "lineitem"),
+          "l_returnflag", Seq(
+            ("median_qty", "l_quantity", 0.5),
+            ("p90_price", "l_extendedprice", 0.9)))
+        .select($"l_returnflag",
+          round($"median_qty", 4).as("median_qty"),
+          round($"p90_price", 4).as("p90_price"))
         .orderBy($"l_returnflag")
     },
 

@@ -57,7 +57,12 @@ object ScaleCheck {
     "d16_semantic_dedup_scaled", "q59_recursive_cte",
     "s10_hybrid_rrf", "s11_mmr_rerank", "t18_novelty",
     "d15_semantic_dedup", "q60_rank_functions",
-    "c18_incremental_agg", "c19_stream_ivm")
+    "c18_incremental_agg", "c19_stream_ivm",
+    // round 8 — the events-family queries that regained their gates
+    // under the type-adaptive loader (q46/q17/q18 already above)
+    "q19_asof_purchase_click", "q43_range_join",
+    "q51_cohort_retention", "q58_forward_fill",
+    "d17_strip_boilerplate")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

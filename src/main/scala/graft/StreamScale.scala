@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * per-key cost), or does some state blow up super-linearly?
   *
   * Usage: runMain graft.StreamScale [bigDir] [queriesCsv]
-  * (bigDir defaults to the round-5 100× events replica).
+  * (bigDir defaults to the round-8 100× events replica; regenerate
+  * with `runMain graft.ScaleCheck target/scale100ev 100 events <q>`).
   */
 object StreamScale {
 
@@ -65,7 +66,7 @@ object StreamScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val bigDir = args.headOption.getOrElse("target/scale100r5b")
+    val bigDir = args.headOption.getOrElse("target/scale100ev")
     val queries = args.drop(1).headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("q41_stream_dedup", "q45_stream_join",
         "q55_stream_sliding", "q56_stream_state_v2"))

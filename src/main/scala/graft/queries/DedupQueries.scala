@@ -251,6 +251,46 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- boilerplate REMOVAL: the transform behind d13's measurement ----
+    // emit each document with the tokens covered by a cross-document
+    // verbatim 8-gram stripped out (RefinedWeb/CCNet-style span
+    // removal, applied corpus-wide): same linear gram plumbing as d13
+    // (per-doc-distinct frequency table, equi-joins, hash aggregates,
+    // no pairwise work), then one per-row positional filter rebuilds
+    // the text — short docs (<8 tokens) pass through untouched. The
+    // per-doc covered-position set is bounded by doc length, so the
+    // reassembly join carries O(tokens) total, scan-linear at 100 TB.
+    "d17_strip_boilerplate" -> { (s, d) =>
+      import s.implicits._
+      val toks = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", split($"text", " ").as("t"))
+      val long = toks.filter(size($"t") >= 8)
+      val grams = long.select($"doc_id",
+        explode(transform(sequence(lit(1), size($"t") - 7),
+          i => struct(i.as("i"),
+            array_join(slice($"t", i, lit(8)), " ").as("g")))).as("p"))
+        .select($"doc_id", $"p.i", $"p.g")
+      val freq = grams.select($"g", $"doc_id").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2)
+        .select($"g")
+      val covered = grams.join(freq, "g")
+        .select($"doc_id", explode(sequence($"i", $"i" + 7)).as("pos"))
+        .distinct()
+        .groupBy($"doc_id").agg(collect_set($"pos").as("cov"))
+      toks.join(covered, Seq("doc_id"), "left_outer")
+        // positions are 1-based gram starts; filter's idx is 0-based
+        .withColumn("kept", when($"cov".isNull, $"t")
+          .otherwise(filter($"t",
+            (tok, idx) => !array_contains($"cov", idx + 1))))
+        .select($"doc_id",
+          array_join($"kept", " ").as("clean_text"),
+          size($"kept").cast("long").as("n_kept"),
+          (size($"t") - size($"kept")).cast("long").as("n_dropped"))
+        .orderBy($"doc_id")
+    },
+
     // ---- embedding cosine near-dup pairs ----
     // EXACT result (hash-matches the all-pairs oracle on any data) via
     // Similarity.cosineRangePairs: equi-join on triangle-inequality-
@@ -479,6 +519,35 @@ object DedupQueries {
         |    AS boilerplate_frac
         |FROM toksl t LEFT JOIN covc c USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "d17_strip_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |toksl AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+        |g AS (
+        |  SELECT doc_id, u.i AS i, u.g AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |          i -> struct_pack(i := i,
+        |            g := array_to_string(t[i:i+7], ' ')))) AS u
+        |        FROM toksl) s),
+        |freq AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM g) dg
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT doc_id, list(DISTINCT p) AS plist
+        |  FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p
+        |        FROM g JOIN freq USING (g)) z
+        |  GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN c.plist IS NULL THEN t.t
+        |      ELSE list_filter(t.t, (x, i) -> NOT list_contains(c.plist, i))
+        |    END AS k, t.t AS t
+        |  FROM toks t LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, COALESCE(array_to_string(k, ' '), '') AS clean_text,
+        |  CAST(len(k) AS BIGINT) AS n_kept,
+        |  CAST(len(t) - len(k) AS BIGINT) AS n_dropped
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "d05_cosine_pairs" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

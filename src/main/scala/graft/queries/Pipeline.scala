@@ -105,6 +105,65 @@ object Pipeline {
         .orderBy($"source", $"seq_id")
     },
 
+    // ---- the pipeline as a STREAMING ingest: quality → exact dedup →
+    // decontam as data lands, the "dedupe at the door" shape a 100 TB
+    // corpus build runs continuously. Structured Streaming allows only
+    // one stateful aggregation per query, so the stages are shaped
+    // accordingly: quality and decontamination are per-row predicates
+    // (no join — the benchmark 8-gram set is "small by nature" like
+    // d09's, collected once and BROADCAST; membership runs in a
+    // function over the token array, the same shipped-filter shape
+    // real decontamination services use), dedup is the one stateful
+    // operator (dropDuplicates on the content fingerprint), and the
+    // rollup aggregates batch-side from the append sink (the q45
+    // pattern). The GATE must not depend on which duplicate wins the
+    // arrival race, so every output column derives from TEXT (lang via
+    // langId, tokens via tokenCount): same fingerprint ⇒ same text ⇒
+    // same contribution, whichever copy survives.
+    "p02_stream_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val docsSchema = load(s, d, "documents").schema
+      val benchGrams: Set[String] = load(s, d, "documents")
+        .filter($"doc_id" % 10 === 0)
+        .select(split($"text", " ").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select(explode(array_distinct(
+          transform(sequence(lit(1), size($"toks") - 7),
+            i => array_join(slice($"toks", i, lit(8)), " ")))).as("g"))
+        .distinct().as[String].collect().toSet
+      val bset = s.sparkContext.broadcast(benchGrams)
+      val contaminated = udf { toks: Seq[String] =>
+        toks.length >= 8 &&
+          toks.sliding(8).exists(w => bset.value.contains(w.mkString(" ")))
+      }
+      val stream = s.readStream.schema(docsSchema)
+        .parquet(s"$d/documents.*")
+        .filter($"doc_id" % 10 =!= 0)
+        .withColumn("q", qualityScore($"text"))
+        .filter($"q" >= 0.715)
+        .withColumn("fp", fingerprint($"text"))
+        .dropDuplicates("fp")
+        .filter(!contaminated(split($"text", " ")))
+        .select(langId($"text").as("pred_lang"),
+          tokenCount($"text").cast("long").as("n_tok"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = stream.writeStream
+          .format("memory").queryName("p02_stream_pipeline_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // len_bucket is text-derived too, so the gate stays duplicate-
+      // winner-independent while hashing >1 row per language
+      s.table("p02_stream_pipeline_sink")
+        .groupBy($"pred_lang", expr("n_tok div 16").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"pred_lang", $"len_bucket")
+    },
+
     // pre-packing gate: per-(lang, source) survivors of stages 1–4 —
     // a multi-row oracle entry that stays non-empty at every SF and
     // pins the filter/dedup/decontam/sample composition even when the
@@ -184,6 +243,64 @@ object Pipeline {
          |SELECT lang, source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // p02 mirrors stages 1–3 (no sampling/packing) with TEXT-derived
+    // output columns; the dedup representative (min doc_id) is
+    // irrelevant to the result since same fingerprint ⇒ same text
+    "p02_stream_pipeline" ->
+      s"""WITH bench_grams AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, len(string_split(text,' ')) - 6),
+         |    i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS g
+         |  FROM documents
+         |  WHERE doc_id % 10 = 0 AND len(string_split(text,' ')) >= 8),
+         |quality AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 <> 0 AND
+         |    CAST(len(list_filter(string_split(text,' '),
+         |        x -> x IN ($markersSql))) AS DOUBLE)
+         |      / len(string_split(text,' ')) * 0.3 +
+         |    CASE WHEN CAST(length(text) - (len(string_split(text,' ')) - 1)
+         |           AS DOUBLE) / len(string_split(text,' ')) >= 3.0
+         |      AND CAST(length(text) - (len(string_split(text,' ')) - 1)
+         |           AS DOUBLE) / len(string_split(text,' ')) <= 10.0
+         |      THEN 0.7 ELSE 0.2 END >= 0.715),
+         |dedup AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM quality
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |docs2 AS (SELECT q.doc_id, q.text FROM quality q JOIN dedup USING (doc_id)),
+         |contaminated AS (
+         |  SELECT DISTINCT d.doc_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, len(string_split(text,' ')) - 6),
+         |      i -> array_to_string(string_split(text,' ')[i:i+7], ' ')))) AS g
+         |    FROM docs2 WHERE len(string_split(text,' ')) >= 8) d
+         |  JOIN bench_grams USING (g)),
+         |clean AS (
+         |  SELECT doc_id, text FROM docs2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${langHitsSql("en")} AS h_en, ${langHitsSql("es")} AS h_es,
+         |    ${langHitsSql("fr")} AS h_fr, ${langHitsSql("de")} AS h_de,
+         |    len(string_split(text,' ')) AS n_tok
+         |  FROM clean)
+         |SELECT CASE
+         |    WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'unknown'
+         |    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+         |    WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+         |    WHEN h_fr >= h_de THEN 'fr'
+         |    ELSE 'de' END AS pred_lang,
+         |  CAST(n_tok // 16 AS BIGINT) AS len_bucket,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** DuckDB hit-count for one language's marker list (t03's shape). */
+  private def langHitsSql(lang: String): String = {
+    val words = TextAnalysis.LangMarkers.toMap.apply(lang)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text,' '), x -> x IN ($words)))"
+  }
 }

@@ -149,8 +149,9 @@ object Bench {
       "c01_decode_dump", "c02_cdc_final_state", "c09_router_multiplex",
       "c16_stream_e2e", "d01_exact_dedup", "d02_minhash_pairs",
       "d04_blocked_jaccard", "d05_cosine_pairs", "d06_dup_clusters",
-      "d09_decontam", "m01_media_meta", "m04_media_dedup",
-      "m06_crossmodal_check", "p01_train_pipeline", "q01_pricing_summary",
+      "d09_decontam", "d17_strip_boilerplate", "m01_media_meta",
+      "m04_media_dedup", "m06_crossmodal_check", "p01_train_pipeline",
+      "p02_stream_pipeline", "q01_pricing_summary",
       "q05_regional_revenue", "q09_top_orders_per_cust", "q18_sessions",
       "q23_percentiles", "q30_approx_sketches", "q31_salted_join",
       "q45_stream_join", "q46_sliding_window", "q55_stream_sliding",

@@ -62,7 +62,7 @@ object ScaleCheck {
     // under the type-adaptive loader (q46/q17/q18 already above)
     "q19_asof_purchase_click", "q43_range_join",
     "q51_cohort_retention", "q58_forward_fill",
-    "d17_strip_boilerplate", "p02_stream_pipeline")
+    "d17_strip_boilerplate", "p02_stream_pipeline", "s12_knn_graph")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

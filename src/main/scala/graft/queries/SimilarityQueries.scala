@@ -271,6 +271,19 @@ object SimilarityQueries {
         .filter($"rank" <= K)
         .select($"qid", $"id", $"rrf", $"rank")
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- exact corpus self-kNN graph (SemDeDup / graph-curation
+    //      primitive): every vector's top-5 neighbors WITHOUT an N²
+    //      cross-join node — within-cell pass learns a per-vector
+    //      bound, triangle-inequality admission completes it exactly
+    //      (ops/Similarity.knnGraph; cells change only which pairs
+    //      are examined, never the result) ----
+    "s12_knn_graph" -> { (s, d) =>
+      import s.implicits._
+      Similarity.knnGraph(load(s, d, "embeddings"),
+          "vec_id", "embedding", k = 5, nlist = 16)
+        .orderBy($"qid", $"rank")
     }
   )
 
@@ -355,6 +368,17 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "s11_mmr_rerank" -> mmrSql,
+
+    "s12_knn_graph" ->
+      """SELECT qid, id, cos, rank FROM (
+        |  SELECT a.vec_id AS qid, b.vec_id AS id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS cos,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |        b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rank
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "s10_hybrid_rrf" ->
       s"""WITH toks AS (

@@ -185,4 +185,39 @@ class VectorSpec extends AnyFunSuite {
     ranks.foreach(r =>
       assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3, 4, 5), r.toString))
   }
+
+  test("knnGraph is EXACT: equals brute-force self top-k on real embeddings") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // brute-force reference: every vector as its own query
+    val all = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(all, corpus, 5)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nlist = 16)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(graph == exact,
+      s"diff: missing=${(exact -- graph).take(5)} extra=${(graph -- exact).take(5)}")
+  }
+
+  test("knnGraph exactness survives a degenerate quantizer (nlist=1 and nlist=3)") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 60)
+    val all = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(all, corpus, 3)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nl <- Seq(1, 3)) {
+      val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+          nlist = nl)
+        .select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(graph == exact, s"nlist=$nl")
+    }
+  }
 }

@@ -67,6 +67,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s12: exact kNN graph is tile equi-joins + kernel — no cartesian, " +
+      "no row-per-pair window input") {
+    val p = plan("s12_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pairwise work lives in the fused kernel, not a join output
+    assert(p.toLowerCase.contains("knntiletopk"), p.take(4000))
+  }
+
+  test("d17: boilerplate strip is equi-joins and hash aggregates only") {
+    val p = plan("d17_strip_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+  }
+
+  test("q23: exact percentiles are sort-based — no value-map percentile " +
+      "aggregate anywhere in the plan") {
+    val p = plan("q23_percentiles")
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("Window"), p) // the spillable ranking sort
+  }
+
   test("t16: blocklist gate is expression-only — no join, no explode, " +
       "one aggregation exchange") {
     val p = plan("t16_blocklist")

@@ -530,7 +530,8 @@ object Similarity {
     * `chunks` with cell size at corpus scale.
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, chunks: Int = 4): DataFrame = {
+      nlist: Int = 16, chunks: Int = 0,
+      maxComparisons: Long = 4_000_000_000L): DataFrame = {
     val spark = emb.sparkSession
     // zero-norm vectors have undefined cosine with everything: drop
     // them up front so their NaN angles cannot poison cell radii
@@ -543,20 +544,52 @@ object Similarity {
     // see learnCentroids): tight cells are what make the admission
     // pass prune; lowest-id seed vectors leave radii so wide that
     // phase 2 degrades toward all-pairs even on clustered data
+    // sample grows with nlist (d16's rule) — 512 points cannot train
+    // 450 centroids
     val centroids: IndexedSeq[Seq[Float]] =
-      learnCentroids(e.select(col("id"), col("vec")), nlist)
+      learnCentroids(e.select(col("id"), col("vec")), nlist,
+        sampleSize = math.max(4096, nlist * 8))
     val nc = centroids.size
 
     def clampAcos(c: Column): Column =
       acos(least(greatest(c, lit(-1.0)), lit(1.0)))
 
-    val best = array_max(array((0 until nc).map { i =>
-      struct(Vectors.cosine(col("vec"), typedLit(centroids(i))).as("sim"),
-        lit(-i).as("ncid"))
-    }: _*))
-    val assigned = e.select(col("id"), col("vec"), col("nrm"),
-      (-best.getField("ncid")).as("cell"),
-      clampAcos(best.getField("sim")).as("theta"))
+    // nearest-centroid assignment. Two shapes by quantizer size:
+    //  - nc ≤ 64: centroids ride as LITERALS in one narrow projection
+    //    (no join, no shuffle, codegen'd) — the cosineRangePairs
+    //    pattern;
+    //  - nc > 64: the literal argmax expression exceeds JVM codegen
+    //    limits (observed: janino InternalCompilerException at
+    //    nc=450, falling back to interpreted eval of 450 cosines per
+    //    row), so centroids become a BROADCAST nlist-row table:
+    //    cross-product scores collapse through a map-side max-struct
+    //    aggregate (N·nc narrow rows, partial-combined) and join back
+    //    to the vectors on id — every stage shuffle-partitionable.
+    val assigned = {
+      val withBest =
+        if (nc <= 64) {
+          val best = array_max(array((0 until nc).map { i =>
+            struct(
+              Vectors.cosine(col("vec"), typedLit(centroids(i))).as("sim"),
+              lit(-i).as("ncid"))
+          }: _*))
+          e.select(col("id"), col("vec"), col("nrm"), best.as("best"))
+        } else {
+          val centTable = broadcast(spark.createDataFrame(
+            centroids.zipWithIndex.map { case (v, i) => (i, v) })
+            .toDF("cidx", "cvec")
+            .select(col("cidx"), col("cvec").cast("array<float>").as("cvec")))
+          e.select(col("id"), col("vec")).crossJoin(centTable)
+            .select(col("id"), struct(
+              Vectors.cosine(col("vec"), col("cvec")).as("sim"),
+              (-col("cidx")).as("ncid")).as("sc"))
+            .groupBy(col("id")).agg(max(col("sc")).as("best"))
+            .join(e, Seq("id"))
+        }
+      withBest.select(col("id"), col("vec"), col("nrm"),
+        (-col("best").getField("ncid")).as("cell"),
+        clampAcos(col("best").getField("sim")).as("theta"))
+    }
 
     // driver-side cell stats (radius, population) — bounded by nlist
     val cellStatsM: Map[Int, (Double, Long)] = assigned
@@ -572,8 +605,18 @@ object Similarity {
     // (HOF array expressions are interpreted per element and typed
     // top-k aggregates churn objects per row; the kernel loops over
     // primitive arrays once per TILE PAIR)
+    // chunks ≤ 0 → auto-size tiles to ~64 vectors from the biggest
+    // cell: tiles much smaller than that weaken the kernel's local
+    // k-th bound (emission ≈ k rows per SOURCE per TARGET TILE, so
+    // over-chunking multiplies fragment volume — measured 8.0 s vs
+    // 3.3 s at sf0.1 with 45 cells), while tiles much larger stop
+    // bounding tile bytes at corpus scale
+    val ch =
+      if (chunks > 0) chunks
+      else math.max(1, math.ceil(
+        cellStatsM.values.map(_._2).max / 64.0).toInt)
     val tiles = assigned
-      .withColumn("chunk", pmod(xxhash64(col("id")), lit(chunks)).cast("int"))
+      .withColumn("chunk", pmod(xxhash64(col("id")), lit(ch)).cast("int"))
       .groupBy(col("cell"), col("chunk"))
       .agg(sort_array(collect_list(
         struct(col("id"), col("vec"), col("nrm")))).as("vs"))
@@ -641,6 +684,29 @@ object Similarity {
         cosD(centroids(a), centroids(b)))))
       if tab - cellStatsM(a)._1 - cellStatsM(b)._1 <= cellNeed(a) + 1e-9
     } yield (a, b)
+
+    // Work-budget guard (the d05 discipline): the admitted-pair
+    // comparison count is driver math over the cell histogram; if the
+    // corpus has too little metric structure for admission to prune,
+    // fail fast with guidance instead of launching an effectively-N²
+    // job (observed: a 200k-vector isotropic corpus at nlist=450
+    // OOM'd the tile-pair join — the exact graph there needs ~4×10¹⁰
+    // comparisons no matter the plan; the approximate family is the
+    // corpus-scale path).
+    val estComparisons: Long =
+      liveCells.iterator.map(c => cellStatsM(c)._2 * cellStatsM(c)._2).sum +
+        admitted.iterator.map { case (a, b) =>
+          cellStatsM(a)._2 * cellStatsM(b)._2
+        }.sum
+    if (estComparisons > maxComparisons)
+      throw new graft.util.Retry.FatalPipelineException(
+        s"knnGraph: estimated $estComparisons pairwise comparisons " +
+          s"across ${admitted.size} admitted cell pairs exceeds the " +
+          s"work budget of $maxComparisons — the corpus has too " +
+          "little metric structure for an exact kNN graph at this " +
+          "size. Use the approximate family (ivfTopK / signLshAnn / " +
+          "pqTopK) for the graph edges, or raise maxComparisons " +
+          "deliberately for a one-off exact run.")
 
     val allFrags =
       if (admitted.isEmpty) ownTop.select(col("qid"), col("id"), col("cos"))

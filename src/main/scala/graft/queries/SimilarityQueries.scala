@@ -275,10 +275,16 @@ object SimilarityQueries {
 
     // ---- exact corpus self-kNN graph (SemDeDup / graph-curation
     //      primitive): every vector's top-5 neighbors WITHOUT an N²
-    //      cross-join node — within-cell pass learns a per-vector
-    //      bound, triangle-inequality admission completes it exactly
+    //      cross-join node — own-cell pass learns per-cell bounds,
+    //      triangle-inequality admission completes it exactly
     //      (ops/Similarity.knnGraph; cells change only which pairs
-    //      are examined, never the result) ----
+    //      are examined, never the result). nlist stays MODERATE by
+    //      design: on a corpus whose structure admission can't
+    //      resolve, the tile-pair relation grows with nlist² while
+    //      pruning gains nothing (measured: √N cells at 200k
+    //      isotropic vectors OOM'd where 16 cells completed) — the
+    //      work-budget guard, not a big quantizer, owns the decision
+    //      to go exact vs. the approximate family ----
     "s12_knn_graph" -> { (s, d) =>
       import s.implicits._
       Similarity.knnGraph(load(s, d, "embeddings"),

@@ -203,6 +203,32 @@ class VectorSpec extends AnyFunSuite {
       s"diff: missing=${(exact -- graph).take(5)} extra=${(graph -- exact).take(5)}")
   }
 
+  test("knnGraph big-quantizer branch (nc > 64, broadcast-table assignment) stays exact") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val all = emb.select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(all, corpus, 5)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nlist = 100)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph == exact)
+  }
+
+  test("knnGraph work-budget guard fails fast with guidance on over-budget corpora") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val e = intercept[graft.util.Retry.FatalPipelineException] {
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nlist = 16, maxComparisons = 1000L).count()
+    }
+    assert(e.getMessage.contains("work budget"), e.getMessage)
+    assert(e.getMessage.contains("ivfTopK"), e.getMessage)
+  }
+
   test("knnGraph exactness survives a degenerate quantizer (nlist=1 and nlist=3)") {
     import spark.implicits._
     val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

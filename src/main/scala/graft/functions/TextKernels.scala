@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of DISTINCT character trigrams of a string, in one pass.
@@ -58,6 +58,130 @@ object UniqueTrigramCount {
   def apply(text: Column): Column =
     GraftColumnBridge.column(UniqueTrigramCount(
       GraftColumnBridge.expression(text)))
+}
+
+/** Shannon entropy (base 2) of a string's space-token distribution,
+  * in one pass — the information-theoretic repetitiveness signal
+  * (templated / machine-spun text scores low even when t10's
+  * longest-run and d10's n-gram views look clean, because entropy sees
+  * the WHOLE distribution, not the worst window).
+  *
+  * Tokenization is exactly `split(text, ' ')` with empty tokens
+  * preserved (n = spaces + 1), matching both Spark's `split` and
+  * DuckDB's `string_split` — the oracle tokenizes with the same
+  * function, so token counts are integer-identical on both sides and
+  * the only float work is the final `log2` arithmetic, written with
+  * the same expression shape in the oracle.
+  *
+  * H = log2(n) − (Σ_token c·log2(c)) / n over per-token counts c.
+  * Declaratively this is explode + two hash aggregates per doc —
+  * a row-count×tokens-sized shuffle. The kernel keeps it per-row
+  * (token run-length counting over an index sort of byte slices —
+  * exact equality, no hashing, no collisions) inside whole-stage
+  * codegen, so the corpus never shuffles for a per-doc score.
+  * Same codegen packaging as [[UniqueTrigramCount]]; kernel body in
+  * [[EntropyKernel]] for the janino-visible static call.
+  */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_entropy needs string input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    EntropyKernel.tokenEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = graft.functions.EntropyKernel.tokenEntropy($t);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
+object TokenEntropy {
+  def apply(text: Column): Column =
+    GraftColumnBridge.column(TokenEntropy(
+      GraftColumnBridge.expression(text)))
+}
+
+/** Static home for the entropy kernel so generated code can call it. */
+object EntropyKernel {
+
+  /** Token split on the ASCII space byte — safe on arbitrary UTF-8
+    * (0x20 never occurs inside a multi-byte sequence, continuation
+    * bytes are ≥ 0x80) and total on malformed input (pure byte walk,
+    * no decode). Token equality is exact byte equality; the index
+    * sort gives adjacent runs, so counts need no hash table and no
+    * hashing collisions exist by construction. */
+  def tokenEntropy(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    var nTok = 1
+    var i = 0
+    while (i < nb) { if (bytes(i) == 0x20) nTok += 1; i += 1 }
+    if (nTok == 1) return 0.0 // a single token is zero-entropy
+    val starts = new Array[Int](nTok)
+    val lens = new Array[Int](nTok)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) {
+        starts(t) = s; lens(t) = i - s; t += 1; s = i + 1
+      }
+      i += 1
+    }
+    starts(t) = s; lens(t) = nb - s
+    // index sort by (length, bytes) — any total order works, runs of
+    // EQUAL tokens are what's counted
+    val idx = new Array[Integer](nTok)
+    i = 0
+    while (i < nTok) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(ai: Integer, bi: Integer): Int = {
+        val a = ai.intValue(); val b = bi.intValue()
+        if (lens(a) != lens(b)) return lens(a) - lens(b)
+        var j = 0
+        while (j < lens(a)) {
+          val d = (bytes(starts(a) + j) & 0xff) - (bytes(starts(b) + j) & 0xff)
+          if (d != 0) return d
+          j += 1
+        }
+        0
+      }
+    })
+    val ln2 = math.log(2.0)
+    var sAcc = 0.0
+    var run = 1
+    i = 1
+    while (i < nTok) {
+      val a = idx(i).intValue(); val b = idx(i - 1).intValue()
+      var same = lens(a) == lens(b)
+      if (same) {
+        var j = 0
+        while (same && j < lens(a)) {
+          if (bytes(starts(a) + j) != bytes(starts(b) + j)) same = false
+          j += 1
+        }
+      }
+      if (same) run += 1
+      else {
+        if (run > 1) sAcc += run * (math.log(run.toDouble) / ln2)
+        run = 1
+      }
+      i += 1
+    }
+    if (run > 1) sAcc += run * (math.log(run.toDouble) / ln2)
+    math.log(nTok.toDouble) / ln2 - sAcc / nTok
+  }
 }
 
 /** Static home for the trigram kernel so generated code can call it. */

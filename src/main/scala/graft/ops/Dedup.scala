@@ -107,6 +107,25 @@ object Dedup {
   // at the (often 1-partition) scan — callers pre-filter empty shingle
   // sets on a cheap source column instead (see minhashPairs).
 
+  /** LSH band-bucket rows (id, blockCols…, band, bucket) from a
+    * signature relation: each band's slot minima fold into one bucket
+    * key via rotate-xor. Shared by the batch pair join
+    * ([[minhashPairs]]) and the streaming candidate detector
+    * (d18) so both sides bucket IDENTICALLY — a per-row narrow
+    * projection + one bounded (×bands) generator, no shuffle. */
+  def bandBucketRows(sig: DataFrame, numHashes: Int, bands: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val rowsPer = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      (0 until rowsPer).map(r => element_at(col("sig"), b * rowsPer + r + 1))
+        .foldLeft(lit(1125899906842597L): Column)(rotXor).as(s"b$b")
+    }
+    sig.select((col("id") +: blockCols.map(col)) ++ bandCols: _*)
+      .select((col("id") +: blockCols.map(col)) :+
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+          .as(Seq("band", "bucket")): _*)
+  }
+
   /** Near-duplicate pairs by MinHash LSH, verified by exact Jaccard.
     * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
     *
@@ -132,7 +151,6 @@ object Dedup {
       threshold: Double, k: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       blockCols: Seq[String] = Nil): DataFrame = {
-    val rowsPer = numHashes / bands
     // small-file inputs arrive as one partition; per-row shingle/hash
     // work is CPU-bound, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -147,14 +165,7 @@ object Dedup {
       (col("id") +: blockCols.map(col)) :+
         hashedShingleSet(col("__text"), k).as("sh"): _*)
     val sig = minhashSignatures(sets, numHashes, blockCols)
-    val bandCols = (0 until bands).map { b =>
-      (0 until rowsPer).map(r => element_at(col("sig"), b * rowsPer + r + 1))
-        .foldLeft(lit(1125899906842597L): Column)(rotXor).as(s"b$b")
-    }
-    val banded = sig.select((col("id") +: blockCols.map(col)) ++ bandCols: _*)
-      .select((col("id") +: blockCols.map(col)) :+
-        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
-          .as(Seq("band", "bucket")): _*)
+    val banded = bandBucketRows(sig, numHashes, bands, blockCols)
     // candidates by ONE aggregation per (block × band × bucket) cell +
     // in-bucket pair expansion — a banded self-join would shuffle AND
     // recompute the whole signature pipeline twice; this shuffles the
@@ -185,6 +196,47 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Streaming LSH candidate detector — the ONE stateful operator of
+    * the d18 streaming near-dup query (Structured Streaming allows a
+    * single stateful aggregation per query, the p02 discipline).
+    * State per (band, bucket) key is the id membership; each arriving
+    * id emits a candidate pair against every id already resident plus
+    * its same-batch peers — exactly the pairs the batch in-bucket
+    * expansion produces, spread over arrival time, so the verified
+    * result is arrival-order-INDEPENDENT: whichever way the corpus is
+    * split into micro-batches, the union of emissions is the same
+    * candidate set (re-deliveries are screened against state).
+    * Per-bucket state is O(membership) — the same boundedness class
+    * as the batch collect_list — and a giant mutual-dup bucket's
+    * quadratic pair OUTPUT streams through the returned iterator
+    * rather than a buffered row. At 100 TB cadence, bucket state is
+    * exactly the LSH index a near-dup service keeps resident. */
+  def streamCandidatePairs(banded: DataFrame): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    banded.select(col("id"), col("band"), col("bucket"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val old = state.getOption.getOrElse(Array.empty[Long])
+          val seen = old.toSet
+          val fresh = rows.map(_._1).toArray.distinct
+            .filterNot(seen).sorted
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update(old ++ fresh)
+            Iterator.tabulate(fresh.length) { i =>
+              val n = fresh(i)
+              old.iterator.map(o => (math.min(o, n), math.max(o, n))) ++
+                fresh.iterator.drop(i + 1).map(m => (n, m))
+            }.flatten
+          }
+      }.toDF("a", "b")
   }
 
   // ---- SimHash ----

@@ -464,6 +464,89 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** IVF+PQ top-k — the combined billion-vector index shape (an IVF
+    * coarse quantizer restricting the scan to `nprobe` probed cells,
+    * PQ-code ADC scoring inside them): the two halves this engine
+    * already has, composed the way a corpus-scale index stores them.
+    *
+    * vs [[ivfTopK]]: probed-cell candidates are CODE-scored, not
+    * full-vector scored — the scan inside a probed cell reads ~m
+    * small codes per vector, not the float dims. vs [[pqTopK]]: the
+    * ADC scan covers ~nprobe/nlist of the corpus, not all of it. Only
+    * the per-query `shortlist` ADC survivors ever touch full vectors
+    * (the exact re-rank). At corpus scale the `(cid, id, codes)`
+    * relation IS the stored index — written partitioned by `cid` so a
+    * probe prunes whole files at the scan (the layout CdcTable's
+    * clustered writes use); here the probe is an equi-join on `cid`,
+    * shuffle-partitionable on any cluster, with the tiny query side
+    * broadcast. Each corpus vector lives in exactly one cell, so the
+    * probe join emits each (qid, id) pair at most once — no dedup
+    * shuffle needed.
+    *
+    * Deterministic end-to-end ([[learnCentroids]] and [[pqTrain]]
+    * have no RNG) → replayable; quantizer-defined output, so the
+    * driver gate is rows-only and recall vs [[bruteForceTopK]] is
+    * gated in VectorSpec. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 32,
+      shortlist: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("id"), col("vec"))
+      .filter(Vectors.norm(col("vec")) > 0.0)
+    val cents = learnCentroids(e, nlist)
+    val cb = pqTrain(e, m, ksub)
+    val centroids = broadcast(spark.createDataFrame(
+      cents.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
+
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
+        n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cid"))
+      df.crossJoin(centroids)
+        .withColumn("sim", Vectors.cosine(col(vecCol), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+        .select(col(idCol), col(vecCol), col("cid"))
+    }
+
+    // index build (maintenance-time at corpus scale): one assignment
+    // pass + one fused PqCodes pass; full vectors are not carried
+    val index = nearestCells(e, "id", "vec", 1)
+      .select(col("cid"), col("id"),
+        graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes"))
+
+    // query side: nprobe probed cells, one ADC lookup table per probe
+    // row (lut[s*ksub + c] = q̂_s · codebook(s)(c), fused PqLut pass)
+    val qprobe = nearestCells(
+        queries.filter(Vectors.norm(col("qvec")) > 0.0)
+          .select(col("qid"), col("qvec")), "qid", "qvec", nprobe)
+      .select(col("qid"), col("qvec"), col("cid"),
+        graft.functions.ProductQuantizer.lut(col("qvec"), cb).as("lut"))
+
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("id"))
+    val short = broadcast(qprobe).join(index, "cid")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adc", adc)
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= shortlist)
+      .select(col("qid"), col("qvec"), col("id"))
+
+    // exact re-rank of the shortlist only
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** Exact cosine RANGE search: every corpus vector with cos ≥ minCos
     * per query — the unbounded-answer complement of [[bruteForceTopK]]
     * (top-k caps the result; a dedup probe or contamination audit

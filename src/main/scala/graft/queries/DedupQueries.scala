@@ -23,6 +23,18 @@ object DedupQueries {
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] " +
       "|| ' ' || string_split(text,' ')[i+2]))"
 
+  // exact all-pairs Jaccard ≥ 0.8 — the shared oracle for batch d02
+  // and streaming d18 (both must produce this exact pair set)
+  private val bruteForcePairsSql =
+    s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact dedup by content fingerprint+metadata group ----
@@ -38,6 +50,56 @@ object DedupQueries {
       import s.implicits._
       Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
           threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
+    // ---- STREAMING near-dup detection: d02 as a continuous ingest ----
+    // the near-dup complement of p02's exact dedupe-at-the-door: as
+    // documents land, shingle → MinHash → band buckets run stateless
+    // per row, and the one stateful operator (flatMapGroupsWithState
+    // keyed by band bucket — the resident LSH index) emits candidate
+    // pairs the moment the second member of a pair arrives. Exact-
+    // Jaccard verification aggregates batch-side from the append sink
+    // (the q45/p02 pattern). The emitted-candidate UNION is arrival-
+    // order-independent by construction, so the verified output equals
+    // batch d02 exactly — same full DuckDB brute-force oracle.
+    "d18_stream_near_dup" -> { (s, d) =>
+      import s.implicits._
+      val k = 3; val numHashes = 64; val bands = 16; val threshold = 0.8
+      val docsSchema = load(s, d, "documents").schema
+      val sig = s.readStream.schema(docsSchema).parquet(s"$d/documents.*")
+        .filter(size(split($"text", " ")) >= k)
+        .select($"doc_id".cast("long").as("id"),
+          Dedup.hashedShingleSet($"text", k).as("sh"))
+        .select($"id",
+          graft.functions.MinHash.signature($"sh", numHashes).as("sig"))
+      val cand = Dedup.streamCandidatePairs(
+        Dedup.bandBucketRows(sig, numHashes, bands))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = cand.writeStream
+          .format("memory").queryName("d18_stream_near_dup_sink")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // batch-side verification: candidates (deduped across bands) join
+      // text, exact Jaccard gates — identical tail to batch minhashPairs
+      val base = load(s, d, "documents")
+        .filter(size(split($"text", " ")) >= k)
+        .select($"doc_id".cast("long").as("id"), $"text")
+      s.table("d18_stream_near_dup_sink")
+        .dropDuplicates("a", "b")
+        .join(base.select($"id".as("a"), $"text".as("__ta")), "a")
+        .join(base.select($"id".as("b"), $"text".as("__tb")), "b")
+        .withColumn("sha", Dedup.hashedShingleSet($"__ta", k))
+        .withColumn("shb", Dedup.hashedShingleSet($"__tb", k))
+        .filter(Dedup.sizeCompatible($"sha", $"shb", threshold))
+        .withColumn("jaccard", Dedup.jaccard($"sha", $"shb"))
+        .filter($"jaccard" >= threshold)
+        .select($"a", $"b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a", $"b")
     },
 
@@ -337,15 +399,11 @@ object DedupQueries {
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
 
-    "d02_minhash_pairs" ->
-      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents)
-         |SELECT a.doc_id AS a, b.doc_id AS b,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-         |FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
-         |ORDER BY a, b""".stripMargin,
+    "d02_minhash_pairs" -> bruteForcePairsSql,
+
+    // the streaming detector must converge to the SAME pair set as
+    // batch d02 — one oracle, two execution disciplines
+    "d18_stream_near_dup" -> bruteForcePairsSql,
 
     "d04_blocked_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $shingleSql AS sh

@@ -135,6 +135,19 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- IVF+PQ ANN: probed-cell, code-compressed scan + exact
+    //      re-rank — s04's cell restriction composed with s08's ADC
+    //      scoring, the stored-index shape a billion-vector corpus
+    //      actually serves from ----
+    // (quantizer-defined → rows-only check; recall vs brute force
+    // gated in VectorSpec next to s04/s08)
+    "s13_ivf_pq" -> { (s, d) =>
+      import s.implicits._
+      Similarity.ivfPqTopK(queriesDf(s, d),
+          corpusDf(s, d).select($"id", $"vec"), K)
+        .orderBy($"qid", $"rank")
+    },
+
     // ---- MMR re-rank: diversified retrieval (Carbonell & Goldstein
     //      1998) — greedy argmax of λ·sim(q,d) − (1−λ)·max sim(d, S)
     //      over a top-30 candidate pool, k=10 picks ----

@@ -379,6 +379,26 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- token-distribution entropy: the information-theoretic
+    //      repetitiveness signal ----
+    // templated / machine-spun text scores low even when t10's
+    // longest-run and d10's worst-window views look clean, because
+    // entropy sees the WHOLE token distribution. Declaratively this is
+    // an explode + two hash aggregates per doc (a corpus-sized
+    // shuffle); the fused TokenEntropy kernel keeps it per-row inside
+    // whole-stage codegen, so the corpus never shuffles for a per-doc
+    // score. Token counts are integer-identical to the oracle's
+    // string_split; the final H = log2(n) − Σ c·log2(c)/n expression
+    // is written with the same shape on both sides.
+    "t19_token_entropy" -> { (s, d) =>
+      import s.implicits._
+      load(s, d, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          round(graft.functions.TokenEntropy($"text"), 6).as("entropy"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -403,6 +423,20 @@ object Text {
     s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
 
   val oracle: Map[String, String] = Map(
+    "t19_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(c * log2(c)) AS s
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id, lang, n AS n_tokens,
+        |  round(log2(n) - s / n, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "t18_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),

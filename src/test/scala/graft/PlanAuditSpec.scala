@@ -125,6 +125,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t19: token entropy is one scanned pass — kernel in codegen, " +
+      "no join, no aggregate shuffle") {
+    val df = SparkEntry.queries("t19_token_entropy")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages print
+    // the adaptive toString prints Final AND Initial plans — audit the
+    // final one only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the per-doc score must NOT be the declarative explode+groupBy
+    // shape: one parquet scan, no join, no hash aggregate — the only
+    // exchange is the final orderBy's range partitioning
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val entLine = p.linesIterator.find(_.toLowerCase.contains("tokenentropy"))
+    assert(entLine.exists(_.contains("*(")),
+      s"tokenentropy projection not inside a codegen stage:\n$p")
+  }
+
+  test("s13: IVF+PQ probes are an equi-join on the cell id — codes " +
+      "relation never cartesians, corpus never sort-merge shuffles") {
+    val df = SparkEntry.queries("s13_ivf_pq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the cid probe join and the re-rank join broadcast the tiny query
+    // side; nothing shuffles the corpus by key
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the PQ encode stays fused (same contract as s08)
+    val codesLine = p.linesIterator.find(_.contains("pqcodes"))
+    assert(codesLine.exists(_.contains("*(")),
+      s"pqcodes projection not inside a codegen stage:\n$p")
+  }
+
   test("d13: boilerplate coverage has no pairwise stage — equi-joins and " +
       "hash aggregates only") {
     val p = plan("d13_boilerplate_cover")

@@ -238,4 +238,66 @@ class StreamingOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming LSH near-dup candidates are arrival-order-independent " +
+      "and verify to the batch minhashPairs result") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.util.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 250)
+      .select($"doc_id".cast("long").as("id"), $"text")
+      .as[(Long, String)].collect().toSeq
+
+    def candidates(batches: Seq[Seq[(Long, String)]],
+        sink: String): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val sig = input.toDF().toDF("id", "text")
+        .filter(size(split($"text", " ")) >= 3)
+        .select($"id", Dedup.hashedShingleSet($"text", 3).as("sh"))
+        .select($"id",
+          graft.functions.MinHash.signature($"sh", 64).as("sig"))
+      val cand = Dedup.streamCandidatePairs(
+        Dedup.bandBucketRows(sig, 64, 16))
+      val q = cand.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(sink).dropDuplicates("a", "b")
+        .as[(Long, Long)].collect().toSet
+    }
+
+    // three deliveries of the same corpus: one shot, three uneven
+    // micro-batches, and ten interleaved slices
+    val oneShot = candidates(Seq(docs), "d18spec_one")
+    val three = candidates(Seq(docs.take(20), docs.slice(20, 180),
+      docs.drop(180)), "d18spec_three")
+    val ten = candidates(
+      (0 until 10).map(i => docs.filter(_._1 % 10 == i)), "d18spec_ten")
+    assert(oneShot.nonEmpty)
+    assert(three == oneShot, "3-batch split changed the candidate set")
+    assert(ten == oneShot, "10-way interleave changed the candidate set")
+
+    // verified tail equals the batch operator on the same subset
+    val subset = graft.util.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 250)
+    val batchPairs = Dedup.minhashPairs(subset, "doc_id", "text", 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val base = subset.filter(size(split($"text", " ")) >= 3)
+      .select($"doc_id".cast("long").as("id"), $"text")
+    val verified = oneShot.toSeq.toDF("a", "b")
+      .join(base.select($"id".as("a"), $"text".as("__ta")), "a")
+      .join(base.select($"id".as("b"), $"text".as("__tb")), "b")
+      .withColumn("sha", Dedup.hashedShingleSet($"__ta", 3))
+      .withColumn("shb", Dedup.hashedShingleSet($"__tb", 3))
+      .filter(Dedup.sizeCompatible($"sha", $"shb", 0.8))
+      .withColumn("jaccard", Dedup.jaccard($"sha", $"shb"))
+      .filter($"jaccard" >= 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(verified == batchPairs,
+      "streaming-verified pairs diverge from batch minhashPairs")
+  }
 }

@@ -97,6 +97,14 @@ class VectorSpec extends AnyFunSuite {
     // the ADC shortlist (50 of 500) + exact re-rank must recover the
     // exact top-10 almost completely on this corpus
     assert(pqRecall >= 0.85)
+
+    val ivfpq = Similarity.ivfPqTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    info(s"IVF+PQ recall@10 = $ivfpqRecall (nlist=16 nprobe=4, m=16 ksub=32)")
+    // combined recall is bounded by the IVF probe (0.88 floor above);
+    // the ADC+re-rank inside probed cells should cost little extra
+    assert(ivfpqRecall >= 0.8)
   }
 
   test("PQ kernels: codegen path equals a hand-rolled reference; " +

@@ -62,7 +62,9 @@ object ScaleCheck {
     // under the type-adaptive loader (q46/q17/q18 already above)
     "q19_asof_purchase_click", "q43_range_join",
     "q51_cohort_retention", "q58_forward_fill",
-    "d17_strip_boilerplate", "p02_stream_pipeline", "s12_knn_graph")
+    "d17_strip_boilerplate", "p02_stream_pipeline", "s12_knn_graph",
+    // round-8 additions: entropy kernel, IVF+PQ, streaming near-dup
+    "t19_token_entropy", "s13_ivf_pq", "d18_stream_near_dup")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -67,8 +67,12 @@ object DedupQueries {
       import s.implicits._
       val k = 3; val numHashes = 64; val bands = 16; val threshold = 0.8
       val docsSchema = load(s, d, "documents").schema
+      // the per-row shingle+signature work is CPU-bound and the source
+      // file may arrive as one split — spread it first (the same
+      // discipline as batch minhashPairs' repartition)
       val sig = s.readStream.schema(docsSchema).parquet(s"$d/documents.*")
         .filter(size(split($"text", " ")) >= k)
+        .repartition(s.sparkContext.defaultParallelism)
         .select($"doc_id".cast("long").as("id"),
           Dedup.hashedShingleSet($"text", k).as("sh"))
         .select($"id",

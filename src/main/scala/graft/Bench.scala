@@ -149,7 +149,8 @@ object Bench {
       "c01_decode_dump", "c02_cdc_final_state", "c09_router_multiplex",
       "c16_stream_e2e", "d01_exact_dedup", "d02_minhash_pairs",
       "d04_blocked_jaccard", "d05_cosine_pairs", "d06_dup_clusters",
-      "d09_decontam", "d17_strip_boilerplate", "m01_media_meta",
+      "d09_decontam", "d17_strip_boilerplate", "d18_stream_near_dup",
+      "s13_ivf_pq", "m01_media_meta",
       "m04_media_dedup", "m06_crossmodal_check", "p01_train_pipeline",
       "p02_stream_pipeline", "q01_pricing_summary",
       "q05_regional_revenue", "q09_top_orders_per_cust", "q18_sessions",

@@ -15,12 +15,14 @@ import graft.sources.DatastreamAvro
   * Design notes vs the reference:
   *  - 30 s default trigger = the reference's scan cadence
   *    (DatastreamEventReader.java:95,170); tests use AvailableNow.
-  *  - No snapshot→CDC phase machine: the merge's strictly-greater
-  *    sort-key guard makes apply order-insensitive, so backfill and
-  *    CDC files can interleave freely (the reference needed dump-first
-  *    gating only because it emitted events in arrival order,
-  *    ":429-467"). Late files within the 3-day SLA window simply
-  *    replay idempotently.
+  *  - No snapshot→CDC phase machine BY DEFAULT: the merge's strictly-
+  *    greater sort-key guard makes apply order-insensitive, so
+  *    backfill and CDC files can interleave freely (the reference
+  *    needed dump-first gating only because it emitted events in
+  *    arrival order, ":429-467"). Late files within the 3-day SLA
+  *    window simply replay idempotently. The literal two-phase
+  *    discipline exists as [[startDumpFirst]] for consumers that
+  *    observe phase order.
   *  - One stream can host many tables (partitioned by table name) —
   *    at 100 TB / thousands of tables, per-table driver state is the
   *    scaling bottleneck the reference would hit; here state lives in
@@ -49,11 +51,13 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       maintenanceEvery: Int = 0,
       modifiedAfter: Option[java.sql.Timestamp] = None,
-      maxFileAge: Option[String] = None): Pipeline = {
+      maxFileAge: Option[String] = None,
+      pathFilter: Option[org.apache.spark.sql.Column] = None): Pipeline = {
     // allowlist scoping here is row-level only (inside the decode);
     // file-level pruning needs the filename-keyed layout asserted —
     // see CdcRouter(filenameKeyed = true)
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
+      pathFilter = pathFilter,
       modifiedAfter = modifiedAfter, maxFileAge = maxFileAge)
     val events = Decode.changeEvents(envelope, decodeOpts)
     val query = events.writeStream
@@ -74,6 +78,48 @@ object CdcStream {
       }
       .start()
     Pipeline(query, table)
+  }
+
+  /** The reference's LITERAL two-phase discipline — dump-first gating
+    * + snapshot→CDC handoff (DatastreamEventReader.java:429-467) — for
+    * operators that want arrival-phase semantics. The default
+    * [[start]] does not need it: the sort-key-guarded merge is
+    * order-insensitive, so backfill and CDC files interleave freely
+    * (SURVEY §2 #5/#43). This mode exists for API parity and for
+    * sinks BEYOND the merge (e.g. an ordered downstream event feed,
+    * the reference's actual consumer) where phase order is observable.
+    *
+    * Phase 1 applies every snapshot ("backfill"-pathed) file in ONE
+    * atomic batch — gated on `backfillComplete`, the analog of the
+    * reference's backfill-COMPLETED poll (`:483-525`; its
+    * path-stability workaround for the unreliable API is subsumed by
+    * the atomic batch read — there is no window where a half-written
+    * listing can commit). Phase 2 then starts the checkpointed stream
+    * scoped to CDC files only (`pathFilter` pruning — snapshot blobs
+    * are never avro-decoded again, the reference's post-handoff scan
+    * behavior `:605-607`). The dump batch merges at `_sequence_num`
+    * = -1, before every stream batch id.
+    */
+  def startDumpFirst(
+      spark: SparkSession,
+      sourceGlob: String,
+      schema: StructType,
+      table: CdcTable,
+      checkpoint: String,
+      decodeOpts: Decode.Options = Decode.Options(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      backfillComplete: () => Boolean = () => true): Pipeline = {
+    require(backfillComplete(),
+      "backfill not COMPLETED: dump-first gating refuses to start " +
+        "(the reference polls until the control plane reports COMPLETED)")
+    val isDump = org.apache.spark.sql.functions.col("path")
+      .contains("backfill")
+    val dump = DatastreamAvro.read(spark, sourceGlob, Some(schema),
+      pathFilter = Some(isDump))
+    val dumpEvents = Decode.changeEvents(dump, decodeOpts)
+    if (!dumpEvents.isEmpty) { table.applyBatch(dumpEvents, -1L); () }
+    start(spark, sourceGlob, schema, table, checkpoint, decodeOpts,
+      trigger, pathFilter = Some(!isDump))
   }
 
   /** Start from a validated [[CdcConfig]]. */

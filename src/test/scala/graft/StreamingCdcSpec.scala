@@ -70,6 +70,54 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(table.currentVersion == v)
   }
 
+  test("dump-first gating: refuses an incomplete backfill; the snapshot " +
+      "commits atomically before any CDC batch; final state matches the " +
+      "order-insensitive path") {
+    val root = Files.createTempDirectory(Paths.get("target"), "dumpfirst")
+    val src = root.resolve("in"); Files.createDirectories(src)
+    def drop(fixture: String, as: String): Unit =
+      Files.copy(Paths.get(s"$fixtures/$fixture"), src.resolve(as),
+        StandardCopyOption.REPLACE_EXISTING)
+    // dump AND CDC files are ALL present before anything starts — the
+    // exact situation the reference's gating exists for
+    drop("dump.avro", "s1_oracle-backfill_0_0.avro")
+    drop("insert.avro", "s1_oracle-cdc-logminer_0_1.avro")
+    drop("update.avro", "s1_oracle-cdc-logminer_0_2.avro")
+    drop("delete.avro", "s1_oracle-cdc-logminer_0_3.avro")
+    val glob = s"${src.toString}/*.avro"
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+
+    val gated = new CdcTable(spark,
+      root.resolve("gated").toString, Seq("EMPLOYEE_ID"))
+    // control-plane says backfill not COMPLETED → refuse, apply nothing
+    intercept[IllegalArgumentException] {
+      CdcStream.startDumpFirst(spark, glob, schema, gated,
+        root.resolve("ckpt0").toString, backfillComplete = () => false)
+    }
+    assert(gated.currentVersion.isEmpty)
+
+    val p = CdcStream.startDumpFirst(spark, glob, schema, gated,
+      root.resolve("ckpt1").toString)
+    // phase 1 committed synchronously before the stream started: the
+    // FIRST version is exactly the 108 snapshot rows, no CDC leakage
+    val dumpVersion = gated.currentVersion.get
+    CdcStream.drain(p)
+    val v1 = gated.stateAt(dumpVersion).get
+    assert(v1.count() == 108)
+    assert(!v1.select("EMPLOYEE_ID").collect().map(_.getLong(0)).contains(210L))
+
+    // the phase-2 stream never re-decodes the snapshot blob, yet the
+    // final state equals the default interleaved (order-insensitive) path
+    val plain = new CdcTable(spark,
+      root.resolve("plain").toString, Seq("EMPLOYEE_ID"))
+    CdcStream.drain(CdcStream.start(spark, glob, schema, plain,
+      root.resolve("ckpt2").toString))
+    def snap(t: CdcTable) = t.state.get
+      .select("EMPLOYEE_ID", "_is_deleted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(snap(gated) == snap(plain))
+  }
+
   test("snapshot files are classified from production-style paths") {
     val root = Files.createTempDirectory(Paths.get("target"), "cdc-snap")
     Files.copy(Paths.get(s"$fixtures/insert.avro"),

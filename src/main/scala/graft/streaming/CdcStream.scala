@@ -52,7 +52,8 @@ object CdcStream {
       maintenanceEvery: Int = 0,
       modifiedAfter: Option[java.sql.Timestamp] = None,
       maxFileAge: Option[String] = None,
-      pathFilter: Option[org.apache.spark.sql.Column] = None): Pipeline = {
+      pathFilter: Option[org.apache.spark.sql.Column] = None,
+      processedLog: Option[String] = None): Pipeline = {
     // allowlist scoping here is row-level only (inside the decode);
     // file-level pruning needs the filename-keyed layout asserted —
     // see CdcRouter(filenameKeyed = true)
@@ -65,7 +66,19 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         if (!batch.isEmpty) {
+          // the batch's source files, listed BEFORE the merge consumes
+          // it (bounded by files-per-batch — the reference's TTL task
+          // batches blob updates in hundreds the same way, ":262-277")
+          val batchFiles = processedLog.map(_ =>
+            batch.select(DatastreamAvro.FilePathCol).distinct()
+              .collect().map(_.getString(0)).toSeq)
           table.applyBatch(batch, id)
+          // mark AFTER the merge commits — the reference stamps
+          // Custom-Time only on offset-commit change (":220-228");
+          // replays re-stamp idempotently (newest stamp wins)
+          processedLog.zip(batchFiles).foreach { case (log, files) =>
+            ProcessedFiles.record(log, files, System.currentTimeMillis())
+          }
           // periodic in-stream maintenance: the reference runs its
           // TTL/cleanup task every 3 scan cycles (90 s vs 30 s); here
           // compaction+vacuum piggyback on every Nth commit

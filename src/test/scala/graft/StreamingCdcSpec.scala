@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -116,6 +118,57 @@ class StreamingCdcSpec extends AnyFunSuite {
       .select("EMPLOYEE_ID", "_is_deleted").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toSet
     assert(snap(gated) == snap(plain))
+  }
+
+  test("processed-file TTL marking + age-gated purge (SetTTLTask analog): " +
+      "only fully-processed files are reclaimed; the checkpoint keeps " +
+      "exactly-once across the purge") {
+    import graft.streaming.ProcessedFiles
+    val root = Files.createTempDirectory(Paths.get("target"), "ttl-mark")
+    val src = root.resolve("in"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt").toString
+    val log = root.resolve("processed.log").toString
+    def drop(fixture: String, as: String): Unit =
+      Files.copy(Paths.get(s"$fixtures/$fixture"), src.resolve(as),
+        StandardCopyOption.REPLACE_EXISTING)
+    drop("dump.avro", "s1_oracle-backfill_0_0.avro")
+    drop("insert.avro", "s1_oracle-cdc-logminer_0_1.avro")
+    val glob = s"${src.toString}/*.avro"
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+    val table = new CdcTable(spark,
+      root.resolve("table").toString, Seq("EMPLOYEE_ID"))
+    CdcStream.drain(CdcStream.start(spark, glob, schema, table, ckpt,
+      processedLog = Some(log)))
+
+    def names(ps: Iterable[String]): Set[String] =
+      ps.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val now = System.currentTimeMillis()
+    assert(names(ProcessedFiles.stamps(log).keys) ==
+      Set("s1_oracle-backfill_0_0.avro", "s1_oracle-cdc-logminer_0_1.avro"))
+
+    // TTL not reached → nothing reclaimed (the 30-day rule)
+    assert(ProcessedFiles.sweep(log, ttlMs = 86400000L, nowMs = now).isEmpty)
+
+    // a new, NOT-yet-processed file must survive any sweep
+    drop("update.avro", "s1_oracle-cdc-logminer_0_2.avro")
+    val deleted = ProcessedFiles.sweep(log, ttlMs = 0L,
+      nowMs = System.currentTimeMillis())
+    assert(names(deleted) ==
+      Set("s1_oracle-backfill_0_0.avro", "s1_oracle-cdc-logminer_0_1.avro"))
+    assert(names(Files.list(src).iterator().asScala.map(_.toString).toSeq) ==
+      Set("s1_oracle-cdc-logminer_0_2.avro"))
+
+    // restart over the purged directory: the checkpoint's exactly-once
+    // is undisturbed — only the new file processes, then gets stamped
+    CdcStream.drain(CdcStream.start(spark, glob, schema, table, ckpt,
+      processedLog = Some(log)))
+    assert(names(ProcessedFiles.stamps(log).keys)
+      .contains("s1_oracle-cdc-logminer_0_2.avro"))
+    // the purge cost no data and created no duplicates: 108 dump rows
+    // + the one insert, with the update merged on top (same PK set)
+    assert(table.state.get.count() == 109)
+    assert(table.live.get.select("EMPLOYEE_ID").collect()
+      .map(_.getLong(0)).toSet.contains(210L))
   }
 
   test("snapshot files are classified from production-style paths") {

@@ -63,8 +63,10 @@ object ScaleCheck {
     "q19_asof_purchase_click", "q43_range_join",
     "q51_cohort_retention", "q58_forward_fill",
     "d17_strip_boilerplate", "p02_stream_pipeline", "s12_knn_graph",
-    // round-8 additions: entropy kernel, IVF+PQ, streaming near-dup
-    "t19_token_entropy", "s13_ivf_pq", "d18_stream_near_dup")
+    // round-8 additions: entropy kernel, IVF+PQ, streaming near-dup,
+    // persisted index build+serve
+    "t19_token_entropy", "s13_ivf_pq", "d18_stream_near_dup",
+    "s14_vector_index")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

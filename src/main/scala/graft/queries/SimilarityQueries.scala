@@ -148,6 +148,21 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- the same index PERSISTED: build once (cell-partitioned
+    //      codes+vectors + quantizer sidecars), serve with partition
+    //      pruning — probes read nprobe/nlist of the corpus off disk,
+    //      spec-asserted in the plan ----
+    // (output identical to s13 by construction, VectorSpec-gated →
+    // rows-only check)
+    "s14_vector_index" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val dir = s"target/vindex_${math.abs(d.hashCode.toLong)}"
+      VectorIndex.build(corpusDf(s, d).select($"id", $"vec"), dir)
+      VectorIndex.search(s, dir, queriesDf(s, d), K)
+        .orderBy($"qid", $"rank")
+    },
+
     // ---- MMR re-rank: diversified retrieval (Carbonell & Goldstein
     //      1998) — greedy argmax of λ·sim(q,d) − (1−λ)·max sim(d, S)
     //      over a top-30 candidate pool, k=10 picks ----

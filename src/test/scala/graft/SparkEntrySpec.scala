@@ -37,7 +37,8 @@ class SparkEntrySpec extends AnyFunSuite {
   test("rows-only queries are the documented hash-defined set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d03_simhash_pairs", "s03_ann_lsh",
-      "s04_ann_ivf", "s08_pq_adc", "s13_ivf_pq", "m03_fake_features",
-      "q30_approx_sketches", "d16_semantic_dedup_scaled"), rowsOnly)
+      "s04_ann_ivf", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
+      "m03_fake_features", "q30_approx_sketches",
+      "d16_semantic_dedup_scaled"), rowsOnly)
   }
 }

@@ -107,6 +107,39 @@ class VectorSpec extends AnyFunSuite {
     assert(ivfpqRecall >= 0.8)
   }
 
+  test("persisted vector index serves ivfPqTopK-identical results and " +
+      "prunes unprobed cell partitions at the scan") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vindex")
+      .toString
+    VectorIndex.build(corpus, dir)
+    val served = VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    val memory = Similarity.ivfPqTopK(qs, corpus, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(served == memory, "served result diverges from in-memory IVF+PQ")
+
+    // partition pruning is IN THE PLAN: one query probing 2 of 16
+    // cells must scan the cells relation with a cid PartitionFilter
+    val one = qs.filter($"qid" === 0)
+    val df = VectorIndex.search(spark, dir, one, 5, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cellScans = p.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("/cells"))
+      .toSeq
+    assert(cellScans.nonEmpty, s"no cells scan found:\n$p")
+    assert(cellScans.forall(l =>
+      l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []")),
+      s"cells scan not partition-pruned:\n${cellScans.mkString("\n")}")
+  }
+
   test("PQ kernels: codegen path equals a hand-rolled reference; " +
       "length mismatch yields null") {
     import spark.implicits._

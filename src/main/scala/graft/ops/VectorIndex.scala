@@ -67,6 +67,11 @@ object VectorIndex {
       .select(col("cid"), col("id"),
         graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes"),
         col("vec"))
+      // co-locate each cell before the partitioned write: one shuffle
+      // by cell id → one file per cell dir instead of one per task per
+      // cell (task-count × nlist tiny files would dominate both the
+      // write and every probed read)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
   }
 

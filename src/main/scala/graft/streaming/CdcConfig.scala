@@ -22,7 +22,8 @@ case class CdcConfig(
     tableAllowlist: Seq[String] = Nil,
     modifiedAfter: Option[String] = None,
     maxFileAge: Option[String] = None,
-    existingStreamId: Option[String] = None) {
+    existingStreamId: Option[String] = None,
+    processedLog: Option[String] = None) {
 
   private val ValidOps = Set("INSERT", "UPDATE", "DELETE")
 
@@ -97,6 +98,14 @@ case class CdcConfig(
     maxFileAge.foreach { a =>
       if (!a.matches("\\d+\\s*(ms|s|m|min|h|d)?"))
         problems += s"maxFileAge '$a' is not a duration (e.g. '3d', '12h')"
+    }
+    // the TTL log is maintenance state: sweeping under tablePath or the
+    // checkpoint would let vacuum/file-log logic collide with it
+    processedLog.foreach { log =>
+      if (log.trim.isEmpty) problems += "processedLog must not be blank when set"
+      else if (nested(log, tablePath) || nested(log, checkpoint))
+        problems += "processedLog must not be nested under tablePath " +
+          "or checkpoint"
     }
     problems.result()
   }

@@ -142,7 +142,8 @@ object CdcStream {
     val table = new CdcTable(spark, c.tablePath, c.primaryKeys, c.numBuckets)
     start(spark, c.sourceGlob, schema, table, c.checkpoint,
       c.decodeOptions, c.trigger, c.maintenanceEvery,
-      c.modifiedAfter.map(java.sql.Timestamp.valueOf), c.maxFileAge)
+      c.modifiedAfter.map(java.sql.Timestamp.valueOf), c.maxFileAge,
+      processedLog = c.processedLog)
   }
 
   /** Start under a [[SourceAdmin]]-managed stream: provision the

@@ -39,6 +39,17 @@ class CdcConfigSpec extends AnyFunSuite {
     assert(ok.copy(columns = Seq("ID", "A")).validate().isEmpty)
   }
 
+  test("processedLog placement: maintenance state must not live where " +
+      "vacuum or the stream file-log operate") {
+    assert(ok.copy(processedLog = Some("/lake/_ttl/t.log")).validate().isEmpty)
+    assert(ok.copy(processedLog = Some(" ")).validate()
+      .exists(_.contains("blank")))
+    assert(ok.copy(processedLog = Some("/lake/t/ttl.log")).validate()
+      .exists(_.contains("nested")))
+    assert(ok.copy(processedLog = Some("/lake/_ckpt/t/ttl.log")).validate()
+      .exists(_.contains("nested")))
+  }
+
   test("mode interaction: existingStreamId replaces sourceGlob " +
       "(the usingExistingStream rule)") {
     // an existing stream id makes the source location optional

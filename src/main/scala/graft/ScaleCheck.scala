@@ -66,7 +66,7 @@ object ScaleCheck {
     // round-8 additions: entropy kernel, IVF+PQ, streaming near-dup,
     // persisted index build+serve
     "t19_token_entropy", "s13_ivf_pq", "d18_stream_near_dup",
-    "s14_vector_index")
+    "s14_vector_index", "s15_filtered_search")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

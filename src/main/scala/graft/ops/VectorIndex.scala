@@ -33,12 +33,18 @@ import graft.functions.Vectors
   */
 object VectorIndex {
 
-  /** Index `corpus` (id, vec) into `dir`. One assignment pass + one
-    * fused PqCodes pass; the corpus shuffles once, by cell. */
+  /** Index `corpus` (id, vec [, metaCols…]) into `dir`. One
+    * assignment pass + one fused PqCodes pass; the corpus shuffles
+    * once, by cell. `metaCols` ride along in the cell files so
+    * [[search]] predicates push into the probed-cell scan (filtered
+    * vector search: partition pruning by cell AND parquet pushdown by
+    * metadata, the two-level pruning a metadata-scoped retrieval
+    * needs). */
   def build(corpus: DataFrame, dir: String,
-      nlist: Int = 16, m: Int = 16, ksub: Int = 32): Unit = {
+      nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    val e = corpus.select(col("id"), col("vec"))
+    val e = corpus.select(col("id") +: col("vec") +: metaCols.map(col): _*)
       .filter(Vectors.norm(col("vec")) > 0.0)
     val cents = Similarity.learnCentroids(e, nlist)
     val cb = Similarity.pqTrain(e, m, ksub)
@@ -64,9 +70,9 @@ object VectorIndex {
       .withColumn("sim", Vectors.cosine(col("vec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cid"), col("id"),
-        graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes"),
-        col("vec"))
+      .select(col("cid") +: col("id") +:
+        graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes") +:
+        col("vec") +: metaCols.map(col): _*)
       // co-locate each cell before the partitioned write: one shuffle
       // by cell id → one file per cell dir instead of one per task per
       // cell (task-count × nlist tiny files would dominate both the
@@ -76,9 +82,20 @@ object VectorIndex {
   }
 
   /** Top-k search over a built index. Output contract and determinism
-    * identical to [[Similarity.ivfPqTopK]]. */
+    * identical to [[Similarity.ivfPqTopK]].
+    *
+    * `where` scopes the search to metadata-matching vectors (filtered
+    * vector search): the predicate lands in the probed-cell scan as a
+    * parquet PushedFilter, so non-matching rows die at the reader —
+    * BEFORE any ADC scoring — and the shortlist is drawn entirely
+    * from matching candidates (post-filtering a plain top-k would
+    * return fewer than k survivors). Selective predicates thin each
+    * probed cell rather than emptying the candidate pool; raise
+    * `nprobe` when the filter is very selective — the standard
+    * filtered-ANN recall lever. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+      k: Int, nprobe: Int = 4, shortlist: Int = 50,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
     // quantizer sidecars are driver-bounded by construction
     val cbRows = spark.read.parquet(s"$dir/codebook")
@@ -105,8 +122,9 @@ object VectorIndex {
     // probed directories
     val probed: Array[Long] = qprobe.select(col("cid"))
       .distinct().collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$dir/cells")
+    val pruned = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val cells = where.fold(pruned)(pruned.filter)
 
     val adc = (0 until m).map(s =>
       element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))

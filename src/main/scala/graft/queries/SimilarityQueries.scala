@@ -101,6 +101,27 @@ object SimilarityQueries {
         .orderBy($"vec_id")
     },
 
+    // ---- filtered vector search over the persisted index ----
+    // metadata-scoped retrieval (the classic hard ANN case): the
+    // label predicate lands in the probed-cell parquet scan as a
+    // PushedFilter — two-level pruning (partition by cell, row-group
+    // by metadata) — and the shortlist draws from matching vectors
+    // only, so k survivors are guaranteed where post-filtering a
+    // plain top-k would starve. nprobe raised 4 → 10: the standard
+    // recall lever under selective filters (measured 0.6 at nprobe=6
+    // on sf0.001 — the filter thins every cell, so true neighbors
+    // spill into more cells). (quantizer-defined → rows-only; recall
+    // vs filtered brute force gated in VectorSpec)
+    "s15_filtered_search" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val dir = s"target/vindexf_${math.abs(d.hashCode.toLong)}"
+      VectorIndex.build(corpusDf(s, d), dir, metaCols = Seq("label"))
+      VectorIndex.search(s, dir, queriesDf(s, d), K, nprobe = 10,
+          where = Some($"label" === 1))
+        .orderBy($"qid", $"rank")
+    },
+
     // ---- sign-LSH ANN (hash-defined; rows-only) ----
     "s03_ann_lsh" -> { (s, d) =>
       import s.implicits._

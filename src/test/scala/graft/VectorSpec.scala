@@ -140,6 +140,52 @@ class VectorSpec extends AnyFunSuite {
       s"cells scan not partition-pruned:\n${cellScans.mkString("\n")}")
   }
 
+  test("filtered vector search: the predicate pushes into the probed-cell " +
+      "scan and recall vs filtered brute force holds") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vindexf")
+      .toString
+    VectorIndex.build(corpus, dir, metaCols = Seq("label"))
+    val df = VectorIndex.search(spark, dir, qs, 10, nprobe = 10,
+      where = Some($"label" === 1))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // every hit satisfies the predicate
+    val labelOf = corpus.select($"id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (_, id) => labelOf(id) == 1 },
+      "filtered search returned a non-matching vector")
+    // k survivors per query (the filter thins cells, never starves the
+    // shortlist at this selectivity)
+    assert(got.groupBy(_._1).forall(_._2.length == 10), "fewer than k hits")
+
+    val exact = graft.ops.Similarity.bruteForceTopK(qs,
+        corpus.filter($"label" === 1).select($"id", $"vec"), 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got.toSet).size.toDouble / exact.size
+    info(s"filtered recall@10 = $recall (label=1, nlist=16 nprobe=10)")
+    assert(recall >= 0.7)
+
+    // the predicate is IN THE SCAN: probed-cell read carries a label
+    // PushedFilter (row-group pruning), on top of the cid partition
+    // pruning the unfiltered test pins
+    val p = df.queryExecution.executedPlan.toString
+    val cellScans = p.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("/cells"))
+      .toSeq
+    assert(cellScans.nonEmpty, s"no cells scan found:\n$p")
+    assert(cellScans.exists(l => l.contains("PushedFilters: [") &&
+      l.replaceAll(".*PushedFilters: \\[([^\\]]*)\\].*", "$1").contains("label")),
+      s"label predicate not pushed into the cells scan:\n${cellScans.mkString("\n")}")
+  }
+
   test("PQ kernels: codegen path equals a hand-rolled reference; " +
       "length mismatch yields null") {
     import spark.implicits._

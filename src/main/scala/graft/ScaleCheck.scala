@@ -66,7 +66,10 @@ object ScaleCheck {
     // round-8 additions: entropy kernel, IVF+PQ, streaming near-dup,
     // persisted index build+serve
     "t19_token_entropy", "s13_ivf_pq", "d18_stream_near_dup",
-    "s14_vector_index", "s15_filtered_search")
+    "s14_vector_index", "s15_filtered_search",
+    // round-8 third wave: redaction pass, persisted near-dup index,
+    // incremental vector-index append
+    "t20_redact", "d19_index_dedup", "s16_index_append")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

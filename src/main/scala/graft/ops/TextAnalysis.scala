@@ -87,6 +87,42 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** One redaction rule: every match of `pattern` is replaced by the
+    * literal marker `<TAG>`. */
+  final case class RedactRule(tag: String, pattern: String) {
+    def marker: String = s"<$tag>"
+  }
+
+  /** The standard PII scrub set (emails, NANP-style phone numbers,
+    * IPv4 literals, long digit runs) — the redaction pass a corpus
+    * takes before any text is retained for training. Patterns stay in
+    * the RE2-compatible subset (char classes, `\b`, bounded repeats)
+    * so the same strings run under both the JVM regex engine and
+    * RE2-family engines (the DuckDB oracle). */
+  val PiiRules: Seq[RedactRule] = Seq(
+    RedactRule("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    RedactRule("PHONE", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"),
+    RedactRule("IP", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    RedactRule("NUM", "\\b\\d{6,}\\b"))
+
+  /** Text after applying `rules` IN ORDER (rule i sees the output of
+    * rules 1..i-1 — order is part of the contract: a NUM rule after a
+    * PHONE rule cannot re-match digits the PHONE rule already
+    * consumed). Pure nested `regexp_replace` — codegen'd, shuffle-free,
+    * linear in the corpus like every other per-row transform here. */
+  def redacted(text: Column, rules: Seq[RedactRule]): Column =
+    rules.foldLeft(text)((t, r) => regexp_replace(t, r.pattern, r.marker))
+
+  /** Per-rule match counts under the same sequential contract as
+    * [[redacted]]: count i is taken on the text AFTER rules 1..i-1
+    * applied, so counts and replacements always agree. Returned in
+    * rule order. */
+  def redactCounts(text: Column, rules: Seq[RedactRule]): Seq[Column] =
+    rules.indices.map { i =>
+      regexp_count(redacted(text, rules.take(i)), lit(rules(i).pattern))
+        .cast("long")
+    }
+
   /** Adjacent-token bigrams (array column). */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)

@@ -63,6 +63,18 @@ object VectorIndex {
         col("cvec").cast("array<float>").as("cvec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
 
+    writeCells(e, dir, cb, metaCols, "overwrite")
+  }
+
+  /** Assign each row to its cell under `dir`'s FROZEN quantizers and
+    * write the `(cid, id, codes, vec, meta…)` cell files. Shared by
+    * [[build]] (overwrite, right after training), [[append]]
+    * (append-only increment) and [[reindex]] (full rewrite without
+    * retraining). */
+  private def writeCells(e: DataFrame, dir: String,
+      cb: IndexedSeq[IndexedSeq[Seq[Float]]],
+      metaCols: Seq[String], mode: String): Unit = {
+    val spark = e.sparkSession
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("cid"))
@@ -78,8 +90,59 @@ object VectorIndex {
       // cell (task-count × nlist tiny files would dominate both the
       // write and every probed read)
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+      .write.mode(mode).partitionBy("cid").parquet(s"$dir/cells")
   }
+
+  /** Read the codebook sidecar back as the driver-side structure the
+    * code/LUT kernels take (driver-bounded: m×ksub rows). */
+  private def loadCodebook(spark: SparkSession,
+      dir: String): IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    val cbRows = spark.read.parquet(s"$dir/codebook")
+      .orderBy(col("subspace"), col("code")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    (0 until m).map(s => (0 until ksub).map(c =>
+      cbRows(s * ksub + c).getSeq[Float](2)))
+  }
+
+  /** Fold new vectors into an existing index WITHOUT retraining: the
+    * quantizer sidecars are frozen (never rewritten), the increment is
+    * assigned against them and appended into the cell partitions. This
+    * is the staleness answer for a live corpus — ingest appends cells
+    * at batch cost (one pass over the INCREMENT only); the contract,
+    * spec-gated, is that an appended index serves results identical to
+    * re-assigning the union under the same quantizers. What append
+    * cannot do is adapt the quantizers themselves: a corpus whose
+    * distribution drifts far from the trained centroids degrades cell
+    * balance — watch [[stats]] and [[build]] fresh when it skews. */
+  def append(newRows: DataFrame, dir: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    val spark = newRows.sparkSession
+    val e = newRows.select(col("id") +: col("vec") +: metaCols.map(col): _*)
+      .filter(Vectors.norm(col("vec")) > 0.0)
+    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "append")
+  }
+
+  /** Rewrite the cell files for `corpus` under `dir`'s existing
+    * quantizers — compaction after many appends (or a full re-shard)
+    * without the training cost, and the independent construction the
+    * append spec compares against. */
+  def reindex(corpus: DataFrame, dir: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    val e = corpus.select(col("id") +: col("vec") +: metaCols.map(col): _*)
+      .filter(Vectors.norm(col("vec")) > 0.0)
+    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "overwrite")
+  }
+
+  /** Cell-balance report (cid, n_vectors) — the reindex/rebuild
+    * trigger: appends under frozen quantizers skew cell sizes as the
+    * corpus drifts; a hot cell means probes re-scan ever-larger files.
+    * Metadata-cheap: reads cell-partition row counts only. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/cells")
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cid"))
 
   /** Top-k search over a built index. Output contract and determinism
     * identical to [[Similarity.ivfPqTopK]].
@@ -98,13 +161,9 @@ object VectorIndex {
       where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
     // quantizer sidecars are driver-bounded by construction
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .orderBy(col("subspace"), col("code")).collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ksub = cbRows.map(_.getInt(1)).max + 1
-    val cb: IndexedSeq[IndexedSeq[Seq[Float]]] =
-      (0 until m).map(s => (0 until ksub).map(c =>
-        cbRows(s * ksub + c).getSeq[Float](2)))
+    val cb = loadCodebook(spark, dir)
+    val m = cb.length
+    val ksub = cb.head.length
 
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))

@@ -107,6 +107,28 @@ object DedupQueries {
         .orderBy($"a", $"b")
     },
 
+    // ---- PERSISTED near-dup index + incremental batch lookup ----
+    // the third execution discipline for the same near-dup semantics
+    // (batch d02 re-derives, streaming d18 keeps resident state): the
+    // LSH index persisted as two relations — (id, sh) member sets and
+    // (id, band, bucket) buckets — built once from the corpus split,
+    // then a NEW batch probes it. At 100 TB the point is what the
+    // lookup does NOT do: the indexed corpus is never re-shingled and
+    // never shuffled (batch buckets broadcast; stored member sets
+    // stream through broadcast joins for verification). Gate: index
+    // docs with doc_id%5!=0, look up the %5==0 batch; exact-Jaccard-
+    // verified cross pairs against the DuckDB brute-force oracle.
+    "d19_index_dedup" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val dir = s"target/nd_index_${math.abs(d.hashCode.toLong)}"
+      Dedup.buildNearDupIndex(docs.filter($"doc_id" % 5 =!= 0),
+        "doc_id", "text", dir)
+      Dedup.nearDupLookup(docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text", dir, threshold = 0.8)
+        .orderBy($"oid", $"nid")
+    },
+
     // ---- SimHash near-dup pairs (hash-defined; rows-only check) ----
     "d03_simhash_pairs" -> { (s, d) =>
       import s.implicits._
@@ -408,6 +430,20 @@ object DedupQueries {
     // the streaming detector must converge to the SAME pair set as
     // batch d02 — one oracle, two execution disciplines
     "d18_stream_near_dup" -> bruteForcePairsSql,
+
+    // ...and the persisted-index lookup is the third: the same exact
+    // brute force, restricted to (indexed, new-batch) cross pairs
+    "d19_index_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents
+         |           WHERE len(string_split(text,' ')) >= 3)
+         |SELECT a.doc_id AS oid, b.doc_id AS nid,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         |FROM d a JOIN d b
+         |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |ORDER BY oid, nid""".stripMargin,
 
     "d04_blocked_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $shingleSql AS sh

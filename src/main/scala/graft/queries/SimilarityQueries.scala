@@ -122,6 +122,25 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- incremental index maintenance: append under frozen
+    //      quantizers, then serve (quantizer-defined; rows-only —
+    //      VectorSpec gates append+serve ≡ reindex+serve exactly) ----
+    // the staleness answer for a live corpus: 90% of the vectors are
+    // indexed at "maintenance time", the remaining 10% arrive as an
+    // ingest increment folded in at batch cost — one assignment pass
+    // over the INCREMENT only, quantizer sidecars untouched. The serve
+    // path is byte-identical to s14's.
+    "s16_index_append" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val dir = s"target/vindexa_${math.abs(d.hashCode.toLong)}"
+      val corpus = corpusDf(s, d).select($"id", $"vec")
+      VectorIndex.build(corpus.filter($"id" % 10 =!= 0), dir)
+      VectorIndex.append(corpus.filter($"id" % 10 === 0), dir)
+      VectorIndex.search(s, dir, queriesDf(s, d), K)
+        .orderBy($"qid", $"rank")
+    },
+
     // ---- sign-LSH ANN (hash-defined; rows-only) ----
     "s03_ann_lsh" -> { (s, d) =>
       import s.implicits._

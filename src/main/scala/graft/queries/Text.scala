@@ -15,6 +15,16 @@ import graft.util.Tables.load
   */
 object Text {
 
+  /** t20's gate rule set: two PII shapes plus a term rule that hits
+    * this corpus (word-salad text has no digits or '@', so a pure PII
+    * gate would compare an identity map — the vacuous-gate trap p01
+    * fell into; the TERM rule keeps real replacements in the gate
+    * while TextOpsSpec proves the PII shapes on crafted fixtures). */
+  private val RedactGateRules: Seq[TextAnalysis.RedactRule] = Seq(
+    TextAnalysis.PiiRules(0),                                 // EMAIL
+    TextAnalysis.PiiRules(2),                                 // IP
+    TextAnalysis.RedactRule("TERM", "\\b(customer|vector)\\b"))
+
   private val markersSql: Map[String, String] =
     TextAnalysis.LangMarkers.toMap.map { case (l, ws) =>
       l -> ws.map(w => s"'$w'").mkString(", ")
@@ -399,6 +409,28 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- span redaction with per-category counts (PII-scrub shape) ----
+    // the pass a corpus takes before text retention: category rules
+    // applied in order, each producing a redacted span marker plus a
+    // per-doc count. The gate mixes PII shapes (email, IPv4 — zero
+    // hits on this corpus, proven live on crafted fixtures in
+    // TextOpsSpec) with term rules that DO hit, so the gate compares
+    // real replacements, not an identity map. Scan → project → sort:
+    // no shuffle before the output ordering, linear at any corpus
+    // size.
+    "t20_redact" -> { (s, d) =>
+      import s.implicits._
+      val rules = RedactGateRules
+      val counts = TextAnalysis.redactCounts($"text", rules)
+      load(s, d, "documents")
+        .select($"doc_id",
+          counts(0).as("n_email"),
+          counts(1).as("n_ip"),
+          counts(2).as("n_term"),
+          TextAnalysis.redacted($"text", rules).as("text_red"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -423,6 +455,31 @@ object Text {
     s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
 
   val oracle: Map[String, String] = Map(
+    "t20_redact" -> {
+      // the same sequential contract as the engine: rule i counts and
+      // replaces on the text after rules 1..i-1 applied
+      val (e, i, t) = (RedactGateRules(0), RedactGateRules(1), RedactGateRules(2))
+      s"""WITH s1 AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '${e.pattern}')) AS n_email,
+         |    regexp_replace(text, '${e.pattern}', '${e.marker}', 'g') AS t1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_email,
+         |    len(regexp_extract_all(t1, '${i.pattern}')) AS n_ip,
+         |    regexp_replace(t1, '${i.pattern}', '${i.marker}', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT doc_id, n_email, n_ip,
+         |    len(regexp_extract_all(t2, '${t.pattern}')) AS n_term,
+         |    regexp_replace(t2, '${t.pattern}', '${t.marker}', 'g') AS text_red
+         |  FROM s2)
+         |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+         |  CAST(n_ip AS BIGINT) AS n_ip, CAST(n_term AS BIGINT) AS n_term,
+         |  text_red
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+
     "t19_token_entropy" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS w

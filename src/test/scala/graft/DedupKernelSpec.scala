@@ -158,6 +158,55 @@ class DedupKernelSpec extends AnyFunSuite {
       assert(e.getMessage.contains(hint), s"message lacks '$hint'")
   }
 
+  test("persisted near-dup index: lookup equals the cross-restricted " +
+      "batch pair set, and appended batches become findable") {
+    import spark.implicits._
+    // a corpus with known cross near-dups: (1,2) and (10,11) are
+    // near-identical; 3 and 12 are unrelated; 20 is a near-dup of 1
+    // arriving in a LATER batch
+    val t1 = "a b c d e f g h i j k l"
+    val t2 = "a b c d e f g h i j k m"      // ~0.8 jaccard vs t1
+    val t3 = "z y x w v u t s r q p o"
+    val old = Seq((1L, t1), (3L, t3), (10L, "m n o p q r s t u v"),
+      (5L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val batch1 = Seq((2L, t2), (11L, "m n o p q r s t u w"),
+      (12L, "unrelated batch content with fresh tokens only")).toDF("doc_id", "text")
+    val batch2 = Seq((20L, t1)).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("ndidx").toString
+    Dedup.buildNearDupIndex(old, "doc_id", "text", dir)
+
+    // reference: batch minhashPairs over the union, restricted to
+    // (old, new) cross pairs — the three disciplines must agree
+    def crossRef(newDf: org.apache.spark.sql.DataFrame,
+        indexed: org.apache.spark.sql.DataFrame) = {
+      val newIds = newDf.select($"doc_id".cast("long")).as[Long].collect().toSet
+      Dedup.minhashPairs(indexed.union(newDf), "doc_id", "text", 0.7)
+        .as[(Long, Long, Double)].collect()
+        .flatMap { case (a, b, j) =>
+          // orient (indexed, new); minhashPairs emits a < b
+          if (newIds(b) && !newIds(a)) Some((a, b, j))
+          else if (newIds(a) && !newIds(b)) Some((b, a, j))
+          else None
+        }.toSet
+    }
+
+    val got1 = Dedup.nearDupLookup(batch1, "doc_id", "text", dir, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got1 == crossRef(batch1, old))
+    assert(got1.map(p => (p._1, p._2)) == Set((1L, 2L), (10L, 11L)))
+
+    // fold batch1 in; batch2's doc 20 must now pair with BOTH 1 (old)
+    // and 2 (appended) — the appended increment is a first-class index
+    // member
+    Dedup.appendToNearDupIndex(batch1, "doc_id", "text", dir)
+    val got2 = Dedup.nearDupLookup(batch2, "doc_id", "text", dir, 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got2 == crossRef(batch2, old.union(batch1)))
+    assert(got2.map(p => (p._1, p._2)) == Set((1L, 20L), (2L, 20L)))
+  }
+
   test("connectedComponents leaves no cached plans behind") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))

@@ -144,6 +144,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tokenentropy projection not inside a codegen stage:\n$p")
   }
 
+  test("t20: redaction is one scanned pass — nested regexp stays in " +
+      "codegen, no join, no aggregate") {
+    val df = SparkEntry.queries("t20_redact")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // per-row transform only: one parquet scan; the sole exchange is
+    // the output orderBy's range partitioning
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    val redLine = p.linesIterator.find(_.contains("regexp_replace"))
+    assert(redLine.exists(_.contains("*(")),
+      s"redaction projection not inside a codegen stage:\n$p")
+  }
+
+  test("d19: index lookup never shuffles the indexed relations — " +
+      "batch buckets and candidates broadcast, no sort-merge join") {
+    val df = SparkEntry.queries("d19_index_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the 100 TB story: members/ and buckets/ stream through
+    // broadcast-hash joins driven by the (small) batch side; a
+    // SortMergeJoin would mean the stored index got shuffled per batch
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s13: IVF+PQ probes are an equi-join on the cell id — codes " +
       "relation never cartesians, corpus never sort-merge shuffles") {
     val df = SparkEntry.queries("s13_ivf_pq")(spark, sf)

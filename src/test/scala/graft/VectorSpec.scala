@@ -140,6 +140,58 @@ class VectorSpec extends AnyFunSuite {
       s"cells scan not partition-pruned:\n${cellScans.mkString("\n")}")
   }
 
+  test("index append under frozen quantizers: append+serve equals " +
+      "reindex+serve, sidecars never move, stats sees the increment") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val baseCorpus = corpus.filter($"id" % 10 =!= 0)
+    val increment = corpus.filter($"id" % 10 === 0)
+    def tmp() = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vappend")
+      .toString
+
+    // dirA: build on the base, then APPEND the increment
+    val dirA = tmp()
+    VectorIndex.build(baseCorpus, dirA)
+    val baseCells = VectorIndex.stats(spark, dirA)
+      .agg(sum($"n_vectors")).as[Long].head()
+    val sidecarsBefore = Seq("centroids", "codebook").map { s =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dirA, s))
+        .toArray.map(_.toString).sorted.toSeq
+    }
+    VectorIndex.append(increment, dirA)
+    // quantizer sidecars are FROZEN: append must not rewrite them
+    val sidecarsAfter = Seq("centroids", "codebook").map { s =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dirA, s))
+        .toArray.map(_.toString).sorted.toSeq
+    }
+    assert(sidecarsBefore == sidecarsAfter, "append rewrote a quantizer sidecar")
+
+    // dirB: same training data (so identical quantizers via the same
+    // deterministic trainer), cells REWRITTEN for the union in one pass
+    val dirB = tmp()
+    VectorIndex.build(baseCorpus, dirB)
+    VectorIndex.reindex(baseCorpus.union(increment), dirB)
+
+    val servedA = VectorIndex.search(spark, dirA, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    val servedB = VectorIndex.search(spark, dirB, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(servedA == servedB,
+      "appended index diverges from reindex under the same quantizers")
+
+    // the increment is visible in the balance report
+    val total = VectorIndex.stats(spark, dirA)
+      .agg(sum($"n_vectors")).as[Long].head()
+    val incN = increment.count()
+    assert(total == baseCells + incN,
+      s"stats: expected $baseCells+$incN vectors, saw $total")
+  }
+
   test("filtered vector search: the predicate pushes into the probed-cell " +
       "scan and recall vs filtered brute force holds") {
     import spark.implicits._

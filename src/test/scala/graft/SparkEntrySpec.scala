@@ -38,7 +38,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d03_simhash_pairs", "s03_ann_lsh",
       "s04_ann_ivf", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
-      "s15_filtered_search", "m03_fake_features", "q30_approx_sketches",
-      "d16_semantic_dedup_scaled"), rowsOnly)
+      "s15_filtered_search", "s16_index_append", "m03_fake_features",
+      "q30_approx_sketches", "d16_semantic_dedup_scaled"), rowsOnly)
   }
 }

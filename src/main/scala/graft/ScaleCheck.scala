@@ -69,7 +69,8 @@ object ScaleCheck {
     "s14_vector_index", "s15_filtered_search",
     // round-8 third wave: redaction pass, persisted near-dup index,
     // incremental vector-index append
-    "t20_redact", "d19_index_dedup", "s16_index_append")
+    "t20_redact", "d19_index_dedup", "s16_index_append",
+    "p03_dataset_card")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -164,6 +164,47 @@ object Pipeline {
         .orderBy($"pred_lang", $"len_bucket")
     },
 
+    // ---- the dataset card: the per-stratum summary a training-data
+    // build publishes with the corpus (datasheets-for-datasets shape).
+    // Composes the measurement ops the individual queries gate —
+    // token stats, exact-dup rate via fingerprint, quality score,
+    // language-ID agreement, exact median tokens — into ONE report.
+    // Execution: per-row expressions on the scan, one hash aggregate
+    // by (lang, source) + Quantiles.quantileCont's single sorted
+    // shuffle for the median; the stratum count is small by nature so
+    // the final join broadcasts. Linear at any corpus size.
+    "p03_dataset_card" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Quantiles
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          tokenCount($"text").as("n_tok"),
+          fingerprint($"text").as("fp"),
+          qualityScore($"text").as("q"),
+          (langId($"text") === $"lang").as("lid_ok"))
+      val agg = docs.groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"),
+          sum($"n_chars").cast("long").as("total_chars"),
+          (count(lit(1)) - count_distinct($"fp")).as("n_exact_dups"),
+          sum($"q".cast("decimal(18,9)")).cast("double").as("qsum"),
+          count(when($"lid_ok", 1)).as("n_lid_ok"))
+      val med = Quantiles.quantileCont(
+          docs.withColumn("stratum", concat_ws("|", $"lang", $"source")),
+          "stratum", Seq(("median_tokens", "n_tok", 0.5)))
+        .select(split($"stratum", "\\|")(0).as("lang"),
+          split($"stratum", "\\|")(1).as("source"),
+          $"median_tokens")
+      agg.join(broadcast(med), Seq("lang", "source"))
+        .select($"lang", $"source", $"n_docs", $"n_tokens",
+          $"total_chars", $"n_exact_dups",
+          round($"qsum" / $"n_docs", 4).as("avg_quality"),
+          round($"n_lid_ok".cast("double") / $"n_docs", 6)
+            .as("lid_match_rate"),
+          round($"median_tokens", 1).as("median_tokens"))
+        .orderBy($"lang", $"source")
+    },
+
     // pre-packing gate: per-(lang, source) survivors of stages 1–4 —
     // a multi-row oracle entry that stays non-empty at every SF and
     // pins the filter/dedup/decontam/sample composition even when the
@@ -226,6 +267,46 @@ object Pipeline {
        |       ELSE 2 END))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "p03_dataset_card" -> {
+      def hits(listSql: String) =
+        s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
+      val byLang = TextAnalysis.LangMarkers.toMap
+        .map { case (l, ws) => l -> ws.map(w => s"'$w'").mkString(", ") }
+      val avgLen = "CAST(length(text) - (len(string_split(text,' ')) - 1) " +
+        "AS DOUBLE) / len(string_split(text,' '))"
+      s"""WITH h AS (
+         |  SELECT lang, source, n_chars,
+         |    len(string_split(text,' ')) AS n_tok,
+         |    ${hits(byLang("en"))} AS h_en, ${hits(byLang("es"))} AS h_es,
+         |    ${hits(byLang("fr"))} AS h_fr, ${hits(byLang("de"))} AS h_de,
+         |    CAST(${hits(markersSql)} AS DOUBLE)
+         |      / len(string_split(text,' ')) * 0.3 +
+         |    CASE WHEN $avgLen >= 3.0 AND $avgLen <= 10.0
+         |      THEN 0.7 ELSE 0.2 END AS q,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |f AS (
+         |  SELECT lang, source, n_chars, n_tok, q, fp,
+         |    (CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0
+         |            THEN 'unknown'
+         |          WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de
+         |            THEN 'en'
+         |          WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+         |          WHEN h_fr >= h_de THEN 'fr'
+         |          ELSE 'de' END) = lang AS lid_ok
+         |  FROM h)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+         |  round(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_quality,
+         |  round(CAST(COUNT(CASE WHEN lid_ok THEN 1 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS lid_match_rate,
+         |  round(quantile_cont(n_tok, 0.5), 1) AS median_tokens
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "p01_train_pipeline" ->
       s"""$sampledCtes,
          |packed AS (

@@ -174,6 +174,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p03: dataset card joins the median leg by broadcast — no " +
+      "sort-merge join, aggregates partial") {
+    val df = SparkEntry.queries("p03_dataset_card")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the stratum count is small by nature: the median relation must
+    // broadcast, never shuffle the aggregate output by key
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the main rollup combines map-side before its exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("s13: IVF+PQ probes are an equi-join on the cell id — codes " +
       "relation never cartesians, corpus never sort-merge shuffles") {
     val df = SparkEntry.queries("s13_ivf_pq")(spark, sf)

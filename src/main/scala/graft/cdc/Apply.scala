@@ -85,4 +85,44 @@ object Apply {
   def liveView(state: DataFrame): DataFrame =
     state.filter(!coalesce(col("_is_deleted"), lit(false)))
       .drop(MetaCols: _*)
+
+  /** Type-2 slowly-changing-dimension history from a change relation —
+    * the OTHER standard CDC consumer shape next to [[merge]]'s
+    * current-state table: instead of last-writer-wins, every change
+    * opens a VERSION row stamped `valid_from`, closed (`valid_to`) by
+    * the next change on the same PK; a DELETE closes the open version
+    * without opening one, so a PK whose last change is a DELETE has no
+    * `is_current` row.
+    *
+    * Input shape is [[Decode]]'s: `(row struct, op, sort_key struct)`.
+    * Ordering is entirely sort_key-defined (the same discipline as
+    * [[collapse]]: at a full sort-key tie DELETE orders last and wins
+    * the close), so delivery order is irrelevant and at-least-once
+    * replays are idempotent — exact duplicate changes are dropped on
+    * (pk, sort_key, op) before versioning.
+    *
+    * Scale: ONE shuffle on the PK; both window passes (the closing
+    * `lead` and the version `row_number`) share the same partitioning
+    * AND ordering, so Catalyst plans them over a single sort. Linear
+    * in the change volume, memory bounded by the sort buffers.
+    */
+  def scd2(changes: DataFrame, pkCols: Seq[String],
+      attrCols: Seq[String]): DataFrame = {
+    val flat = changes.select(
+      pkCols.map(c => pkCol(c).as(c)) ++
+        attrCols.map(c => col(s"row.$c").as(c)) ++
+        Seq(col("op"), col("sort_key")): _*)
+      .dropDuplicates(pkCols ++ Seq("sort_key", "op"))
+    val ord = Seq(col("sort_key").asc,
+      when(col("op") === "DELETE", 1).otherwise(0).asc)
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(ord: _*)
+    flat
+      .withColumn("valid_to", lead(col("sort_key.ts_ms"), 1).over(w))
+      .filter(col("op") =!= "DELETE")
+      .withColumn("version", row_number().over(w))
+      .select(pkCols.map(col) ++ Seq(col("version")) ++
+        attrCols.map(col) ++
+        Seq(col("sort_key.ts_ms").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")): _*)
+  }
 }

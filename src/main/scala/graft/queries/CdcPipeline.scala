@@ -418,6 +418,26 @@ object CdcPipeline {
         .orderBy($"user_id")
     },
 
+    // ---- Type-2 SCD history: the versioned-dimension consumer ----
+    // merge (c06) answers "what is the row NOW"; scd2 answers "what
+    // was it WHEN" — every change opens a version row closed by the
+    // next change, DELETE retires the open version. Gate: purchase
+    // events as the per-user change stream (the c05 convention), with
+    // low-value purchases acting as the retiring deletes so the
+    // DELETE-closes-without-opening path is exercised against the
+    // oracle. One PK shuffle, both window passes over a single sort.
+    "c20_scd2_history" -> { (s, d) =>
+      import s.implicits._
+      val ch = graft.util.Tables.loadEvents(s, d)
+        .filter($"event_type" === "purchase" && $"user_id" % 10 === 0)
+        .select(struct($"user_id", $"value").as("row"),
+          when($"value" < 10, "DELETE").otherwise("UPDATE").as("op"),
+          struct($"ts_us".as("ts_ms"), $"event_id".as("scn"),
+            lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+      Apply.scd2(ch, Seq("user_id"), Seq("value"))
+        .orderBy($"user_id", $"version")
+    },
+
     "c06_merge_soft_delete" -> { (s, d) =>
       import s.implicits._
       // state v0: every customer, sort_key 0
@@ -456,6 +476,27 @@ object CdcPipeline {
       "('LOGS', 'TABLE_OK', CAST(1 AS BIGINT)), " +
       "('MISSING', 'TABLE_NOT_FOUND', CAST(-1 AS BIGINT))" +
       ") AS t(table_name, code, n_cols) ORDER BY table_name, code"),
+
+    "c20_scd2_history" ->
+      """WITH ch AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN value < 10 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+        |    epoch_ns(ts)//1000 AS ts_us, event_id
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 10 = 0),
+        |o AS (
+        |  SELECT user_id, value, op, ts_us, event_id,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id,
+        |        CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS valid_to
+        |  FROM ch)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS INTEGER) AS version,
+        |  value, ts_us AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM o WHERE op <> 'DELETE'
+        |ORDER BY user_id, version""".stripMargin,
 
     "c05_event_collapse" ->
       """SELECT user_id, event_type, value, ts_us FROM (

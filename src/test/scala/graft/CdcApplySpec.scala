@@ -100,6 +100,66 @@ class CdcApplySpec extends AnyFunSuite {
     assert(table.state.get.count() == 109)
   }
 
+  test("scd2: versions are contiguous and non-overlapping, DELETE " +
+      "retires without opening, delivery order is irrelevant, and the " +
+      "current rows equal the merge state's live view") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // per-PK stories: pk 1 = update, update, delete (no current row);
+    // pk 2 = single update (one open version); pk 3 = update, delete,
+    // update (re-created after retirement); replay duplicate included
+    val raw = Seq(
+      (1L, 10.0, "UPDATE", 100L, 1L), (1L, 11.0, "UPDATE", 200L, 2L),
+      (1L, 11.0, "DELETE", 300L, 3L),
+      (2L, 20.0, "UPDATE", 150L, 4L),
+      (3L, 30.0, "UPDATE", 100L, 5L), (3L, 30.0, "DELETE", 250L, 6L),
+      (3L, 31.0, "UPDATE", 400L, 7L),
+      (3L, 31.0, "UPDATE", 400L, 7L) // at-least-once duplicate
+    )
+    def changes(rows: Seq[(Long, Double, String, Long, Long)]) =
+      rows.toDF("id", "v", "opc", "ts", "scn")
+        .select(struct($"id", $"v").as("row"), $"opc".as("op"),
+          struct($"ts".as("ts_ms"), $"scn".as("scn"),
+            lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+
+    val hist = Apply.scd2(changes(raw), Seq("id"), Seq("v"))
+      .orderBy($"id", $"version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+    assert(hist.toSeq == Seq(
+      (1L, 1, 10.0, 100L, Some(200L), false),
+      (1L, 2, 11.0, 200L, Some(300L), false), // closed by the DELETE
+      (2L, 1, 20.0, 150L, None, true),
+      (3L, 1, 30.0, 100L, Some(250L), false), // closed by the DELETE
+      (3L, 2, 31.0, 400L, None, true)))       // re-created afterwards
+    // structural invariants: per PK, versions count 1..n and
+    // valid_from of version k+1 equals some later-or-equal close
+    hist.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).toSeq == (1 to vs.length))
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._5.exists(_ <= b._4),
+          s"overlap between $a and $b")
+        case _ =>
+      }
+    }
+
+    // delivery order must not matter: reversed and interleaved inputs
+    // produce the identical history
+    val shuffled = Apply.scd2(changes(raw.reverse), Seq("id"), Seq("v"))
+      .orderBy($"id", $"version").collect().map(_.toSeq).toSeq
+    assert(shuffled == hist.map(t => Seq[Any](t._1, t._2, t._3, t._4,
+      t._5.map(_.asInstanceOf[AnyRef]).orNull, t._6)).toSeq)
+
+    // consistency with the current-state discipline: is_current rows
+    // == merge-then-liveView on the same changes
+    val current = hist.filter(_._6).map(t => (t._1, t._3)).toSet
+    val live = Apply.liveView(
+        Apply.merge(None, changes(raw), Seq("id"), 0L))
+      .select($"id", $"v").as[(Long, Double)].collect().toSet
+    assert(current == live)
+  }
+
   test("DDL log: CREATE_TABLE on first batch, ALTER_TABLE on drift") {
     import org.apache.spark.sql.functions._
     val t = freshTable()

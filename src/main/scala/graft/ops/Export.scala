@@ -44,4 +44,35 @@ object Export {
       lines.mkString("", "\n", "\n").getBytes)
     (stats.map(_._1).toSeq, stats.map(_._2).sum)
   }
+
+  /** Byte-budget shard assignment for VARIABLE-SIZE payloads — the
+    * WebDataset-style layout a multimodal corpus exports to, where
+    * shards must bound BYTES (loader memory / object-store part
+    * size), not row counts: within each stratum, items are taken in
+    * deterministic `orderCol` order and a shard closes when its byte
+    * budget would overflow — `shard_id = (cum − n_bytes) div budget`,
+    * the same prefix-sum discipline as sequence packing (p01) and
+    * token-budget sampling (d14), so an item's shard depends only on
+    * its predecessors and re-runs reproduce the layout exactly.
+    *
+    * An item larger than the whole budget still gets its own shard
+    * (cum jumps past a boundary) — oversize media must not be
+    * silently dropped; the loader sees one oversized shard.
+    *
+    * Scale: ONE shuffle on the stratum key; the cumulative sum is the
+    * inherently sequential part and runs per stratum in parallel
+    * (strata are the unit of parallelism — a corpus with one giant
+    * stratum should pre-split it, the d14 contract). */
+  def byteBudgetShards(df: DataFrame, orderCol: String,
+      bytesCol: org.apache.spark.sql.Column, budget: Long,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty,
+      "stratify the export: a global cumulative sum cannot parallelize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__bytes", bytesCol.cast("long"))
+      .withColumn("__cum", sum(col("__bytes")).over(w))
+      .withColumn("shard_id",
+        expr(s"(__cum - __bytes) div ${budget}L"))
+  }
 }

@@ -99,6 +99,29 @@ object MultimodalQueries {
         .orderBy($"fsha")
     },
 
+    // ---- byte-budget shard layout (WebDataset-style export) ----
+    // media shards must bound BYTES, not rows: per-source strata take
+    // payloads in doc_id order and close a shard when 4 KiB would
+    // overflow (Export.byteBudgetShards, the p01/d14 prefix-sum
+    // discipline on bytes). The gate rolls each shard up — item count,
+    // exact byte total, id range — so any assignment drift fails the
+    // hash. Payload bytes = UTF-8 text (ASCII corpus ⇒ DuckDB's char
+    // length mirrors the binary length exactly, the m01 convention).
+    "m07_media_shards" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Export
+      val media = load(s, d, "documents")
+        .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"))
+      Export.byteBudgetShards(media, "doc_id",
+          length($"payload"), budget = 4096L, strataCols = Seq("source"))
+        .groupBy($"source", $"shard_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"__bytes").cast("long").as("total_bytes"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"shard_id")
+    },
+
     // ---- batched (stub) feature extraction; rows-only check ----
     "m03_fake_features" -> { (s, d) =>
       import s.implicits._
@@ -119,6 +142,17 @@ object MultimodalQueries {
       "|| ' ' || string_split(text,' ')[i+2]))"
 
   val oracle: Map[String, String] = Map(
+    "m07_media_shards" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, length(text) AS n_bytes,
+        |    SUM(length(text)) OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT source, CAST((cum - n_bytes) // 4096 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "m06_crossmodal_check" ->
       s"""WITH d AS (SELECT doc_id, $pairShingleSql AS sh FROM documents),
          |prs AS (

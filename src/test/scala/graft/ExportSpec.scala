@@ -22,6 +22,43 @@ class ExportSpec extends AnyFunSuite {
   private def tmp() = Files.createTempDirectory(
     Paths.get("target"), "export").toString
 
+  test("byteBudgetShards: shards respect the budget unless a single " +
+      "item exceeds it, order is preserved, strata are independent") {
+    import spark.implicits._
+    // stratum A: sizes forcing a mid-shard close; stratum B: one
+    // oversize item that must land in its OWN shard, not vanish
+    val rows = Seq(
+      ("A", 1L, 300L), ("A", 2L, 300L), ("A", 3L, 500L), // 300+300 fit, 500 spills
+      ("A", 4L, 900L),                                   // shard of its own
+      ("B", 1L, 5000L),                                  // oversize > budget
+      ("B", 2L, 100L), ("B", 3L, 100L)
+    ).toDF("source", "doc_id", "n")
+    val out = Export.byteBudgetShards(rows, "doc_id", col("n"),
+        budget = 1000L, strataCols = Seq("source"))
+      .select($"source", $"doc_id", $"n", $"shard_id")
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 0L), // 1100 overflows only AFTER item 3 opened in shard 0
+      ("A", 4L, 1L),
+      ("B", 1L, 0L), ("B", 2L, 5L), ("B", 3L, 5L)))
+    // invariant: a shard's bytes exceed the budget only via its LAST
+    // item (the open-shard overflow) or a single oversize item
+    out.groupBy(t => (t._1, t._4)).foreach { case (_, items) =>
+      val sorted = items.sortBy(_._2)
+      val beforeLast = sorted.init.map(_._3).sum
+      assert(beforeLast <= 1000L,
+        s"closed items alone exceed the budget: ${sorted.mkString(",")}")
+    }
+    // determinism: identical re-run, shuffled input order
+    val again = Export.byteBudgetShards(
+        rows.orderBy(rand(seed = 7)), "doc_id", col("n"),
+        budget = 1000L, strataCols = Seq("source"))
+      .select($"source", $"doc_id", $"shard_id")
+      .as[(String, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(again.toSeq == out.map(t => (t._1, t._2, t._4)).toSeq)
+  }
+
   test("shards preserve rows, cover disjoint sorted ranges, manifest matches") {
     import spark.implicits._
     val df = graft.util.Tables.load(spark, "/root/testdata/sf0.01", "documents")

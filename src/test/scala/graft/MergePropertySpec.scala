@@ -74,4 +74,48 @@ class MergePropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("scd2 equals an independent in-memory reference on random " +
+      "change streams, regardless of delivery order (scalacheck)") {
+    val genEv = for {
+      pk <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(1L, 5L)
+      scn <- Gen.choose(1L, 3L)
+      op <- Gen.oneOf("UPDATE", "UPDATE", "DELETE") // updates dominate
+      v <- Gen.choose(0, 99).map(_.toDouble)
+    } yield Ev(pk, ts, scn, op, v)
+    // unique sort key per PK (scd2's dedup contract is on
+    // (pk, sort_key, op); colliding keys with different payloads are
+    // not a real stream)
+    val genEvents = Gen.listOfN(10, genEv).map(
+      _.groupBy(e => (e.pk, e.ts, e.scn)).values.map(_.head).toList)
+
+    def reference(events: Seq[Ev]): Seq[(Long, Int, Double,
+        Long, Option[Long], Boolean)] =
+      events.groupBy(_.pk).toSeq.flatMap { case (pk, evs) =>
+        val ordered = evs.distinct.sortBy(e =>
+          (e.ts, e.scn, if (e.op == "DELETE") 1 else 0))
+        val closes = ordered.map(_.ts).drop(1).map(Some(_)) :+ None
+        ordered.zip(closes).filter(_._1.op != "DELETE")
+          .zipWithIndex.map { case ((e, to), i) =>
+            (pk, i + 1, e.v, e.ts, to, to.isEmpty)
+          }
+      }.sortBy(t => (t._1, t._2))
+
+    val prop = Prop.forAll(genEvents) { events =>
+      import spark.implicits._
+      def run(evs: Seq[Ev]) =
+        Apply.scd2(toDf(evs), Seq("pk"), Seq("v"))
+          .orderBy($"pk", $"version").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+            r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+            r.getBoolean(5))).toSeq
+      events.isEmpty ||
+        (run(events) == reference(events) &&
+         run(scala.util.Random.shuffle(events)) == reference(events))
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

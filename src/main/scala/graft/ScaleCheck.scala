@@ -70,7 +70,8 @@ object ScaleCheck {
     // round-8 third wave: redaction pass, persisted near-dup index,
     // incremental vector-index append
     "t20_redact", "d19_index_dedup", "s16_index_append",
-    "p03_dataset_card", "c20_scd2_history", "m07_media_shards")
+    "p03_dataset_card", "c20_scd2_history", "m07_media_shards",
+    "q61_stream_session")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

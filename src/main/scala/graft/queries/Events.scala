@@ -230,6 +230,38 @@ object Events {
         .orderBy($"ws_us", $"event_type")
     },
 
+    // ---- STREAMING session windows: the gap-session complement of
+    //      q20 (tumbling) and q55 (sliding), closing the window-family
+    //      trio in streaming form. Spark's session_window merges
+    //      events whose [t, t+gap) windows overlap — i.e. a gap of
+    //      EXACTLY 30 min starts a new session (strict <), unlike
+    //      q18's batch rule (> gap); the oracle mirrors the streaming
+    //      semantics with `>=`. Complete mode so the final state holds
+    //      every session (append would hold back each user's last
+    //      session behind the watermark); session end = last event +
+    //      gap, the session_window contract. ----
+    "q61_stream_session" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("t", timestamp_micros(Tables.tsMicros(schema)))
+        .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .select($"user_id", unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"), $"n_events", $"total_value")
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q61_stream_session_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q61_stream_session_sink")
+        .orderBy($"user_id", $"start_us")
+    },
+
     // ---- gap filling: forward-fill a sparse metric per user ----
     // the time-series staple: only purchases carry the metric;
     // every event sees the most recent purchase value via
@@ -344,6 +376,28 @@ object Events {
     // alignment Spark's window() uses for a UTC session
     "q46_sliding_window" -> slidingSql,
     "q55_stream_sliding" -> slidingSql,
+
+    "q61_stream_session" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events),
+        |p AS (
+        |  SELECT *, lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |n AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM p),
+        |sids AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM n)
+        |SELECT user_id, MIN(ts_us) AS start_us,
+        |  MAX(ts_us) + 1800000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM sids GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q58_forward_fill" ->
       """WITH e AS (

@@ -318,6 +318,40 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // ---- watermark-BOUNDED streaming dedup: the production form of
+    //      q41. Plain dropDuplicates keeps every key forever — state
+    //      grows with distinct keys, exactly key-linear at 100× (the
+    //      StreamScale q41 row), which at a 100 TB fingerprint-keyed
+    //      ingest is unbounded memory. dropDuplicatesWithinWatermark
+    //      bounds state to the watermark horizon: keys older than the
+    //      delay evict, trading global uniqueness for "no duplicate
+    //      admitted within the horizon" — the contract real ingest
+    //      dedup runs under (StreamingOpsSpec shows the eviction:
+    //      state SHRINKS below total distinct keys across batches
+    //      while q41-style state grows monotonically). The GATE drains
+    //      the corpus in ONE AvailableNow batch, where every duplicate
+    //      is within the live horizon, so the output equals global
+    //      DISTINCT and the same oracle shape as q41 applies. ----
+    "q62_stream_dedup_wm" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stream = graft.ops.Dedup.streamingExactDedup(
+          s.readStream.schema(schema).parquet(s"$d/events.*")
+            .withColumn("t", timestamp_micros(Tables.tsMicros(schema))),
+          Seq("user_id", "event_type"), "t", "1 hour")
+        .select($"user_id", $"event_type")
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q62_stream_dedup_wm_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q62_stream_dedup_wm_sink")
+        .orderBy($"user_id", $"event_type")
+    },
+
     "q41_stream_dedup" -> { (s, d) =>
       import s.implicits._
       val schema = load(s, d, "events").schema
@@ -359,6 +393,12 @@ object Events {
     "q20_stream_hourly" -> hourlySql,
 
     "q41_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // single-batch drain ⇒ every duplicate is within the watermark
+    // horizon ⇒ the bounded-state dedup equals global DISTINCT
+    "q62_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
 

@@ -68,6 +68,51 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup EVICTS: state stays at the horizon " +
+      "while plain dropDuplicates grows with every distinct key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    // 3 batches, each 20 keys, batch times 0 / 60 / 120 min with a
+    // 10-minute delay: by batch 3 the watermark (110 min) has passed
+    // batches 1-2 entirely
+    def batch(b: Int): Seq[(Long, Timestamp)] =
+      (0 until 20).map(i => (b * 100L + i, ts(b * 60)))
+
+    val bounded = MemoryStream[(Long, Timestamp)]
+    val bq = graft.ops.Dedup.streamingExactDedup(
+        bounded.toDF().toDF("k", "t"), Seq("k"), "t", "10 minutes")
+      .writeStream.format("memory").queryName("evict_bounded")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val plain = MemoryStream[(Long, Timestamp)]
+    val pq = plain.toDF().toDF("k", "t").dropDuplicates("k")
+      .writeStream.format("memory").queryName("evict_plain")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      (0 until 3).foreach { b =>
+        bounded.addData(batch(b): _*); bq.processAllAvailable()
+        plain.addData(batch(b): _*); pq.processAllAvailable()
+      }
+      // one extra empty-advance batch so eviction for the final
+      // watermark is applied and reported
+      bounded.addData((9999L, ts(200))); bq.processAllAvailable()
+      plain.addData((9999L, ts(200))); pq.processAllAvailable()
+      val boundedRows = stateRows(bq)
+      val plainRows = stateRows(pq)
+      // 61 distinct keys total: the unbounded form retains all of
+      // them; the bounded form holds only keys the watermark hasn't
+      // passed (at most the final batch + probe)
+      assert(plainRows == 61L, s"plain state: $plainRows")
+      assert(boundedRows <= 21L,
+        s"bounded state did not evict: $boundedRows rows")
+      // and both sinks saw every key exactly once (disjoint keys)
+      assert(spark.table("evict_bounded").count() == 61L)
+      assert(spark.table("evict_plain").count() == 61L)
+    } finally { bq.stop(); pq.stop() }
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

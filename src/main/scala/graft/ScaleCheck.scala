@@ -71,7 +71,7 @@ object ScaleCheck {
     // incremental vector-index append
     "t20_redact", "d19_index_dedup", "s16_index_append",
     "p03_dataset_card", "c20_scd2_history", "m07_media_shards",
-    "q61_stream_session", "q62_stream_dedup_wm")
+    "q61_stream_session", "q62_stream_dedup_wm", "q63_stream_enrich")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

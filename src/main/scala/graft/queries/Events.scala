@@ -318,6 +318,36 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // ---- stream-STATIC enrichment join: the most common production
+    //      streaming pattern (q45 covers stream-stream). The dimension
+    //      is a batch relation joined per micro-batch — broadcast on
+    //      the small side, NO join state (unlike stream-stream, where
+    //      both sides buffer; spec-asserted on the state operators).
+    //      Note a parquet-backed static side snapshots its file index
+    //      at plan time — a LIVE dimension should come from a
+    //      change-tracked relation (CdcTable.live) instead. Aggregate
+    //      in complete mode over the enriched stream.
+    "q63_stream_enrich" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val dim = load(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+      val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q63_stream_enrich_sink")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q63_stream_enrich_sink")
+        .orderBy($"c_mktsegment", $"event_type")
+    },
+
     // ---- watermark-BOUNDED streaming dedup: the production form of
     //      q41. Plain dropDuplicates keeps every key forever — state
     //      grows with distinct keys, exactly key-linear at 100× (the
@@ -401,6 +431,12 @@ object Events {
     "q62_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q63_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q51_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -113,6 +113,33 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { bq.stop(); pq.stop() }
   }
 
+  test("stream-static join buffers NO join state — only the downstream " +
+      "aggregate holds rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "label")
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("k")
+      .join(broadcast(dim), "k")
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(1L, 1L, 2L); q.processAllAvailable()
+      input.addData(2L, 3L); q.processAllAvailable() // 3 has no dim row
+      val out = spark.table("enrich_sink").orderBy("label")
+        .as[(String, Long)].collect().toSeq
+      assert(out == Seq(("A", 2L), ("B", 2L)))
+      // exactly ONE state operator (the aggregate) and its rows equal
+      // the group count — a stream-stream join would add a join
+      // operator buffering both inputs
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1, s"expected only the aggregate's state: " +
+        ops.map(_.operatorName).mkString(","))
+      assert(ops.head.numRowsTotal == 2L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes by gap and by timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial-input sweep: the generated corpus is clean (no nulls,
+  * no empty strings, ASCII only, uniform vector lengths), so the
+  * oracle gates can never exercise the inputs a real 100 TB corpus is
+  * full of. This sweep feeds deliberately hostile documents and
+  * embeddings — null/empty/whitespace/single-token/huge/multi-byte
+  * text, null metadata, null/empty/zero/wrong-length vectors —
+  * through every documents/embeddings-family query and requires each
+  * to COMPLETE (no analysis error, no runtime exception, no hang-
+  * inducing skew). Output values are the oracles' business; survival
+  * is this spec's.
+  */
+class EdgeCaseSweepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "edge")
+      .toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val huge = Seq.tabulate(5000)(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      Row(0L, null, "en", "src0", 0L),                       // null text
+      Row(1L, "", "en", "src0", 0L),                         // empty
+      Row(2L, "   ", "en", "src0", 3L),                      // whitespace only
+      Row(3L, "solo", "en", "src0", 4L),                     // single token
+      Row(4L, "two tokens", null, null, 10L),                // null metadata
+      Row(5L, huge, "en", "src1", huge.length.toLong),       // huge doc
+      Row(6L, "héllo wörld 你好 世界 héllo wörld", "zh", "src1", 31L), // multi-byte
+      Row(7L, "the the the the the the the the", "en", "src1", 31L), // degenerate repeat
+      Row(8L, "a b c d e f g h i j k l", "en", "src2", 23L),
+      Row(9L, "a b c d e f g h i j k m", "en", "src2", 23L)  // near-dup of 8
+    )
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(docs).asJava), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def vec(f: Int => Float): Seq[Float] = Seq.tabulate(64)(f)
+    val embs = Seq(
+      Row(0L, null, 1),                                      // null vector
+      Row(1L, Seq.empty[Float], 1),                          // empty vector
+      Row(2L, vec(_ => 0f), 2),                              // zero vector
+      Row(3L, Seq(1f, 2f, 3f), 2),                           // wrong length
+      Row(4L, vec(i => i.toFloat), 3),
+      Row(5L, vec(i => (i % 7).toFloat - 3f), 3),
+      Row(6L, vec(i => (63 - i).toFloat), 4),
+      Row(7L, vec(i => i.toFloat), 4),                       // duplicate of 4
+      Row(8L, vec(i => math.sin(i.toDouble).toFloat), 5),
+      Row(9L, vec(i => math.cos(i.toDouble).toFloat), 5))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(embs).asJava), embSchema)
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  // documents/embeddings-only families; streaming queries excluded
+  // (they glob the same files but pay a per-query floor this sweep's
+  // 40+ queries would multiply; their robustness rides on the same
+  // batch expressions exercised here)
+  private def sweepNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+    .filter(n => n.startsWith("t") || n.startsWith("d") ||
+      n.startsWith("s") || n.startsWith("m") || n.startsWith("p"))
+    .filterNot(_.contains("stream"))
+    .filterNot(_ == "d16_semantic_dedup_scaled") // sqrt(N) trainer needs >k vectors
+    .filterNot(_ == "s12_knn_graph")             // ditto (nlist=16 > 6 usable)
+    .filterNot(_ == "s06_centroids")             // kmeans k exceeds usable corpus
+    .filterNot(_ == "s07_quantize")
+    .filterNot(_ == "s04_ann_ivf")
+    .filterNot(_ == "s13_ivf_pq")
+    .filterNot(_ == "s14_vector_index")
+    .filterNot(_ == "s15_filtered_search")
+    .filterNot(_ == "s16_index_append")
+    .filterNot(_ == "s08_pq_adc")
+
+  test("every documents/embeddings query survives hostile inputs") {
+    val failures = sweepNames.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, dir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries failing on edge-case corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("quantizer-family ops survive hostile vectors once the corpus " +
+      "is large enough to train on") {
+    // pad the usable corpus (6 valid vectors) with enough well-formed
+    // vectors for the kmeans/PQ trainers, keeping the hostile rows in
+    import spark.implicits._
+    val pad = (100L until 200L).map(i =>
+      (i, Seq.tabulate(64)(j => ((i * 31 + j * 7) % 13).toFloat - 6f), 9))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"label".cast("int").as("label"))
+    val d2 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "edge2")
+      .toString
+    spark.read.parquet(s"$dir/embeddings.parquet").unionByName(pad)
+      .write.parquet(s"$d2/embeddings.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.parquet(s"$d2/documents.parquet")
+    val quantizerFamily = Seq("s04_ann_ivf", "s06_centroids",
+      "s07_quantize", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
+      "s15_filtered_search", "s16_index_append")
+    val failures = quantizerFamily.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, d2).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"quantizer queries failing on padded edge corpus:\n${failures.mkString("\n")}")
+  }
+}

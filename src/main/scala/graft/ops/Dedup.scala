@@ -572,10 +572,16 @@ object Dedup {
     val asgn = emb
       .select(col(idCol), transform(col(vecCol), _.cast("double")).as("__ed"))
       .crossJoin(broadcast(cent))
-      .withColumn("__cos", round(
-        dotD(col("__ed"), col("cvec")) /
-          (sqrt(dotD(col("__ed"), col("__ed"))) *
-            sqrt(dotD(col("cvec"), col("cvec")))), 6))
+      // zero-norm and null vectors cannot divide (ANSI: divide-by-zero
+      // throws, found by EdgeCaseSweepSpec); they sort below every real
+      // similarity and land in a deterministic cluster instead
+      .withColumn("__den",
+        sqrt(dotD(col("__ed"), col("__ed"))) *
+          sqrt(dotD(col("cvec"), col("cvec"))))
+      .withColumn("__cos", coalesce(
+        round(when(col("__den") > 0,
+          dotD(col("__ed"), col("cvec")) / col("__den")), 6),
+        lit(-2.0)))
       .groupBy(col(idCol))
       .agg(max(struct(col("__cos").as("c"), (-col("cl")).as("nc"),
         col("cl").as("cl"))).getField("cl").as("cluster"))

@@ -86,7 +86,11 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(bytesCol))
     input.mapPartitions { rows: Iterator[Row] =>
       rows.map { r =>
-        Row(r.getLong(0), decoder.features(r.getAs[Array[Byte]](1)).toSeq)
+        // a real corpus carries null payloads (failed fetches); the
+        // decoder never sees them — null features, row preserved
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0),
+          if (bytes == null) null else decoder.features(bytes).toSeq)
       }
     }(Encoders.row(schema))
   }

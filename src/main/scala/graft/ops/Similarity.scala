@@ -109,11 +109,31 @@ object Similarity {
     * over the full corpus would add distributed iterations for
     * marginal centroid quality). Cluster means are renormalized to
     * the unit sphere; empty clusters keep their previous centroid. */
+  /** Driver-bounded quantizer training sample, hardened for the
+    * malformed rows a real corpus carries (EdgeCaseSweepSpec): null
+    * and empty vectors are dropped, and vectors are filtered to the
+    * MODAL dimension of the sample (ties → smaller dim) so one
+    * wrong-length row cannot poison a trainer's `dim`. Deterministic:
+    * the sample is id-ordered before any filtering. */
+  private def trainingSample(corpus: DataFrame,
+      sampleSize: Int): Array[Array[Double]] = {
+    val raw: Array[Array[Double]] = corpus.orderBy(col("id"))
+      .limit(sampleSize).select(col("vec")).collect()
+      .flatMap(r => Option(r.getSeq[Float](0))
+        .map(_.map(_.toDouble).toArray))
+      .filter(_.nonEmpty)
+    if (raw.isEmpty) raw
+    else {
+      val dim = raw.groupBy(_.length).toSeq
+        .maxBy { case (d, vs) => (vs.length, -d) }._1
+      raw.filter(_.length == dim)
+    }
+  }
+
   def learnCentroids(corpus: DataFrame, nlist: Int,
       sampleSize: Int = 512, iters: Int = 8): IndexedSeq[Seq[Float]] = {
-    val sample: Array[Array[Double]] = corpus.orderBy(col("id"))
-      .limit(sampleSize).select(col("vec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample: Array[Array[Double]] =
+      trainingSample(corpus, sampleSize)
     require(sample.nonEmpty, "empty corpus: cannot learn centroids")
     val dim = sample(0).length
     def normalize(v: Array[Double]): Array[Double] = {
@@ -348,9 +368,8 @@ object Similarity {
     * Returned as [subspace][code] → centroid of `dim/m` floats. */
   def pqTrain(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
       sampleSize: Int = 512, iters: Int = 8): IndexedSeq[IndexedSeq[Seq[Float]]] = {
-    val sample: Array[Array[Double]] = corpus.orderBy(col("id"))
-      .limit(sampleSize).select(col("vec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample: Array[Array[Double]] =
+      trainingSample(corpus, sampleSize)
     require(sample.length >= ksub,
       s"pqTrain: need >= $ksub sample vectors, got ${sample.length}")
     val dim = sample(0).length

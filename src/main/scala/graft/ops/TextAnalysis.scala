@@ -123,11 +123,16 @@ object TextAnalysis {
         .cast("long")
     }
 
-  /** Adjacent-token bigrams (array column). */
+  /** Adjacent-token bigrams (array column). Guarded for sub-2-token
+    * documents: `sequence(0, n-2)` DESCENDS when n < 2 (Spark's
+    * sequence supports reverse ranges), which would index past the
+    * token array — real corpora contain empty and one-token rows. */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(0), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** A simple composite quality score in [0,1]: function-word density

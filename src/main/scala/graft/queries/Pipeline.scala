@@ -189,13 +189,19 @@ object Pipeline {
           (count(lit(1)) - count_distinct($"fp")).as("n_exact_dups"),
           sum($"q".cast("decimal(18,9)")).cast("double").as("qsum"),
           count(when($"lid_ok", 1)).as("n_lid_ok"))
+      // null-safe composite key derived identically on BOTH sides (a
+      // split-back of a concat key breaks on null metadata — found by
+      // EdgeCaseSweepSpec)
+      def stratumKey(lang: org.apache.spark.sql.Column,
+          source: org.apache.spark.sql.Column) =
+        concat(coalesce(lang, lit("\u0000")), lit("|"),
+          coalesce(source, lit("\u0000")))
       val med = Quantiles.quantileCont(
-          docs.withColumn("stratum", concat_ws("|", $"lang", $"source")),
+          docs.withColumn("stratum", stratumKey($"lang", $"source")),
           "stratum", Seq(("median_tokens", "n_tok", 0.5)))
-        .select(split($"stratum", "\\|")(0).as("lang"),
-          split($"stratum", "\\|")(1).as("source"),
-          $"median_tokens")
-      agg.join(broadcast(med), Seq("lang", "source"))
+      agg.withColumn("stratum", stratumKey($"lang", $"source"))
+        .join(broadcast(med), Seq("stratum"))
+        .drop("stratum")
         .select($"lang", $"source", $"n_docs", $"n_tokens",
           $"total_chars", $"n_exact_dups",
           round($"qsum" / $"n_docs", 4).as("avg_quality"),

@@ -15,15 +15,23 @@ object SimilarityQueries {
 
   private val K = 10
 
+  // null/empty vectors carry no geometry — a real corpus contains
+  // them (failed embedder calls) and every op here would have to
+  // special-case them; excluded at the surface instead (the pushable
+  // filter reaches the scan). Wrong-DIMENSION vectors stay in: the
+  // kernels null them out per-pair and the trainers filter to the
+  // sampled dimension (EdgeCaseSweepSpec drives both).
   private def queriesDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     load(s, d, "embeddings").filter($"vec_id" < 5)
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
   }
 
   private def corpusDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     load(s, d, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") > 0)
       .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
   }
 
@@ -247,6 +255,10 @@ object SimilarityQueries {
       val dots = codes.crossJoin(broadcast(qc))
         .filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("id"), dotL($"qc", $"c").as("d"))
+        // zip_with nulls the product on mismatched code lengths (a
+        // wrong-dimension corpus vector, EdgeCaseSweepSpec): no
+        // comparable geometry → not a candidate
+        .filter($"d".isNotNull)
       val wP = org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"d".desc, $"id")
       val cand = dots.withColumn("rn", row_number().over(wP))

@@ -87,7 +87,9 @@ object Text {
             .as("kept"))
         .select($"doc_id",
           size($"kept").cast("long").as("n_kept"),
-          element_at($"kept", 1).as("first_kept"))
+          // get() is null-safe on the empty array (a fully-stopword
+          // doc keeps nothing) — matching DuckDB's kept[1] = NULL
+          get($"kept", lit(0)).as("first_kept"))
         .orderBy($"doc_id")
     },
 

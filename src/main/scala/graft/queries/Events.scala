@@ -291,7 +291,9 @@ object Events {
       val schema = load(s, d, "events").schema
       val stream = s.readStream.schema(schema).parquet(s"$d/events.*")
         .filter($"user_id" % 10 === 0) // same deterministic sample as q45
-        .select($"user_id".as[Long], $"value".as[Double])
+        // null value would break the non-nullable typed encoder
+        // (EdgeCaseSweepSpec); a valueless event still counts, adding 0
+        .select($"user_id".as[Long], coalesce($"value", lit(0.0)).as[Double])
       val out = graft.streaming.StateV2.runningTotals(stream)
       val prevProv = s.conf.getOption(
         "spark.sql.streaming.stateStore.providerClass")

@@ -102,6 +102,49 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
       s"queries failing on edge-case corpus:\n${failures.mkString("\n")}")
   }
 
+  test("events-family queries survive hostile events (null ts/keys/" +
+      "values, duplicate ids, constant-key skew)") {
+    val d3 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "edge3")
+      .toString
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val evs: Seq[Row] = Seq(
+      Row(0L, null, 10L, "click", 1.0, "{}"),            // null ts
+      Row(1L, t(1), null, "click", 2.0, "{}"),           // null user
+      Row(2L, t(2), 10L, null, 3.0, "{}"),               // null type
+      Row(3L, t(3), 10L, "purchase", null, "{}"),        // null value
+      Row(4L, t(4), 10L, "purchase", 4.0, null),         // null props
+      Row(5L, t(5), 10L, "click", 5.0, "not json"),      // junk props
+      Row(5L, t(5), 10L, "click", 5.0, "not json"),      // exact duplicate row
+      Row(6L, t(500), 20L, "view", 6.0, "{}"),           // far-future gap
+      Row(7L, t(6), 20L, "purchase", 7.0, "{}")
+    ) ++ (100 until 160).map(i =>                        // constant-key skew
+      Row(i.toLong, t(10 + i % 7), 30L, "click", i.toDouble, "{}"))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(evs).asJava), evSchema)
+      .write.parquet(s"$d3/events.parquet")
+    // tiny customer dim for q63/c06-style joins
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .limit(50).write.parquet(s"$d3/customer.parquet")
+
+    val eventsFamily = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+      n.matches("q(1[789]|2[09]|4[1356]|5[1568]|6[123]).*") ||
+        n == "c05_event_collapse" || n == "c20_scd2_history")
+    val failures = eventsFamily.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, d3).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"events queries failing on edge-case events:\n${failures.mkString("\n")}")
+  }
+
   test("quantizer-family ops survive hostile vectors once the corpus " +
       "is large enough to train on") {
     // pad the usable corpus (6 valid vectors) with enough well-formed

@@ -270,6 +270,13 @@ object Similarity {
       .select(col("vec")).collect()
       .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
     val nc = centroids.size
+    // an empty (or all-zero-norm) corpus has no pairs — and no
+    // centroids to embed as assignment literals (an empty literal
+    // array is VOID-typed and fails analysis, EdgeCaseSweepSpec)
+    if (nc == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("a", "b", "cos")
+    }
 
     def clampAcos(c: Column): Column =
       acos(least(greatest(c, lit(-1.0)), lit(1.0)))

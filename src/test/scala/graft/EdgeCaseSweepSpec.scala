@@ -145,6 +145,38 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
       s"events queries failing on edge-case events:\n${failures.mkString("\n")}")
   }
 
+  test("empty tables: every documents/embeddings/events query either " +
+      "completes or fails LOUDLY (require/IllegalArgument), never with " +
+      "an undocumented crash class") {
+    val d4 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "edge4")
+      .toString
+    // 0-row tables with the production schemas
+    Seq("documents", "embeddings", "events", "customer").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(0).write.parquet(s"$d4/$t.parquet")
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.startsWith("t") || n.startsWith("d") ||
+        n.startsWith("s") || n.startsWith("m") || n.startsWith("p") ||
+        n.matches("q(1[789]|2[09]|4[1356]|5[1568]|6[123]).*") ||
+        n == "c05_event_collapse" || n == "c20_scd2_history")
+      .filterNot(_.contains("stream")) // streams on empty dirs never fire a batch
+    val undocumented = names.flatMap { name =>
+      try { SparkEntry.queries(name)(spark, d4).collect(); None }
+      catch {
+        // the documented loud-failure contract: a require/guard with a
+        // message (trainers need data; budgets estimate over data)
+        case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).nonEmpty => None
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}")
+      }
+    }
+    assert(undocumented.isEmpty,
+      s"undocumented crash class on empty tables:\n${undocumented.mkString("\n")}")
+  }
+
   test("quantizer-family ops survive hostile vectors once the corpus " +
       "is large enough to train on") {
     // pad the usable corpus (6 valid vectors) with enough well-formed

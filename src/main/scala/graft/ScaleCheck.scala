@@ -71,7 +71,10 @@ object ScaleCheck {
     // incremental vector-index append
     "t20_redact", "d19_index_dedup", "s16_index_append",
     "p03_dataset_card", "c20_scd2_history", "m07_media_shards",
-    "q61_stream_session", "q62_stream_dedup_wm", "q63_stream_enrich")
+    "q61_stream_session", "q62_stream_dedup_wm", "q63_stream_enrich",
+    // round-8 fifth wave: DSIR importance scoring, soft-dedup
+    // weights, nearest as-of join
+    "t21_dsir_score", "d20_dup_weights", "q64_asof_nearest")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

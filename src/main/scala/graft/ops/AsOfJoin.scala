@@ -84,4 +84,50 @@ object AsOfJoin {
       .filter(col("__side") === 0)
       .select(outCols: _*)
   }
+
+  /** Nearest as-of join: for each left row, the right row whose
+    * `rightOn` is CLOSEST in either direction (pandas
+    * `merge_asof(direction='nearest')`), ties broken backward
+    * (earlier right row wins). Both candidate frames — running max
+    * over (-inf, 0] and running min over [0, +inf) — share one
+    * partitioning AND ordering, so Catalyst evaluates them over a
+    * single shuffle + sort; the pick is a per-row comparison. Equal
+    * timestamps count as distance 0 (RANGE frames include peers). */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      rightPayload: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      (by.map(col) :+ col(rightOn).as(leftOn)) ++ rightPayload.map(col): _*)
+      .withColumn("__side", lit(1))
+    val lTagged = left.withColumn("__side", lit(0))
+    val combined = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val rStruct = when(col("__side") === 1,
+      struct((col(leftOn).as("__on") +: rightPayload.map(col)): _*))
+    val wBack = Window.partitionBy(by.map(col): _*).orderBy(col(leftOn))
+      .rangeBetween(Window.unboundedPreceding, 0L)
+    val wFwd = Window.partitionBy(by.map(col): _*).orderBy(col(leftOn))
+      .rangeBetween(0L, Window.unboundedFollowing)
+
+    val picked = combined
+      .withColumn("__b", max(rStruct).over(wBack))
+      .withColumn("__f", min(rStruct).over(wFwd))
+      .filter(col("__side") === 0)
+      .withColumn("__n",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(col(leftOn) - col("__b.__on") <= col("__f.__on") - col(leftOn),
+            col("__b"))
+          .otherwise(col("__f")))
+
+    val outCols = leftCols.map(col) ++
+      (col("__n.__on").as(s"nearest_$rightOn") +:
+        rightPayload.map(c => col(s"__n.$c").as(s"nearest_$c")))
+    picked.select(outCols: _*)
+  }
 }

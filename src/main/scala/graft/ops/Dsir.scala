@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every document by the log-likelihood ratio of its n-gram
+  * features under a TARGET domain's unigram-of-bigrams model vs the
+  * raw corpus's — documents that "read like" the target score high
+  * and are kept for the training mixture.
+  *
+  * Two feature modes share one code path:
+  *  - `numBuckets = None`: raw bigram strings are the features. The
+  *    per-feature stat relation is vocabulary-sized, so the doc→stat
+  *    join shuffles on the feature key. Exact; the oracle gate runs
+  *    this mode.
+  *  - `numBuckets = Some(b)`: features hash into `b` buckets
+  *    (xxhash64 → pmod — the paper's hashed n-gram compression).
+  *    The stat relation collapses to ≤ b rows and BROADCASTS, so at
+  *    100 TB the corpus is shuffled exactly once — on the doc id,
+  *    with map-side partial aggregation collapsing bigram rows to
+  *    per-doc partial sums before the exchange. This is the scale
+  *    mode; the gate's raw mode is its semantics oracle.
+  *
+  * Both per-feature probabilities are add-α smoothed over the shared
+  * feature vocabulary V: p̂(f) = (cnt(f)+α)/(N+α·|V|). The per-doc
+  * score is Σ over bigram OCCURRENCES of log2(p̂_target/p̂_raw) —
+  * summation order varies with partitioning, so gates round the
+  * score (the t19 discipline).
+  */
+object Dsir {
+
+  /** Per-doc importance scores: (id, score double, n_bigrams long).
+    * Docs with no bigrams (< 2 tokens) score 0 with n_bigrams 0.
+    *
+    * `targetPred` marks the target-domain rows (evaluated on `docs`'
+    * columns); a null predicate row counts as non-target. An empty
+    * target is well-defined (uniform p̂_target = 1/|V| after
+    * smoothing), not an error.
+    */
+  def scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      alpha: Double = 0.5,
+      numBuckets: Option[Int] = None): DataFrame = {
+    // small-file inputs arrive as one partition; the bigram explode is
+    // CPU-bound per row, so spread the corpus first (the minhashPairs
+    // discipline)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(par).select(
+      col(idCol).cast("long").as("id"),
+      coalesce(targetPred, lit(false)).as("tgt"),
+      col(textCol).as("__text"))
+
+    val feature = numBuckets match {
+      case Some(b) => pmod(xxhash64(col("__f")), lit(b.toLong)).cast("string")
+      case None    => col("__f")
+    }
+    val bg = base
+      .select(col("id"), col("tgt"),
+        explode(TextAnalysis.bigrams(col("__text"))).as("__f"))
+      .select(col("id"), col("tgt"), feature.as("f"))
+
+    // one pass produces BOTH count columns (raw = every occurrence,
+    // target = occurrences inside target docs)
+    val stats = bg.groupBy(col("f")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("tgt"), 1)).as("ct"))
+    val tot = stats.agg(
+      sum(col("cr")).cast("long").as("nr"),
+      sum(col("ct")).cast("long").as("nt"),
+      count(lit(1)).as("v"))
+
+    val statsSide = if (numBuckets.isDefined) broadcast(stats) else stats
+    val lr = log2(
+      ((col("ct") + lit(alpha)) / (col("nt") + lit(alpha) * col("v"))) /
+        ((col("cr") + lit(alpha)) / (col("nr") + lit(alpha) * col("v"))))
+    bg.join(statsSide, Seq("f"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"))
+      .agg(sum(lr).as("score"), count(lit(1)).as("n_bigrams"))
+  }
+}

@@ -183,6 +183,29 @@ object DedupQueries {
         .orderBy($"sz")
     },
 
+    // ---- soft dedup: per-doc training weight 1 / cluster size ----
+    // the alternative to DROPPING near-dups a mixture build often
+    // prefers: every copy stays in the corpus but the cluster's total
+    // sampling mass is one document's (weights sum to 1 per cluster,
+    // singletons weigh 1). Same pair+CC derivation as d06, one more
+    // shuffle on the cluster label for the size window; the weight is
+    // a single IEEE division (1.0/sz) so both engines compute the
+    // identical double.
+    "d20_dup_weights" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents").select($"doc_id")
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8))
+        .select($"id".as("doc_id"), $"cluster")
+      val wCl = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+        .withColumn("sz", count(lit(1)).over(wCl).cast("long"))
+        .withColumn("weight", lit(1.0) / $"sz")
+        .orderBy($"doc_id")
+    },
+
     // ---- canonical dedup: the kept corpus after near-dup clustering ----
     "d07_dedup_canonical" -> { (s, d) =>
       import s.implicits._
@@ -471,6 +494,28 @@ object DedupQueries {
          |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x)
          |SELECT x AS doc_id, MIN(label) AS cluster
          |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "d20_dup_weights" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |edges AS (SELECT a AS x, b AS y FROM prs UNION SELECT b, a FROM prs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges) n
+         |  UNION
+         |  SELECT e.y, r.label FROM reach r JOIN edges e ON e.x = r.x),
+         |lab AS (SELECT x AS doc_id, MIN(label) AS cluster
+         |        FROM reach GROUP BY x),
+         |f AS (
+         |  SELECT dd.doc_id, COALESCE(lab.cluster, dd.doc_id) AS cluster
+         |  FROM documents dd LEFT JOIN lab ON dd.doc_id = lab.doc_id)
+         |SELECT doc_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS sz,
+         |  CAST(1 AS DOUBLE) / COUNT(*) OVER (PARTITION BY cluster) AS weight
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "d14_token_budget" ->
       """WITH c AS (

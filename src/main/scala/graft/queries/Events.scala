@@ -93,6 +93,25 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // ---- nearest as-of join: closest click in EITHER direction ----
+    // completes the as-of family (q19 is backward/strict): attribution
+    // against the temporally closest interaction, ties to the earlier
+    // click. Both candidate frames ride one shuffle + sort (shared
+    // window partitioning/ordering); gap_us is signed.
+    "q64_asof_nearest" -> { (s, d) =>
+      import s.implicits._
+      val e = ev(s, d).select($"event_id", $"user_id", $"event_type", $"ts_us")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_us")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us")
+      AsOfJoin.nearest(purchases, clicks, Seq("user_id"),
+          leftOn = "ts_us", rightOn = "ts_us")
+        .select($"event_id", $"user_id", $"ts_us", $"nearest_ts_us",
+          ($"nearest_ts_us" - $"ts_us").as("gap_us"))
+        .orderBy($"event_id")
+    },
+
     // ---- binned range join: clicks within ±60 s of each purchase ----
     "q43_range_join" -> { (s, d) =>
       import s.implicits._
@@ -548,6 +567,27 @@ object Events {
         |       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts_us
         |  FROM e) t
         |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q64_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+        |  FROM events WHERE event_type IN ('purchase','click')),
+        |t AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts_us END) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us
+        |       RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+        |       WHEN ts_us - b <= f - ts_us THEN b ELSE f END AS nearest_ts_us,
+        |  CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+        |       WHEN ts_us - b <= f - ts_us THEN b ELSE f END - ts_us AS gap_us
+        |FROM t WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -433,6 +433,29 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- DSIR importance scoring (hashed-ngram data selection) ----
+    // score = per-doc log-likelihood ratio of bigram features under a
+    // target-domain model (here: the English sub-corpus) vs the raw
+    // corpus. The gate runs the exact raw-bigram mode; the hashed
+    // mode (stats broadcast, corpus shuffled once on doc id) is the
+    // 100 TB path, spec-gated against an independent reference. The
+    // selection rule is a score threshold (> 0 = likelier target
+    // than raw), not a global rank — rank needs a corpus-wide sort
+    // the selection semantics doesn't.
+    "t21_dsir_score" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val sc = graft.ops.Dsir.scores(docs, "doc_id", "text",
+        targetPred = $"lang" === "en")
+      docs.select($"doc_id", $"lang")
+        .join(sc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"lang",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          round(coalesce($"score", lit(0.0)), 6).as("score"),
+          coalesce(round($"score", 6) > 0, lit(false)).as("selected"))
+        .orderBy($"doc_id")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -457,6 +480,34 @@ object Text {
     s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
 
   val oracle: Map[String, String] = Map(
+    "t21_dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS f
+        |  FROM toks),
+        |stats AS (
+        |  SELECT f, COUNT(*) AS cr,
+        |    COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |  FROM bg GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+        |    COUNT(*) AS v
+        |  FROM stats),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    SUM(log2(((s.ct + 0.5) / (tot.nt + 0.5 * tot.v)) /
+        |             ((s.cr + 0.5) / (tot.nr + 0.5 * tot.v)))) AS score,
+        |    COUNT(*) AS nb
+        |  FROM bg b JOIN stats s USING (f) CROSS JOIN tot GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(CAST(sc.nb AS BIGINT), 0) AS n_bigrams,
+        |  round(COALESCE(sc.score, 0), 6) AS score,
+        |  COALESCE(round(sc.score, 6) > 0, FALSE) AS selected
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "t20_redact" -> {
       // the same sequential contract as the engine: rule i counts and
       // replaces on the text after rules 1..i-1 applied

@@ -52,4 +52,38 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(r("t2") == None)      // nothing after 200 for key 1
     assert(r("t3") == Some(9.0)) // 500 is the next quote for key 2
   }
+
+  test("nearest equals brute-force min-abs-gap with backward ties, randomized") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(64)
+    val left = Seq.tabulate(120)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val rightRows = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(200).toLong))
+    val right = rightRows.toDF("k", "ts")
+
+    val got = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts")
+      .collect().map(x => x.getAs[Long]("lid") ->
+        Option(x.getAs[Any]("nearest_ts")).map(_.asInstanceOf[Long])).toMap
+
+    val byKey = rightRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    left.collect().foreach { row =>
+      val (k, ts, lid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val expect = byKey.get(k).filter(_.nonEmpty).map { cands =>
+        // min abs gap; at equal distance the EARLIER (backward) wins
+        cands.minBy(c => (math.abs(c - ts), c))
+      }
+      assert(got(lid) == expect, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
+  test("nearest plans both frames over one shuffle and one sort") {
+    val (trades, quotes) = data
+    val plan = AsOfJoin.nearest(trades, quotes, Seq("k"), "ts", "ts",
+      rightPayload = Seq("px")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(sorts == 1, s"expected 1 sort, plan:\n$plan")
+  }
 }

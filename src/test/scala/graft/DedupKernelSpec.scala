@@ -531,4 +531,36 @@ class DedupKernelSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("soft-dedup weights (d20): cluster mass sums to 1, singletons weigh 1") {
+    import spark.implicits._
+    val docs = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val labels = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8))
+      .select(col("id").as("doc_id"), col("cluster"))
+    val wCl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    val weighted = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("cluster"), col("doc_id"))
+          .as("cluster"))
+      .withColumn("sz", count(lit(1)).over(wCl).cast("long"))
+      .withColumn("weight", lit(1.0) / col("sz"))
+    // every doc exactly once; per-cluster weight mass is exactly 1
+    assert(weighted.count() == docs.count())
+    val mass = weighted.groupBy(col("cluster"))
+      .agg(org.apache.spark.sql.functions.sum(col("weight")).as("m"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(mass.nonEmpty)
+    mass.foreach { r =>
+      val (m, n) = (r.getAs[Double]("m"), r.getAs[Long]("n"))
+      assert(math.abs(m - 1.0) < 1e-9)
+      if (n == 1) assert(m == 1.0)
+    }
+    // the corpus has real near-dup clusters, so the test isn't vacuous
+    assert(mass.exists(_.getAs[Long]("n") > 1))
+  }
 }

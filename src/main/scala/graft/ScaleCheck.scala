@@ -74,7 +74,8 @@ object ScaleCheck {
     "q61_stream_session", "q62_stream_dedup_wm", "q63_stream_enrich",
     // round-8 fifth wave: DSIR importance scoring, soft-dedup
     // weights, nearest as-of join
-    "t21_dsir_score", "d20_dup_weights", "q64_asof_nearest")
+    "t21_dsir_score", "d20_dup_weights", "q64_asof_nearest",
+    "t22_source_divergence")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

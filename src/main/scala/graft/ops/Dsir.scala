@@ -83,4 +83,51 @@ object Dsir {
       .groupBy(col("id"))
       .agg(sum(lr).as("score"), count(lit(1)).as("n_bigrams"))
   }
+
+  /** Corpus-level distribution-shift report: per `groupCol` stratum,
+    * the KL-style divergence of the stratum's token-unigram
+    * distribution from the TARGET sub-corpus's, truncated to the
+    * stratum's observed support (the terms for words the stratum
+    * never emits are each a vanishing α-mass contribution; the
+    * truncated sum is the standard corpus-report approximation and
+    * keeps the computation one pass over observed (stratum, word)
+    * pairs instead of |strata|×|V|). Both distributions are add-α
+    * smoothed over the shared corpus vocabulary V, so the metric is
+    * comparable across strata of different sizes.
+    *
+    * Returns (group, n_tokens, divergence double — unrounded; gates
+    * round). Scale shape: the corpus shuffles once on the token key
+    * (stratum-word and target-word counts fold in the same
+    * aggregate pass), per-stratum totals broadcast back, and the
+    * final rollup is |strata|-sized.
+    */
+  def divergence(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      targetPred: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tk = docs.repartition(par).select(
+        col(groupCol).as("g"),
+        coalesce(targetPred, lit(false)).as("tgt"),
+        col(textCol).as("__text"))
+      .select(col("g"), col("tgt"),
+        explode(TextAnalysis.tokens(col("__text"))).as("w"))
+
+    val sw = tk.groupBy(col("g"), col("w")).agg(count(lit(1)).as("cs"))
+    val tw = tk.groupBy(col("w")).agg(count(when(col("tgt"), 1)).as("ct"))
+    val totG = sw.groupBy(col("g")).agg(sum(col("cs")).cast("long").as("ns"))
+    val tot = tw.agg(sum(col("ct")).cast("long").as("nt"),
+      count(lit(1)).as("v"))
+
+    val ps = (col("cs") + lit(alpha)) / (col("ns") + lit(alpha) * col("v"))
+    val pt = (col("ct") + lit(alpha)) / (col("nt") + lit(alpha) * col("v"))
+    sw.join(tw, Seq("w"))
+      .join(broadcast(totG), Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", ps * log2(ps / pt))
+      .groupBy(col("g"))
+      .agg(max(col("ns")).as("n_tokens"), sum(col("term")).as("divergence"))
+  }
 }

@@ -456,6 +456,21 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- corpus-level distribution shift per source stratum ----
+    // the report a mixture designer reads next to t21's doc scores:
+    // how far each source's token distribution sits from the target
+    // domain (truncated-support smoothed KL, bits). en-heavy sources
+    // sit near the target; others rank by real shift — the signal
+    // that drives per-source mixture weights.
+    "t22_source_divergence" -> { (s, d) =>
+      import s.implicits._
+      graft.ops.Dsir.divergence(load(s, d, "documents"), "source", "text",
+          targetPred = $"lang" === "en")
+        .select($"g".as("source"), $"n_tokens",
+          round($"divergence", 6).as("divergence"))
+        .orderBy($"source")
+    },
+
     // ---- quality-gated filtering with per-stratum retention ----
     // the pipeline step a training-data build actually runs: score,
     // threshold, and report how much of each (lang, source) stratum
@@ -480,6 +495,27 @@ object Text {
     s"len(list_filter(string_split(text,' '), x -> x IN ($listSql)))"
 
   val oracle: Map[String, String] = Map(
+    "t22_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, lang, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS cs FROM tk GROUP BY 1, 2),
+        |tw AS (SELECT w, COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |       FROM tk GROUP BY 1),
+        |totg AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+        |         FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, COUNT(*) AS v FROM tw),
+        |terms AS (
+        |  SELECT sw.source,
+        |    ((sw.cs + 0.5) / (totg.ns + 0.5 * tot.v)) *
+        |      log2(((sw.cs + 0.5) / (totg.ns + 0.5 * tot.v)) /
+        |           ((tw.ct + 0.5) / (tot.nt + 0.5 * tot.v))) AS term
+        |  FROM sw JOIN tw USING (w) JOIN totg USING (source) CROSS JOIN tot)
+        |SELECT t.source, tg.ns AS n_tokens,
+        |  round(SUM(t.term), 6) AS divergence
+        |FROM terms t JOIN totg tg ON t.source = tg.source
+        |GROUP BY 1, 2 ORDER BY t.source""".stripMargin,
+
     "t21_dsir_score" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),

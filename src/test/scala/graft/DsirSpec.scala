@@ -116,6 +116,51 @@ class DsirSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("divergence matches an in-memory truncated-KL reference and ranks " +
+      "target-aligned strata below shifted ones") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocabT = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("uno", "dos", "tres", "quatro")
+    // stratum A: pure target vocabulary (and IS the target); stratum
+    // B: disjoint vocabulary; stratum C: half-and-half
+    val rows = (0 until 90).map { i =>
+      val (g, vocab, tgt) = i % 3 match {
+        case 0 => ("A", vocabT, true)
+        case 1 => ("B", vocabB, false)
+        case _ => ("C", vocabT ++ vocabB, false)
+      }
+      val n = 3 + rnd.nextInt(8)
+      (g, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), tgt)
+    }
+    val df = rows.toDF("g", "text", "tgt")
+    val got = graft.ops.Dsir.divergence(df, "g", "text", col("tgt"), alpha)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getLong(1)))).toMap
+
+    // independent reference
+    val toks = rows.map { case (g, t, tgt) => (g, t.split(" ", -1).toSeq, tgt) }
+    val all = toks.flatMap(_._2)
+    val tgtToks = toks.filter(_._3).flatMap(_._2)
+    val v = all.distinct.size.toLong
+    val nt = tgtToks.size.toLong
+    val ctM = tgtToks.groupBy(identity).map { case (w, x) => w -> x.size.toLong }
+    Seq("A", "B", "C").foreach { g =>
+      val gw = toks.filter(_._1 == g).flatMap(_._2)
+      val ns = gw.size.toLong
+      val ref = gw.groupBy(identity).map { case (w, x) =>
+        val ps = (x.size + alpha) / (ns + alpha * v)
+        val pt = (ctM.getOrElse(w, 0L) + alpha) / (nt + alpha * v)
+        ps * (math.log(ps / pt) / math.log(2.0))
+      }.sum
+      val (gd, gn) = got(g)
+      assert(gn == ns, s"g=$g n_tokens")
+      assert(math.abs(gd - ref) < 1e-6, s"g=$g got=$gd ref=$ref")
+    }
+    assert(got("A")._1 < got("C")._1 && got("C")._1 < got("B")._1,
+      s"expected A < C < B, got $got")
+  }
+
   test("empty target is well-defined (uniform target model, finite scores)") {
     import spark.implicits._
     val docs = corpus.toDF("id", "text", "tgt")

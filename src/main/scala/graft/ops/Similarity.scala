@@ -165,13 +165,59 @@ object Similarity {
     cents.map(_.map(_.toFloat).toSeq).toIndexedSeq
   }
 
+  /** Nearest-`n` coarse cells per row, with the assignment exchange
+    * carrying N rows — NOT N×nlist. The naive shape (crossJoin the
+    * centroid table, `row_number() OVER (PARTITION BY id)`, keep
+    * rn ≤ n) shuffles the full corpus×nlist expansion through the
+    * window exchange: harmless at nlist=16, but production IVF runs
+    * nlist ≈ √N (tens of thousands at a billion vectors), and the
+    * exchange then carries nlist× the corpus. Here the expansion
+    * collapses BEFORE the exchange: scores fold through map-side
+    * partial aggregation (`min_by` argmax for n=1; a collect_list
+    * top-n over the nlist-bounded score array otherwise — both
+    * ObjectHashAggregate, partial-combined), so only one row per
+    * input row crosses the wire. `knnGraph`'s big-quantizer path
+    * established the shape (and that >64 embedded centroid literals
+    * blow JVM codegen limits, so the table broadcasts instead).
+    *
+    * Semantics are identical to the window form: cell order is
+    * (cosine desc, cid asc) — encoded as ascending (-sim, cid) struct
+    * order, so ties and NaN rows (zero-norm vectors score NaN against
+    * EVERY unit centroid, never a mix) resolve to the same cid.
+    * All columns of `df` are carried through (`first` per id — each
+    * is functionally determined by the id), `cid` is appended. */
+  private[graft] def assignCells(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, n: Int): DataFrame = {
+    val others = df.columns.filter(_ != idCol).toSeq
+    val sc = struct(
+      (-Vectors.cosine(col(vecCol), col("cvec"))).as("nsim"),
+      col("cid").as("cid"))
+    val scored = df.crossJoin(broadcast(centroids))
+      .select(col(idCol) +: others.map(col) :+ sc.as("sc"): _*)
+    val firsts = others.map(c => first(col(c)).as(c))
+    if (n == 1) {
+      scored.groupBy(col(idCol))
+        .agg(min_by(col("sc").getField("cid"), col("sc")).as("cid"),
+          firsts: _*)
+        .select(col(idCol) +: others.map(col) :+ col("cid"): _*)
+    } else {
+      scored.groupBy(col(idCol))
+        .agg(slice(array_sort(collect_list(col("sc"))), 1, n).as("sc_top"),
+          firsts: _*)
+        .select(col(idCol) +: others.map(col) :+
+          explode(col("sc_top").getField("cid")).as("cid"): _*)
+    }
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer — spherical k-means
     * centroids from [[learnCentroids]] — partitions the corpus by
     * nearest centroid; queries search only their `nprobe` nearest
     * cells, ranked exactly within candidates. Same contract as
     * [[annTopK]]; compared to sign-LSH the cells adapt to the data
     * distribution (measured recall@10 ≈ 0.88 vs sign-LSH's ≈ 0.22 at
-    * sf0.001). Fully deterministic, so replayable. */
+    * sf0.001). Fully deterministic, so replayable. Cell assignment is
+    * the map-side-combined [[assignCells]] shape (N rows through the
+    * exchange, not N×nlist). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
@@ -181,21 +227,11 @@ object Similarity {
       .toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
 
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
-        n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("cid"))
-      df.crossJoin(centroids)
-        .withColumn("sim", Vectors.cosine(col(vecCol), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n)
-        .select(col(idCol), col(vecCol), col("cid"))
-    }
-
-    val corpusCells = nearestCells(
-      corpus.select(col("id"), col("vec")), "id", "vec", 1)
-    val queryCells = nearestCells(
-      queries.select(col("qid").as("qid"), col("qvec")), "qid", "qvec", nprobe)
+    val corpusCells = assignCells(
+      corpus.select(col("id"), col("vec")), "id", "vec", centroids, 1)
+    val queryCells = assignCells(
+      queries.select(col("qid").as("qid"), col("qvec")),
+      "qid", "qvec", centroids, nprobe)
 
     val cand = queryCells.join(corpusCells, Seq("cid"))
       .filter(col("qid") =!= col("id"))
@@ -526,28 +562,25 @@ object Similarity {
       .toDF("cid", "cvec")
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
 
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String,
-        n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("cid"))
-      df.crossJoin(centroids)
-        .withColumn("sim", Vectors.cosine(col(vecCol), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n)
-        .select(col(idCol), col(vecCol), col("cid"))
-    }
-
     // index build (maintenance-time at corpus scale): one assignment
-    // pass + one fused PqCodes pass; full vectors are not carried
-    val index = nearestCells(e, "id", "vec", 1)
-      .select(col("cid"), col("id"),
-        graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes"))
+    // pass (map-side-combined assignCells — N rows through the
+    // exchange, not N×nlist) + one fused PqCodes pass. Codes are
+    // projected BELOW the assignment's centroid cross-product — once
+    // per row inside the scan's codegen stage, not once per
+    // row×centroid and not inside the aggregate's result projection —
+    // then ride through the aggregate as a carried column.
+    val index = assignCells(
+        e.select(col("id"), col("vec"),
+          graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes")),
+        "id", "vec", centroids, 1)
+      .select(col("cid"), col("id"), col("codes"))
 
     // query side: nprobe probed cells, one ADC lookup table per probe
     // row (lut[s*ksub + c] = q̂_s · codebook(s)(c), fused PqLut pass)
-    val qprobe = nearestCells(
+    val qprobe = assignCells(
         queries.filter(Vectors.norm(col("qvec")) > 0.0)
-          .select(col("qid"), col("qvec")), "qid", "qvec", nprobe)
+          .select(col("qid"), col("qvec")), "qid", "qvec",
+        centroids, nprobe)
       .select(col("qid"), col("qvec"), col("cid"),
         graft.functions.ProductQuantizer.lut(col("qvec"), cb).as("lut"))
 

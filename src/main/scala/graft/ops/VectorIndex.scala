@@ -76,14 +76,16 @@ object VectorIndex {
       metaCols: Seq[String], mode: String): Unit = {
     val spark = e.sparkSession
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("sim").desc, col("cid"))
-    e.crossJoin(centroids)
-      .withColumn("sim", Vectors.cosine(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cid") +: col("id") +:
-        graft.functions.ProductQuantizer.codes(col("vec"), cb).as("codes") +:
+    // map-side-combined assignment (Similarity.assignCells): the
+    // exchange carries one row per vector, not vector×nlist — the
+    // shape that survives production nlist ≈ √N. Codes project BELOW
+    // the centroid cross-product (once per row, in the scan's codegen
+    // stage) and ride through the aggregate as a carried column.
+    Similarity.assignCells(
+        e.withColumn("codes",
+          graft.functions.ProductQuantizer.codes(col("vec"), cb)),
+        "id", "vec", centroids, 1)
+      .select(col("cid") +: col("id") +: col("codes") +:
         col("vec") +: metaCols.map(col): _*)
       // co-locate each cell before the partitioned write: one shuffle
       // by cell id → one file per cell dir instead of one per task per
@@ -165,14 +167,10 @@ object VectorIndex {
     val m = cb.length
     val ksub = cb.head.length
 
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("cid"))
-    val qprobe = queries
-      .filter(Vectors.norm(col("qvec")) > 0.0)
-      .crossJoin(centroids)
-      .withColumn("sim", Vectors.cosine(col("qvec"), col("cvec")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
+    val qprobe = Similarity.assignCells(
+        queries.filter(Vectors.norm(col("qvec")) > 0.0)
+          .select(col("qid"), col("qvec")), "qid", "qvec",
+        centroids, nprobe)
       .select(col("qid"), col("qvec"), col("cid"),
         graft.functions.ProductQuantizer.lut(col("qvec"), cb).as("lut"))
 

@@ -204,6 +204,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pqcodes projection not inside a codegen stage:\n$p")
   }
 
+  test("s04/s13: IVF cell assignment is map-side partial aggregation — " +
+      "no assignment window, the exchange carries N rows, not N×nlist") {
+    // the 100 TB contract: at production nlist ≈ √N the old
+    // crossJoin+row_number shape shuffled the corpus×nlist expansion;
+    // assignCells folds it map-side so one row per vector crosses the
+    // wire. The only windows left are candidate-ranking (query-bounded).
+    val p4 = plan("s04_ann_ivf")
+    assert(p4.contains("partial_min_by"), p4)       // corpus argmax leg
+    assert(p4.contains("partial_collect_list"), p4) // query top-nprobe leg
+    assert("Window \\[".r.findAllIn(p4).size == 1, p4) // final rank only
+    val p13 = plan("s13_ivf_pq")
+    assert(p13.contains("partial_min_by"), p13)
+    assert(p13.contains("partial_collect_list"), p13)
+    assert("Window \\[".r.findAllIn(p13).size == 2, p13) // arank + rank
+  }
+
+  test("assignCells (shared by ivfTopK/ivfPqTopK/VectorIndex.writeCells/" +
+      "search): assignment plan has no window and exactly one exchange, " +
+      "after the partial aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(-1f, 0f)))
+      .toDF("cid", "cvec")
+    for (n <- Seq(1, 2)) {
+      val df = graft.ops.Similarity.assignCells(emb, "id", "vec", cents, n)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"n=$n:\n$p")
+      assert(p.contains("partial_min_by") ||
+        p.contains("partial_collect_list"), s"n=$n:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"n=$n:\n$p")
+      // semantics unchanged from the window form: nearest cell, ties
+      // to the smaller cid
+      if (n == 1) {
+        val got = df.select($"id", $"cid").as[(Long, Long)].collect().toMap
+        assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), got)
+      }
+    }
+  }
+
   test("d13: boilerplate coverage has no pairwise stage — equi-joins and " +
       "hash aggregates only") {
     val p = plan("d13_boilerplate_cover")

@@ -75,7 +75,9 @@ object ScaleCheck {
     // round-8 fifth wave: DSIR importance scoring, soft-dedup
     // weights, nearest as-of join
     "t21_dsir_score", "d20_dup_weights", "q64_asof_nearest",
-    "t22_source_divergence")
+    "t22_source_divergence",
+    // round 9: append-mode session windows (the q61 production shape)
+    "q65_stream_session_append")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -281,6 +281,106 @@ object Events {
         .orderBy($"user_id", $"start_us")
     },
 
+    // ---- session windows, PRODUCTION shape: watermark + APPEND mode
+    //      over a multi-batch, event-time-ordered delivery. q61's
+    //      complete-mode gate proves session semantics on a drained
+    //      fixture but re-emits every session per batch and keeps all
+    //      of them in state (its one-batch commit tracks OUTPUT size
+    //      at 100×); this entry runs the deployment discipline: each
+    //      closed session emits exactly ONCE as the watermark passes
+    //      its end, and state holds only the sessions the watermark
+    //      hasn't closed. The corpus is staged as 8 event-time-range
+    //      slices — one file per micro-batch, mtime-ordered so the
+    //      file source delivers them in time order — plus a far-future
+    //      sentinel row that closes the final sessions; the sentinel
+    //      user is filtered AFTER the watermark node (it advances the
+    //      clock, never reaches the aggregate), so the drained output
+    //      is every real session exactly once and the oracle is
+    //      exactly q61's. Exactly-once is load-bearing here: a double
+    //      emission fails the driver's hash compare.
+    //      StreamingOpsSpec carries the state-boundedness assertions
+    //      (open sessions only after each batch). ----
+    "q65_stream_session_append" -> { (s, d) =>
+      import s.implicits._
+      val evd = ev(s, d).select($"user_id", $"t", $"value", $"ts_us")
+      val mm = evd.agg(min($"ts_us"), max($"ts_us")).head()
+      require(!mm.isNullAt(0),
+        "q65_stream_session_append: events table is empty — nothing to stage")
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val slices = 8
+      val span = (mx - mn) / slices + 1
+      val stage = new java.io.File(
+        s"target/q65_stage_${math.abs(d.hashCode.toLong)}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+      }
+      deleteRec(stage); stage.mkdirs()
+      val tmp = new java.io.File(stage, "_tmp") // _-prefixed: unlisted
+      val mtime0 = System.currentTimeMillis() - 3600L * 1000
+      def emit(i: Int, df: DataFrame): Unit = {
+        deleteRec(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stage, f"slice$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // explicit, strictly increasing mtimes: the file source orders
+        // by modification time, and slice order IS event-time order —
+        // an out-of-order slice would be dropped as late data
+        dst.setLastModified(mtime0 + i * 2000L)
+        ()
+      }
+      for (i <- 0 until slices)
+        emit(i, evd.filter(floor(($"ts_us" - mn) / span) === i)
+          .select($"user_id", $"t", $"value"))
+      // TWO sentinels: the watermark advances at the END of the batch
+      // that read sentinel 1, and closed sessions emit in the NEXT
+      // batch — sentinel 2 is that batch (without it the final ~gap of
+      // real sessions stays in state forever; measured: 7 sessions
+      // short at sf0.01)
+      for (j <- 0 to 1)
+        emit(slices + j, Seq((-1L,
+            new java.sql.Timestamp((mx + (j + 1) * 86_400_000_000L) / 1000),
+            0.0))
+          .toDF("user_id", "t", "value"))
+      deleteRec(tmp)
+
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.getPath)
+        // 1-minute delay: slices are range-disjoint and ascending, so
+        // nothing real ever arrives behind the watermark; the margin
+        // only guards the slice-boundary equality case. The sentinel
+        // rows flow THROUGH the stream (a pre-aggregate filter would
+        // be predicate-pushed below the EventTimeWatermark node and
+        // the sentinel would never advance the clock — measured: the
+        // final 31 min of sessions stuck open); their own sessions are
+        // dropped from the sink table below.
+        .withWatermark("t", "1 minute")
+        .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec4($"value")).cast("double").as("total_value"))
+        .select($"user_id", unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"), $"n_events", $"total_value")
+      withStatePartitions(s, 4) {
+        val q = stream.writeStream
+          .format("memory").queryName("q65_stream_session_append_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q65_stream_session_append_sink")
+        .filter($"user_id" >= 0) // drop the sentinel's own sessions
+        .orderBy($"user_id", $"start_us")
+    },
+
     // ---- gap filling: forward-fill a sparse metric per user ----
     // the time-series staple: only purchases carry the metric;
     // every event sees the most recent purchase value via
@@ -439,6 +539,31 @@ object Events {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // streaming session_window semantics: windows merge on OVERLAP, so a
+  // gap of exactly 30 min starts a new session (`>=`, vs q18's `>`)
+  // and session end = last event + gap
+  private val streamSessionSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |p AS (
+      |  SELECT *, lag(ts_us) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+      |n AS (
+      |  SELECT *, CASE WHEN prev IS NULL
+      |      OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM p),
+      |sids AS (
+      |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM n)
+      |SELECT user_id, MIN(ts_us) AS start_us,
+      |  MAX(ts_us) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sids GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q17_hourly_counts" -> hourlySql,
     "q20_stream_hourly" -> hourlySql,
@@ -474,27 +599,11 @@ object Events {
     "q46_sliding_window" -> slidingSql,
     "q55_stream_sliding" -> slidingSql,
 
-    "q61_stream_session" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us
-        |  FROM events),
-        |p AS (
-        |  SELECT *, lag(ts_us) OVER
-        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
-        |n AS (
-        |  SELECT *, CASE WHEN prev IS NULL
-        |      OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
-        |  FROM p),
-        |sids AS (
-        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM n)
-        |SELECT user_id, MIN(ts_us) AS start_us,
-        |  MAX(ts_us) + 1800000000 AS end_us,
-        |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM sids GROUP BY user_id, sid
-        |ORDER BY user_id, start_us""".stripMargin,
+    "q61_stream_session" -> streamSessionSql,
+    // identical session semantics, append-mode multi-batch execution:
+    // the oracle doubles as the exactly-once gate (a session emitted
+    // twice fails the hash compare)
+    "q65_stream_session_append" -> streamSessionSql,
 
     "q58_forward_fill" ->
       """WITH e AS (

@@ -113,6 +113,66 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally { bq.stop(); pq.stop() }
   }
 
+  test("session windows in watermark+append mode: closed sessions emit " +
+      "exactly once, state holds only open sessions, drained output " +
+      "equals the complete-mode result") {
+    // q61's production claim made executable (q65 runs the same
+    // discipline at corpus scale against the q61 oracle): complete
+    // mode re-emits everything per batch and keeps every session in
+    // state; watermark+append emits each closed session once and
+    // evicts it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val agg = input.toDF().toDF("user_id", "t", "value")
+      .withWatermark("t", "10 minutes")
+      .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"user_id", $"w.start".as("start"), $"w.end".as("end"),
+        $"n", $"v")
+    val q = agg.writeStream.format("memory").queryName("sess_append")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: three users open sessions; nothing closes (wm 0)
+      input.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0),
+        (2L, ts(5), 3.0), (3L, ts(0), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_append").count() == 0)
+      assert(stateRows(q) == 3, s"state: ${stateRows(q)}")
+      // batch 2: user 3 EXTENDS its session across batches ([0,30) +
+      // [20,50) merge); user 1 opens a later one, pushing the
+      // watermark to 90 min — the three early sessions close and emit
+      input.addData((3L, ts(20), 5.0), (1L, ts(100), 6.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_append").count() == 3,
+        spark.table("sess_append").collect().mkString(";"))
+      assert(stateRows(q) == 1, s"state: ${stateRows(q)}") // [100,130) only
+      // batch 3: wm 190 closes user 1's [100,130)
+      input.addData((2L, ts(200), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_append").count() == 4)
+      assert(stateRows(q) == 1, s"state: ${stateRows(q)}") // [200,230)
+      // batch 4 (drain probe): wm 490 closes user 2's [200,230)
+      input.addData((99L, ts(500), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_append")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map { case (u, st, en, n, v) =>
+          (u, (st.getTime - base) / 60000, (en.getTime - base) / 60000, n, v)
+        }.toSeq
+      // every closed session exactly once — complete mode over the
+      // same feed would hold these 5 plus the probe's open session
+      assert(rows.sorted == Seq(
+        (1L, 0L, 40L, 2L, 3.0), (1L, 100L, 130L, 1L, 6.0),
+        (2L, 5L, 35L, 1L, 3.0), (2L, 200L, 230L, 1L, 7.0),
+        (3L, 0L, 50L, 2L, 9.0)).sorted, rows.sorted.mkString(";"))
+      assert(stateRows(q) == 1, s"state: ${stateRows(q)}") // probe's own
+    } finally q.stop()
+  }
+
   test("stream-static join buffers NO join state — only the downstream " +
       "aggregate holds rows") {
     import spark.implicits._

@@ -15,6 +15,59 @@ object SimilarityQueries {
 
   private val K = 10
 
+  /** Driver-checkable recall gate for the quantizer family (round-9
+    * verdict item 4): the learned-quantizer outputs themselves are not
+    * SQL-expressible, so their former gates were rows-only and the
+    * recall evidence lived in VectorSpec where the driver's artifact
+    * could not see it. Each s03/s04/s08/s13/s14/s15/s16 query now RUNS
+    * the full operator AND the exact brute force, and emits the
+    * measurement as its output relation — one row
+    * (k, <param>, n_queries, recall_pass) — matched by a DuckDB VALUES
+    * oracle asserting the bound. recall_pass (not the raw recall
+    * double) keeps the gate robust to corpus regeneration: the CLAIM
+    * is the bound, and a regeneration that breaks the bound should
+    * fail the gate loudly. Bounds are set to hold at both sf0.01 (the
+    * driver's gate) and sf0.1 (the bench corpus) under the fixed
+    * nlist/nprobe defaults — recall decays as a fixed quantizer serves
+    * a growing corpus, which is the documented nprobe lever, not a
+    * defect (measured: s04 0.86 → 0.76, s13 0.86 → 0.72 across that
+    * 10× growth). */
+  private def recallGate(approx: DataFrame, exact: DataFrame, k: Int,
+      param: (String, Long), bound: Double,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    // one pass: left-join the reference against the approximate hits
+    // and fold hit count, reference count, and query count in a single
+    // aggregate (referencing `exact` twice would duplicate the whole
+    // brute-force subtree in the plan)
+    exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id"), lit(1).as("hit")),
+        Seq("qid", "id"), "left")
+      .agg(count(lit(1)).as("n_ref"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        countDistinct(col("qid")).as("n_queries"))
+      .select(
+        lit(k.toLong).as("k") +: lit(param._2).as(param._1) +:
+          col("n_queries") +:
+          // empty reference (no usable corpus): recall undefined → 0,
+          // never an ANSI divide-by-zero (EdgeCaseSweepSpec contract)
+          when(col("n_ref") > 0,
+            ((col("n_hits").cast("double") / col("n_ref")) >= bound)
+              .cast("long"))
+            .otherwise(lit(0L)).as("recall_pass") +: extra: _*)
+  }
+
+  /** VALUES oracle for [[recallGate]]: n_queries derives from the
+    * table (regeneration-robust), the rest are the gate constants. */
+  private def recallOracleSql(param: (String, Long),
+      extraCols: String = ""): String =
+    s"""SELECT CAST($K AS BIGINT) AS k,
+       |  CAST(${param._2} AS BIGINT) AS ${param._1},
+       |  COUNT(DISTINCT vec_id) AS n_queries,
+       |  CAST(1 AS BIGINT) AS recall_pass$extraCols
+       |FROM embeddings
+       |WHERE vec_id < 5 AND embedding IS NOT NULL
+       |  AND len(embedding) > 0""".stripMargin
+
   // null/empty vectors carry no geometry — a real corpus contains
   // them (failed embedder calls) and every op here would have to
   // special-case them; excluded at the surface instead (the pushable
@@ -123,11 +176,16 @@ object SimilarityQueries {
     "s15_filtered_search" -> { (s, d) =>
       import s.implicits._
       import graft.ops.VectorIndex
+      val q = queriesDf(s, d)
       val dir = s"target/vindexf_${math.abs(d.hashCode.toLong)}"
       VectorIndex.build(corpusDf(s, d), dir, metaCols = Seq("label"))
-      VectorIndex.search(s, dir, queriesDf(s, d), K, nprobe = 10,
-          where = Some($"label" === 1))
-        .orderBy($"qid", $"rank")
+      val served = VectorIndex.search(s, dir, q, K, nprobe = 10,
+        where = Some($"label" === 1))
+      // the reference is the exact FILTERED brute force: only
+      // label-matching vectors count as true neighbors
+      val fexact = Similarity.bruteForceTopK(q,
+        corpusDf(s, d).filter($"label" === 1).select($"id", $"vec"), K)
+      recallGate(served, fexact, K, "nprobe" -> 10L, 0.7)
     },
 
     // ---- incremental index maintenance: append under frozen
@@ -141,28 +199,67 @@ object SimilarityQueries {
     "s16_index_append" -> { (s, d) =>
       import s.implicits._
       import graft.ops.VectorIndex
+      val q = queriesDf(s, d)
       val dir = s"target/vindexa_${math.abs(d.hashCode.toLong)}"
+      val dir2 = s"${dir}_re"
+      // append-mode cells ACCUMULATE: a reused dir from a prior run
+      // would double-append the increment (build overwrites cells, but
+      // append by definition does not) — the n_diff gate caught exactly
+      // this, so start from a clean slate every run
+      def rmRec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+      }
+      rmRec(new java.io.File(dir)); rmRec(new java.io.File(dir2))
       val corpus = corpusDf(s, d).select($"id", $"vec")
       VectorIndex.build(corpus.filter($"id" % 10 =!= 0), dir)
       VectorIndex.append(corpus.filter($"id" % 10 === 0), dir)
-      VectorIndex.search(s, dir, queriesDf(s, d), K)
-        .orderBy($"qid", $"rank")
+      val served = VectorIndex.search(s, dir, q, K)
+      // independent construction: reindexing the full corpus under the
+      // SAME frozen quantizers must serve row-identical results —
+      // append is pure incremental maintenance, never a result change
+      VectorIndex.reindex(corpus, {
+        // reuse dir's sidecars: copy quantizers, rewrite cells
+        val src = new java.io.File(dir); val dst = new java.io.File(dir2)
+        def cp(sub: String): Unit = {
+          val from = new java.io.File(src, sub).toPath
+          val to = new java.io.File(dst, sub).toPath
+          java.nio.file.Files.createDirectories(to)
+          java.nio.file.Files.list(from).forEach { p =>
+            java.nio.file.Files.copy(p, to.resolve(p.getFileName.toString),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+          }
+        }
+        cp("centroids"); cp("codebook"); dir2
+      })
+      val reserved = VectorIndex.search(s, dir2, q, K)
+      val nDiff = served.exceptAll(reserved).unionAll(reserved.exceptAll(served))
+        .agg(count(lit(1)).as("n_diff"))
+      // bound 0.6: the quantizers train on the 90% base split and the
+      // fixed nprobe=4 serves the 10× sf0.1 corpus too (measured 0.80
+      // at sf0.01, 0.64 at sf0.1 — the standard fixed-quantizer decay)
+      recallGate(served, Similarity.bruteForceTopK(q, corpus, K), K,
+        "nprobe" -> 4L, 0.6).crossJoin(nDiff)
     },
 
-    // ---- sign-LSH ANN (hash-defined; rows-only) ----
+    // ---- sign-LSH ANN: recall@10 gate vs brute force ----
+    // the low bound is the honest number: multi-probe hamming≤1 over
+    // 8 random-hyperplane bits collapses on a continuous similarity
+    // distribution (0.08-0.12 measured) — the documented reason the
+    // engine's ANN path is the learned-cell family, with sign-LSH kept
+    // as the hash-bucketing baseline
     "s03_ann_lsh" -> { (s, d) =>
       import s.implicits._
-      Similarity.annTopK(queriesDf(s, d),
-          corpusDf(s, d).select($"id", $"vec"), K)
-        .orderBy($"qid", $"rank")
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.annTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "num_bits" -> 8L, 0.05)
     },
 
-    // ---- IVF ANN (deterministic coarse quantizer; rows-only) ----
+    // ---- IVF ANN: recall@10 gate vs brute force ----
     "s04_ann_ivf" -> { (s, d) =>
       import s.implicits._
-      Similarity.ivfTopK(queriesDf(s, d),
-          corpusDf(s, d).select($"id", $"vec"), K)
-        .orderBy($"qid", $"rank")
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.ivfTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "nprobe" -> 4L, 0.7)
     },
 
     // ---- exact cosine range search (all matches, not top-k) ----
@@ -173,42 +270,45 @@ object SimilarityQueries {
         .orderBy($"qid", $"id")
     },
 
-    // ---- PQ-ADC ANN: code-compressed scan + exact re-rank ----
-    // (quantizer-defined like s03/s04 → rows-only check; recall vs
-    // brute force gated in VectorSpec)
+    // ---- PQ-ADC ANN: code-compressed scan + exact re-rank; recall
+    //      gate vs brute force ----
     "s08_pq_adc" -> { (s, d) =>
       import s.implicits._
-      Similarity.pqTopK(queriesDf(s, d),
-          corpusDf(s, d).select($"id", $"vec"), K)
-        .orderBy($"qid", $"rank")
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.pqTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "shortlist" -> 50L, 0.8)
     },
 
     // ---- IVF+PQ ANN: probed-cell, code-compressed scan + exact
     //      re-rank — s04's cell restriction composed with s08's ADC
     //      scoring, the stored-index shape a billion-vector corpus
-    //      actually serves from ----
-    // (quantizer-defined → rows-only check; recall vs brute force
-    // gated in VectorSpec next to s04/s08)
+    //      actually serves from; recall gate vs brute force ----
     "s13_ivf_pq" -> { (s, d) =>
       import s.implicits._
-      Similarity.ivfPqTopK(queriesDf(s, d),
-          corpusDf(s, d).select($"id", $"vec"), K)
-        .orderBy($"qid", $"rank")
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.ivfPqTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "nprobe" -> 4L, 0.7)
     },
 
     // ---- the same index PERSISTED: build once (cell-partitioned
     //      codes+vectors + quantizer sidecars), serve with partition
     //      pruning — probes read nprobe/nlist of the corpus off disk,
-    //      spec-asserted in the plan ----
-    // (output identical to s13 by construction, VectorSpec-gated →
-    // rows-only check)
+    //      spec-asserted in the plan. The gate adds n_diff: the served
+    //      output must be row-identical to in-memory ivfPqTopK on the
+    //      same corpus (0 differing rows), plus s13's recall bound ----
     "s14_vector_index" -> { (s, d) =>
       import s.implicits._
       import graft.ops.VectorIndex
+      val q = queriesDf(s, d)
+      val c = corpusDf(s, d).select($"id", $"vec")
       val dir = s"target/vindex_${math.abs(d.hashCode.toLong)}"
-      VectorIndex.build(corpusDf(s, d).select($"id", $"vec"), dir)
-      VectorIndex.search(s, dir, queriesDf(s, d), K)
-        .orderBy($"qid", $"rank")
+      VectorIndex.build(c, dir)
+      val served = VectorIndex.search(s, dir, q, K)
+      val inmem = Similarity.ivfPqTopK(q, c, K)
+      val nDiff = served.exceptAll(inmem).unionAll(inmem.exceptAll(served))
+        .agg(count(lit(1)).as("n_diff"))
+      recallGate(served, Similarity.bruteForceTopK(q, c, K), K,
+        "nprobe" -> 4L, 0.7).crossJoin(nDiff)
     },
 
     // ---- MMR re-rank: diversified retrieval (Carbonell & Goldstein
@@ -453,6 +553,18 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // quantizer family: the recall-gate relations (see recallGate) —
+    // formerly rows-only, now full rows+schema+hash entries
+    "s03_ann_lsh" -> recallOracleSql("num_bits" -> 8L),
+    "s04_ann_ivf" -> recallOracleSql("nprobe" -> 4L),
+    "s08_pq_adc" -> recallOracleSql("shortlist" -> 50L),
+    "s13_ivf_pq" -> recallOracleSql("nprobe" -> 4L),
+    "s14_vector_index" -> recallOracleSql("nprobe" -> 4L,
+      ",\n  CAST(0 AS BIGINT) AS n_diff"),
+    "s15_filtered_search" -> recallOracleSql("nprobe" -> 10L),
+    "s16_index_append" -> recallOracleSql("nprobe" -> 4L,
+      ",\n  CAST(0 AS BIGINT) AS n_diff"),
+
     "s11_mmr_rerank" -> mmrSql,
 
     "s12_knn_graph" ->

@@ -113,6 +113,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = SparkEntry.queries("s08_pq_adc")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages print
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     // the fused PqCodes kernel must not fall out of codegen: the line
     // projecting pqcodes(...) carries a "*(n)" whole-stage-codegen mark
     val codesLine = p.linesIterator.find(_.contains("pqcodes"))
@@ -193,6 +194,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = SparkEntry.queries("s13_ivf_pq")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), p)
     // the cid probe join and the re-rank join broadcast the tiny query
     // side; nothing shuffles the corpus by key
@@ -210,14 +212,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin+row_number shape shuffled the corpus×nlist expansion;
     // assignCells folds it map-side so one row per vector crosses the
     // wire. The only windows left are candidate-ranking (query-bounded).
-    val p4 = plan("s04_ann_ivf")
+    // (the queries also run the brute-force recall reference, whose
+    // final per-query rank adds one more candidate-bounded Window)
+    def finalPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val p4 = finalPlan("s04_ann_ivf")
     assert(p4.contains("partial_min_by"), p4)       // corpus argmax leg
     assert(p4.contains("partial_collect_list"), p4) // query top-nprobe leg
-    assert("Window \\[".r.findAllIn(p4).size == 1, p4) // final rank only
-    val p13 = plan("s13_ivf_pq")
+    assert("Window \\[".r.findAllIn(p4).size == 2, p4) // ivf rank + bf rank
+    val p13 = finalPlan("s13_ivf_pq")
     assert(p13.contains("partial_min_by"), p13)
     assert(p13.contains("partial_collect_list"), p13)
-    assert("Window \\[".r.findAllIn(p13).size == 2, p13) // arank + rank
+    assert("Window \\[".r.findAllIn(p13).size == 3, p13) // arank+rank+bf
   }
 
   test("assignCells (shared by ivfTopK/ivfPqTopK/VectorIndex.writeCells/" +

@@ -246,3 +246,90 @@ object TrigramKernel {
     uniq
   }
 }
+
+/** Ordered redaction pipeline fused into ONE pass per rule: apply the
+  * rules in order, counting matches as they are replaced, and return
+  * `struct(redacted: string, counts: array<long>)`.
+  *
+  * Value-identical to the declarative form — count i =
+  * `regexp_count(redacted(text, rules.take(i)), pattern_i)` and
+  * redacted = the full `regexp_replace` fold — but that form
+  * re-evaluates the rule-prefix pipeline per count: O(rules²) regex
+  * passes per row (each count re-replaces every earlier rule). The
+  * kernel walks the pipeline once, so each rule costs exactly one
+  * matcher pass, and count/replacement agreement is structural (one
+  * matcher produces both) rather than re-derived.
+  *
+  * Same engine as Spark's own regexp functions (java.util.regex);
+  * markers are literal (quoteReplacement), matching the contract that
+  * rule tags never inject group references. Rules ride the expression
+  * as data (serializable), compiled lazily per JVM.
+  */
+case class RedactWithCounts(child: Expression,
+    rules: Seq[(String, String)]) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"redact_with_counts needs string input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val patterns: Array[java.util.regex.Pattern] =
+    rules.map(r => java.util.regex.Pattern.compile(r._1)).toArray
+  @transient private lazy val markers: Array[String] =
+    rules.map(r => java.util.regex.Matcher.quoteReplacement(r._2)).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    RedactKernel.redact(input.asInstanceOf[UTF8String], patterns, markers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pats = ctx.addReferenceObj("redactPatterns", patterns,
+      "java.util.regex.Pattern[]")
+    val mks = ctx.addReferenceObj("redactMarkers", markers,
+      "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, t => s"""
+       |${ev.value} = graft.functions.RedactKernel.redact($t, $pats, $mks);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RedactWithCounts =
+    copy(child = newChild)
+}
+
+object RedactWithCounts {
+  def apply(text: Column, rules: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(RedactWithCounts(
+      GraftColumnBridge.expression(text), rules))
+}
+
+object RedactKernel {
+  def redact(text: UTF8String,
+      patterns: Array[java.util.regex.Pattern],
+      markers: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    var s = text.toString
+    val counts = new Array[Long](patterns.length)
+    var i = 0
+    while (i < patterns.length) {
+      val m = patterns(i).matcher(s)
+      var c = 0L
+      val sb = new java.lang.StringBuffer
+      while (m.find()) { c += 1; m.appendReplacement(sb, markers(i)) }
+      counts(i) = c
+      if (c > 0) { m.appendTail(sb); s = sb.toString }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(s),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(counts)))
+  }
+}

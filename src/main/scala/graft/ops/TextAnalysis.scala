@@ -113,15 +113,28 @@ object TextAnalysis {
   def redacted(text: Column, rules: Seq[RedactRule]): Column =
     rules.foldLeft(text)((t, r) => regexp_replace(t, r.pattern, r.marker))
 
+  /** The full ordered pipeline in ONE pass per rule: `struct(redacted,
+    * counts)` from the fused [[graft.functions.RedactWithCounts]]
+    * kernel — each rule pays exactly one matcher pass, where deriving
+    * each count from the re-built rule prefix costs O(rules²) regex
+    * passes per row. Count i is taken on the text after rules 1..i-1
+    * (the sequential contract), structurally: one matcher produces
+    * both the count and the replacement. */
+  def redactWithCounts(text: Column, rules: Seq[RedactRule]): Column =
+    graft.functions.RedactWithCounts(text,
+      rules.map(r => (r.pattern, r.marker)))
+
   /** Per-rule match counts under the same sequential contract as
     * [[redacted]]: count i is taken on the text AFTER rules 1..i-1
     * applied, so counts and replacements always agree. Returned in
-    * rule order. */
-  def redactCounts(text: Column, rules: Seq[RedactRule]): Seq[Column] =
-    rules.indices.map { i =>
-      regexp_count(redacted(text, rules.take(i)), lit(rules(i).pattern))
-        .cast("long")
-    }
+    * rule order. Extractions over one shared [[redactWithCounts]]
+    * struct — whole-stage codegen's subexpression elimination
+    * evaluates the kernel once per row when several counts (or the
+    * redacted text) appear in the same projection. */
+  def redactCounts(text: Column, rules: Seq[RedactRule]): Seq[Column] = {
+    val r = redactWithCounts(text, rules)
+    rules.indices.map(i => element_at(r.getField("counts"), i + 1))
+  }
 
   /** Adjacent-token bigrams (array column). Guarded for sub-2-token
     * documents: `sequence(0, n-2)` DESCENDS when n < 2 (Spark's

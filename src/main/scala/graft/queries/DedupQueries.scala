@@ -129,11 +129,31 @@ object DedupQueries {
         .orderBy($"oid", $"nid")
     },
 
-    // ---- SimHash near-dup pairs (hash-defined; rows-only check) ----
+    // ---- SimHash near-dup pairs: exactness gate ----
+    // the pair set is xxhash64-defined, so no DuckDB oracle can
+    // recompute it (and a VALUES pair fixture would break on every
+    // corpus regeneration). The d03 CLAIM is exactness — the
+    // Manku-pigeonhole banding finds exactly the pairs with
+    // hamming ≤ 4 — so the query emits that measurement: the banded
+    // result diffed against an in-plan all-pairs brute force over the
+    // same signatures (the DedupKernelSpec gate, now in the driver's
+    // artifact). n_missed/n_extra must be structurally 0; n_docs
+    // derives from the table, so the gate survives regeneration.
     "d03_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      Dedup.simhashPairs(load(s, d, "documents"), "doc_id", "text")
-        .orderBy($"a", $"b")
+      val docs = load(s, d, "documents")
+      val got = Dedup.simhashPairs(docs, "doc_id", "text")
+        .select($"a", $"b")
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 64)
+      val brute = broadcast(sigs.select($"id".as("a"), $"sig".as("siga")))
+        .join(sigs.select($"id".as("b"), $"sig".as("sigb")), $"a" < $"b")
+        .filter(Dedup.hamming($"siga", $"sigb") <= 4)
+        .select($"a", $"b")
+      val missed = brute.exceptAll(got).agg(count(lit(1)).as("n_missed"))
+      val extra = got.exceptAll(brute).agg(count(lit(1)).as("n_extra"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select($"n_docs", lit(4L).as("max_hamming"))
+        .crossJoin(missed).crossJoin(extra)
     },
 
     // ---- blocked n-gram Jaccard pairs ----
@@ -440,6 +460,13 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // d03: exactness gate (see the query) — the pair set itself is
+    // xxhash64-defined; the oracleable claim is banded ≡ brute force
+    "d03_simhash_pairs" ->
+      """SELECT COUNT(*) AS n_docs, CAST(4 AS BIGINT) AS max_hamming,
+        |  CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra
+        |FROM documents""".stripMargin,
+
     "d01_exact_dedup" ->
       """SELECT lang, source, doc_id, n_dups FROM (
         |  SELECT lang, source, doc_id,

@@ -423,13 +423,18 @@ object Text {
     "t20_redact" -> { (s, d) =>
       import s.implicits._
       val rules = RedactGateRules
-      val counts = TextAnalysis.redactCounts($"text", rules)
+      // ONE kernel eval per row: counts and the redacted text come out
+      // of the same fused RedactWithCounts struct (CollapseProject
+      // keeps the non-cheap struct staged rather than inlining four
+      // copies), so each rule costs exactly one matcher pass
       load(s, d, "documents")
         .select($"doc_id",
-          counts(0).as("n_email"),
-          counts(1).as("n_ip"),
-          counts(2).as("n_term"),
-          TextAnalysis.redacted($"text", rules).as("text_red"))
+          TextAnalysis.redactWithCounts($"text", rules).as("r"))
+        .select($"doc_id",
+          element_at($"r.counts", 1).as("n_email"),
+          element_at($"r.counts", 2).as("n_ip"),
+          element_at($"r.counts", 3).as("n_term"),
+          $"r.redacted".as("text_red"))
         .orderBy($"doc_id")
     },
 

@@ -157,9 +157,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p)
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert("Exchange".r.findAllIn(p).size <= 1, p)
-    val redLine = p.linesIterator.find(_.contains("regexp_replace"))
+    // the fused kernel runs ONCE per row (struct staged, fields
+    // extracted) inside a codegen stage — not one re-built rule-prefix
+    // pipeline per count
+    val redLine = p.linesIterator.find(_.contains("redactwithcounts"))
     assert(redLine.exists(_.contains("*(")),
-      s"redaction projection not inside a codegen stage:\n$p")
+      s"redaction kernel not inside a codegen stage:\n$p")
+    assert("redactwithcounts".r.findAllIn(p).size == 1,
+      s"kernel must evaluate once per row, not per extracted field:\n$p")
   }
 
   test("d19: index lookup never shuffles the indexed relations — " +

@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
 
 /** CDC apply: collapse change events to the latest per primary key and
   * merge them into the current table state with soft deletes —
@@ -58,14 +59,66 @@ object Apply {
     state match {
       case None => incoming
       case Some(cur) =>
-        // schema drift: align payload columns on both sides
+        // schema drift: align payload columns on both sides, recursing
+        // into STRUCT columns — the reference's Avro conversion is
+        // recursive, so drift lands at any depth; a nested add must
+        // null-fill on the side missing it (mirroring SchemaDrift's
+        // widen-only policy) or the merge's CASE WHEN would see two
+        // different struct types and fail analysis
         val curPayload = cur.columns.filterNot(MetaCols.contains)
         val newPayload = incoming.columns.filterNot(MetaCols.contains)
         val allPayload = (curPayload ++ newPayload.filterNot(curPayload.contains)).toSeq
+        def widenType(a: org.apache.spark.sql.types.DataType,
+            b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+          (a, b) match {
+            case (as: StructType, bs: StructType) =>
+              val aNames = as.fieldNames.toSet
+              StructType(as.fields.map { af =>
+                bs.fields.find(_.name == af.name) match {
+                  case Some(bf) =>
+                    af.copy(dataType = widenType(af.dataType, bf.dataType))
+                  case None => af // dropped nested field stays, null-filled
+                }
+              } ++ bs.fields.filterNot(bf => aNames(bf.name))
+                .map(_.copy(nullable = true)))
+            // non-struct disagreement: keep current (CdcTable rejects
+            // incompatible type drift before the merge ever runs)
+            case _ => a
+          }
+        val curTypes = cur.schema.map(f => f.name -> f.dataType).toMap
+        val incTypes = incoming.schema.map(f => f.name -> f.dataType).toMap
+        val tpe: Map[String, org.apache.spark.sql.types.DataType] =
+          allPayload.map { c =>
+            c -> ((curTypes.get(c), incTypes.get(c)) match {
+              case (Some(a), Some(b)) => widenType(a, b)
+              case (Some(a), None) => a
+              case (None, b) => b.get
+            })
+          }.toMap
+        def alignExpr(e: Column,
+            from: org.apache.spark.sql.types.DataType,
+            to: org.apache.spark.sql.types.DataType): Column =
+          (from, to) match {
+            case (f, t) if f == t => e
+            case (f: StructType, t: StructType) =>
+              val fByName = f.fields.map(x => x.name -> x).toMap
+              // preserve null STRUCTS: struct() of null fields would
+              // fabricate a non-null row
+              when(e.isNull, lit(null).cast(t)).otherwise(
+                struct(t.fields.toSeq.map { tf =>
+                  (fByName.get(tf.name) match {
+                    case Some(ff) => alignExpr(e.getField(tf.name),
+                      ff.dataType, tf.dataType)
+                    case None => lit(null).cast(tf.dataType)
+                  }).as(tf.name)
+                }: _*))
+            case _ => e
+          }
         def align(df: DataFrame, have: Seq[String]): DataFrame = {
-          val tpe = (incoming.schema ++ cur.schema).map(f => f.name -> f.dataType).toMap
+          val haveTypes = df.schema.map(f => f.name -> f.dataType).toMap
           df.select(allPayload.map(c =>
-            if (have.contains(c)) col(c)
+            if (have.contains(c))
+              alignExpr(col(c), haveTypes(c), tpe(c)).as(c)
             else lit(null).cast(tpe(c)).as(c)) ++ MetaCols.map(col): _*)
         }
         val s = align(cur, curPayload.toSeq).as("s")

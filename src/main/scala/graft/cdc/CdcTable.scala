@@ -172,7 +172,8 @@ class CdcTable(
         SchemaDrift.diff(curPayload, incomingPayload).map { changes =>
           val widened = SchemaDrift.widen(curPayload, changes) // validates
           val added = changes.collect {
-            case SchemaDrift.AddColumn(f) => s"\"${f.name}\""
+            case a: SchemaDrift.AddColumn =>
+              s"\"${SchemaDrift.qualifiedName(a)}\""
           }
           (s"""{"version": $next, "event": "ALTER_TABLE", """ +
             s""""added": ${added.mkString("[", ",", "]")}, """ +
@@ -532,16 +533,21 @@ class CdcTable(
           .parquet(stagingPath.resolve(dest).toString)
         b -> stagingPath.resolve(dest)
       }
-      val rewritten =
-        try publishAndCommit(next, m, staged)
-        finally deleteRecursively(stagingPath)
-      // one scan of the rewritten (batch-sized, not table-sized) data
-      // computes per-file stats for every clustered column; all-null
-      // files get no stats line and simply stay unpruned. Stats land
-      // AFTER the manifest commit: a lost race appends nothing, and a
-      // reader in the gap merely scans the new files unpruned.
+      // per-file stats from the STAGED data (identical bytes: publish
+      // is an atomic dir move preserving part-file names, so the
+      // relative "b<b>-v<next>/part-*" keys match the published
+      // layout); all-null files get no stats line and simply stay
+      // unpruned. The lines wait in the STAGING dir and move into
+      // place only after the manifest CAS succeeds: a lost race or a
+      // crash before commit deletes them with the staging sweep —
+      // zero orphan stats lines can ever exist for an uncommitted
+      // version (DataSkippingSpec injects the race). A crash in
+      // the window AFTER the commit merely loses the stats: the new
+      // files scan unpruned until the next clustering pass (the
+      // OPTIMIZE freshness model — pruning is an optimization, never
+      // a correctness gate).
       val statRows = spark.read
-        .parquet(rewritten.values.map(d => s"$path/$d").toSeq: _*)
+        .parquet(staged.map(_._2.toString): _*)
         .groupBy(input_file_name().as("f"))
         .agg(cols.flatMap(c =>
           Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))).head,
@@ -559,20 +565,42 @@ class CdcTable(
           }
         }
       }
+      val statsTmp = stagingPath.resolve(s"_filestats-$next.jsonl")
       if (statLines.nonEmpty)
-        Files.write(statsFile, statLines.mkString("", "\n", "\n").getBytes,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        Files.write(statsTmp, statLines.mkString("", "\n", "\n").getBytes)
+      try {
+        publishAndCommit(next, m, staged)
+        if (statLines.nonEmpty)
+          Files.move(statsTmp, dir.resolve(s"_filestats-$next.jsonl"),
+            StandardCopyOption.ATOMIC_MOVE)
+      } finally deleteRecursively(stagingPath)
       next
     }
 
+  /** All stats sidecar text: the per-version `_filestats-<v>.jsonl`
+    * files (each visible only after its version's manifest CAS — see
+    * clusterZOrder) plus the legacy append-only `_filestats.jsonl`
+    * for tables written before the versioned discipline. Stats are
+    * keyed by immutable relative file path, so lines for files no
+    * longer in the current manifest are inert, never wrong. */
+  private def statsText: String = {
+    val legacy =
+      if (Files.exists(statsFile)) Seq(new String(Files.readAllBytes(statsFile)))
+      else Nil
+    val versioned = withListing(dir)(_.toSeq
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("_filestats-") && n.endsWith(".jsonl"))
+      .sorted)
+      .map(n => new String(Files.readAllBytes(dir.resolve(n))))
+    (legacy ++ versioned).mkString("\n")
+  }
+
   /** Recorded [min,max] per relative file path for column `c`. */
   private def fileStats(c: String): Map[String, (BigDecimal, BigDecimal)] =
-    if (!Files.exists(statsFile)) Map.empty
-    else ("\\{\"file\": \"([^\"]+)\", \"col\": \"" +
+    ("\\{\"file\": \"([^\"]+)\", \"col\": \"" +
       java.util.regex.Pattern.quote(c) +
       "\", \"min\": \"([^\"]+)\", \"max\": \"([^\"]+)\"\\}").r
-      .findAllMatchIn(new String(Files.readAllBytes(statsFile)))
+      .findAllMatchIn(statsText)
       .map(m => m.group(1) -> (BigDecimal(m.group(2)), BigDecimal(m.group(3))))
       .toMap
 
@@ -675,9 +703,9 @@ class CdcTable(
         // record there is
         Files.copy(schemaFile, clone.dir.resolve("_schema.json"),
           StandardCopyOption.REPLACE_EXISTING)
-      if (Files.exists(statsFile)) {
+      locally {
         val dirs = m.values.toSet
-        val kept = new String(Files.readAllBytes(statsFile)).split("\n")
+        val kept = statsText.split("\n")
           .filter(_.nonEmpty).flatMap { line =>
             "\"file\": \"([^\"]+)\"".r.findFirstMatchIn(line).flatMap { fm =>
               val d = fm.group(1).split("/").dropRight(1).mkString("/")
@@ -687,8 +715,11 @@ class CdcTable(
               else None
             }
           }
+        // versioned name, written after the clone's v0 manifest above —
+        // the same stats-follow-manifest ordering clusterZOrder commits
+        // under
         if (kept.nonEmpty)
-          Files.write(clone.dir.resolve("_filestats.jsonl"),
+          Files.write(clone.dir.resolve("_filestats-0.jsonl"),
             kept.mkString("", "\n", "\n").getBytes)
       }
       Files.write(clonesFile,

@@ -174,4 +174,46 @@ class DataSkippingSpec extends AnyFunSuite {
     t.clusterBy("v", filesPerBucket = 4)
     assert(t.scanWhere("v", BigDecimal(1000), BigDecimal(2000)).get.count() == 0L)
   }
+
+  test("stats commit rides the manifest CAS: a clusterBy that loses the " +
+      "race leaves ZERO orphan stats lines (crash injection)") {
+    val dirS = tmp("skipcas")
+    val t = seed(dirS, nBuckets = 4) // committed v0
+    // inject the race: a concurrent writer has already published a
+    // v1 bucket dir (but not its manifest — ManifestTail would roll
+    // forward over a committed one). clusterBy stages its rewrite,
+    // computes and stages the stats lines, then loses the publish —
+    // the exact "stats written, manifest not" window of the round-8
+    // limitation
+    Files.createDirectory(Paths.get(dirS, "b0-v1"))
+    intercept[graft.cdc.ConcurrentCommitException] { t.clusterBy("v") }
+    // zero orphans: no versioned stats file became visible, no legacy
+    // sidecar was appended, no staging residue
+    val residue = Files.list(Paths.get(dirS)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (residue.hasNext) names += residue.next().getFileName.toString
+    assert(!names.exists(_.startsWith("_filestats")), names.toSeq)
+    assert(!names.exists(_.contains("staging")), names.toSeq)
+    // and pruning metadata is genuinely empty: every file is kept
+    val (kept, total) = t.filesFor("v", BigDecimal(0), BigDecimal(0))
+    assert(kept.size == total, s"stats from an uncommitted version " +
+      s"pruned files: ${kept.size} of $total")
+  }
+
+  test("stats file appears only WITH its committed version, and a " +
+      "recovered retry re-records stats") {
+    val dirS = tmp("skipcas2")
+    val t = seed(dirS, nBuckets = 4)
+    assert(t.clusterBy("v", filesPerBucket = 4).contains(1L))
+    // the stats sidecar is version-named and its manifest exists
+    assert(Files.exists(Paths.get(dirS, "_filestats-1.jsonl")))
+    assert(Files.exists(Paths.get(dirS, "manifest-1.json")))
+    // a later clustering pass commits v2 with its own stats — both
+    // versions' lines resolve (keys are immutable file paths)
+    assert(t.clusterBy("v", filesPerBucket = 2).contains(2L))
+    assert(Files.exists(Paths.get(dirS, "_filestats-2.jsonl")))
+    val (kept, total) = t.filesFor("v", BigDecimal(10), BigDecimal(19))
+    assert(total > 0 && kept.size < total,
+      s"post-retry pruning lost: ${kept.size} of $total")
+  }
 }

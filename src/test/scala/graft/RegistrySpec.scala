@@ -139,4 +139,64 @@ class RegistrySpec extends AnyFunSuite {
       SchemaDrift.widen(cur, SchemaDrift.diff(cur, incBad).get)
     }
   }
+
+  test("schema drift recurses into structs: add/drop/rename/type-change " +
+      "at depth >= 2") {
+    // the reference's Avro conversion is recursive
+    // (DatastreamEventConsumer.java:97-180), so drift lands inside
+    // nested records too
+    def geo(fields: StructField*) = StructField("geo", StructType(fields))
+    def props(fields: StructField*) =
+      StructField("props", StructType(fields))
+    val cc = StructField("cc", StringType)
+    val cur = StructType(Seq(StructField("A", LongType),
+      props(StructField("tier", StringType), geo(cc))))
+
+    // nested ADD at depth 2: props.geo.region appears
+    val region = StructField("region", StringType, nullable = false)
+    val incAdd = StructType(Seq(StructField("A", LongType),
+      props(StructField("tier", StringType), geo(cc, region))))
+    val ch = SchemaDrift.diff(cur, incAdd).get
+    assert(ch == Seq(SchemaDrift.AddColumn(region, Seq("props", "geo"))), ch)
+    assert(ch.collect { case a: SchemaDrift.AddColumn =>
+      SchemaDrift.qualifiedName(a) } == Seq("props.geo.region"))
+    val widened = SchemaDrift.widen(cur, ch)
+    val wGeo = widened("props").dataType.asInstanceOf[StructType]("geo")
+      .dataType.asInstanceOf[StructType]
+    assert(wGeo.fieldNames.toSeq == Seq("cc", "region"))
+    assert(wGeo("region").nullable) // nested adds always nullable
+
+    // nested DROP: geo loses cc — NOT drift (the column stays; the
+    // merge null-fills it), same policy as a top-level drop
+    val incDrop = StructType(Seq(StructField("A", LongType),
+      props(StructField("tier", StringType), geo())))
+    assert(SchemaDrift.diff(cur, incDrop).isEmpty)
+
+    // nested RENAME = drop + add: cc -> country keeps cc, adds country
+    val country = StructField("country", StringType)
+    val incRen = StructType(Seq(StructField("A", LongType),
+      props(StructField("tier", StringType), geo(country))))
+    val chR = SchemaDrift.diff(cur, incRen).get
+    assert(chR == Seq(SchemaDrift.AddColumn(country, Seq("props", "geo"))))
+    val widenedR = SchemaDrift.widen(cur, chR)
+    assert(widenedR("props").dataType.asInstanceOf[StructType]("geo")
+      .dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("cc", "country"))
+
+    // nested TYPE change at depth 2 → rejected with the full path
+    val incBadNested = StructType(Seq(StructField("A", LongType),
+      props(StructField("tier", StringType),
+        geo(StructField("cc", LongType)))))
+    val e = intercept[IllegalArgumentException] {
+      SchemaDrift.widen(cur, SchemaDrift.diff(cur, incBadNested).get)
+    }
+    assert(e.getMessage.contains("props.geo.cc"), e.getMessage)
+
+    // struct-vs-scalar at depth 1 is a type change, not a merge
+    val incFlat = StructType(Seq(StructField("A", LongType),
+      StructField("props", StringType)))
+    assertThrows[IllegalArgumentException] {
+      SchemaDrift.widen(cur, SchemaDrift.diff(cur, incFlat).get)
+    }
+  }
 }

@@ -214,6 +214,48 @@ class TableMaintenanceSpec extends AnyFunSuite {
     assert(c1.payloadSchema.get.fieldNames.contains("extra"))
   }
 
+  test("NESTED schema drift through applyBatch: ALTER_TABLE records the " +
+      "qualified column and old rows null-fill the nested add") {
+    import spark.implicits._
+    def ev(pk: Long, withPlan: Boolean, seq: Long) = {
+      val props =
+        if (withPlan) struct(lit("gold").as("tier"), lit("pro").as("plan"))
+        else struct(lit("gold").as("tier"))
+      Seq(pk).toDF("pk")
+        .select(struct($"pk", props.as("props")).as("row"),
+          lit("INSERT").as("op"),
+          struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+            lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key"))
+    }
+    // ONE bucket: the drifted batch and the pre-drift rows meet inside
+    // the same merge, so the nested alignment (not just parquet
+    // mergeSchema across bucket dirs) is what's under test
+    val t = new CdcTable(spark, tmp("nesteddrift"), Seq("pk"), numBuckets = 1)
+    t.applyBatch(ev(1L, withPlan = false, 0L), 0L) // v0: CREATE
+    t.applyBatch(ev(2L, withPlan = true, 1L), 1L)  // v1: nested ALTER
+    val alter = t.ddlEvents.find(_.contains("ALTER_TABLE")).get
+    assert(alter.contains("\"props.plan\""), alter)
+    // committed schema carries the nested add, nullable
+    val propsT = t.payloadSchema.get("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(propsT.fieldNames.toSeq == Seq("tier", "plan"))
+    assert(propsT("plan").nullable)
+    // old row null-fills the nested field; new row carries it
+    val byPk = t.state.get.select($"pk", $"props.tier", $"props.plan")
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byPk(1L) == (("gold", None)), byPk)
+    assert(byPk(2L) == (("gold", Some("pro"))), byPk)
+    // a nested DROP batch is NOT drift: no new DDL, column survives
+    t.applyBatch(ev(3L, withPlan = false, 2L), 2L)
+    assert(t.ddlEvents.count(_.contains("ALTER_TABLE")) == 1)
+    val byPk2 = t.state.get.select($"pk", $"props.tier", $"props.plan")
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byPk2(3L) == (("gold", None)), byPk2)
+    assert(byPk2(2L) == (("gold", Some("pro"))), byPk2)
+  }
+
   test("shallow clone reads the source version zero-copy and evolves " +
       "independently") {
     val srcDir = tmp("clonesrc")

@@ -87,12 +87,25 @@ object AsOfJoin {
 
   /** Nearest as-of join: for each left row, the right row whose
     * `rightOn` is CLOSEST in either direction (pandas
-    * `merge_asof(direction='nearest')`), ties broken backward
-    * (earlier right row wins). Both candidate frames — running max
-    * over (-inf, 0] and running min over [0, +inf) — share one
-    * partitioning AND ordering, so Catalyst evaluates them over a
-    * single shuffle + sort; the pick is a per-row comparison. Equal
-    * timestamps count as distance 0 (RANGE frames include peers). */
+    * `merge_asof(direction='nearest')` distance semantics), ties
+    * broken backward (earlier right row wins). Both candidate
+    * frames — running max over (-inf, 0] and running min over
+    * [0, +inf) — share one partitioning AND ordering, so Catalyst
+    * evaluates them over a single shuffle + sort; the pick is a
+    * per-row comparison. Equal timestamps count as distance 0 (RANGE
+    * frames include peers).
+    *
+    * Payload tie convention among DUPLICATE right timestamps: the
+    * backward candidate resolves by max payload struct (largest
+    * payload wins — the same rule [[backward]] documents), the
+    * forward candidate by min (smallest wins) — each frame's
+    * aggregate orders (timestamp, payload…) lexicographically, and
+    * inverting the payload order inside one frame would need a
+    * type-specific negation. Both differ from pandas, which takes
+    * the LAST right row in input order (an order a shuffled relation
+    * doesn't have). With `rightPayload` empty — the attribution
+    * shape q64 gates — duplicate timestamps are indistinguishable
+    * and the convention is unobservable. */
   def nearest(
       left: DataFrame,
       right: DataFrame,

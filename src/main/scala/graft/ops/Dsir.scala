@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Per-doc importance scores: (id, score double, n_bigrams long).
-    * Docs with no bigrams (< 2 tokens) score 0 with n_bigrams 0.
+    * Docs with no bigrams (< 2 tokens) are ABSENT from the output —
+    * they contribute no feature occurrences, so callers that need a
+    * row per document must left-outer-join and coalesce(score, 0)
+    * (the t21 query does exactly this; DsirSpec pins the absence).
     *
     * `targetPred` marks the target-domain rows (evaluated on `docs`'
     * columns); a null predicate row counts as non-target. An empty
@@ -96,10 +99,14 @@ object Dsir {
     * comparable across strata of different sizes.
     *
     * Returns (group, n_tokens, divergence double — unrounded; gates
-    * round). Scale shape: the corpus shuffles once on the token key
-    * (stratum-word and target-word counts fold in the same
-    * aggregate pass), per-stratum totals broadcast back, and the
-    * final rollup is |strata|-sized.
+    * round). Scale shape: the corpus is tokenized/exploded ONCE and
+    * shuffled once, on the (stratum, word) key, carrying both the
+    * stratum count and the target-occurrence count; the target-word
+    * relation derives by re-aggregating that vocab×strata-bounded
+    * result (persisted for the query's scope — it is metadata-sized
+    * next to the corpus, and deriving it from the corpus again would
+    * re-run the explode per consumer), per-stratum totals broadcast
+    * back, and the final rollup is |strata|-sized.
     */
   def divergence(
       docs: DataFrame,
@@ -115,8 +122,13 @@ object Dsir {
       .select(col("g"), col("tgt"),
         explode(TextAnalysis.tokens(col("__text"))).as("w"))
 
-    val sw = tk.groupBy(col("g"), col("w")).agg(count(lit(1)).as("cs"))
-    val tw = tk.groupBy(col("w")).agg(count(when(col("tgt"), 1)).as("ct"))
+    // ONE pass over the corpus: (g, w) carries the stratum count AND
+    // the target-occurrence count, so tw/totG/tot all derive from
+    // this vocab×strata-bounded relation instead of re-exploding
+    val sw = tk.groupBy(col("g"), col("w"))
+      .agg(count(lit(1)).as("cs"), count(when(col("tgt"), 1)).as("cst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tw = sw.groupBy(col("w")).agg(sum(col("cst")).cast("long").as("ct"))
     val totG = sw.groupBy(col("g")).agg(sum(col("cs")).cast("long").as("ns"))
     val tot = tw.agg(sum(col("ct")).cast("long").as("nt"),
       count(lit(1)).as("v"))

@@ -100,7 +100,9 @@ class DsirSpec extends AnyFunSuite {
     val ref = reference(corpus, bucketOf)
     corpus.foreach { case (id, _, _) =>
       val (rs, rn) = ref(id)
-      if (rn > 0) {
+      if (rn == 0) assert(!got.contains(id), // mirror the exact-mode gate:
+        s"id=$id: spurious row for a zero-bigram doc in hashed mode")
+      else {
         val (gs, gn) = got(id)
         assert(gn == rn && math.abs(gs - rs) < 1e-9, s"id=$id")
       }

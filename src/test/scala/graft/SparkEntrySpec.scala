@@ -35,10 +35,15 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("rows-only queries are the documented hash-defined set") {
+    // round 9 moved the quantizer family (s03/s04/s08/s13-s16) and d03
+    // to driver-checkable measurement gates (recall/exactness relations
+    // with VALUES oracles); what remains rows-only: the √N-kmeans
+    // variant (d16 — learned clustering over a derived corpus), the
+    // codec stub (m03 — sandbox ships no media codecs), and the
+    // approximate sketches (q30 — engine-specific sketch internals,
+    // bounds spec-gated in SketchSpec)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d03_simhash_pairs", "s03_ann_lsh",
-      "s04_ann_ivf", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
-      "s15_filtered_search", "s16_index_append", "m03_fake_features",
+    assert(rowsOnly == Set("m03_fake_features",
       "q30_approx_sketches", "d16_semantic_dedup_scaled"), rowsOnly)
   }
 }

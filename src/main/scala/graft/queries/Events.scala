@@ -317,10 +317,7 @@ object Events {
       deleteRec(stage); stage.mkdirs()
       val tmp = new java.io.File(stage, "_tmp") // _-prefixed: unlisted
       val mtime0 = System.currentTimeMillis() - 3600L * 1000
-      def emit(i: Int, df: DataFrame): Unit = {
-        deleteRec(tmp)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles.filter(_.getName.endsWith(".parquet")).head
+      def place(i: Int, part: java.io.File): Unit = {
         val dst = new java.io.File(stage, f"slice$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath)
         // explicit, strictly increasing mtimes: the file source orders
@@ -329,19 +326,34 @@ object Events {
         dst.setLastModified(mtime0 + i * 2000L)
         ()
       }
-      for (i <- 0 until slices)
-        emit(i, evd.filter(floor(($"ts_us" - mn) / span) === i)
-          .select($"user_id", $"t", $"value"))
+      // ONE corpus pass stages every slice: repartition on the slice
+      // key puts each slice's rows in one task, so partitionBy writes
+      // exactly one part file per slice dir (8 filtered scans before —
+      // measured ~2× the staging cost at sf0.1)
+      evd.select($"user_id", $"t", $"value",
+          floor(($"ts_us" - mn) / span).cast("int").as("slice"))
+        .repartition(slices, $"slice")
+        .write.mode("overwrite").partitionBy("slice").parquet(tmp.getPath)
+      for {
+        i <- 0 until slices
+        d = new java.io.File(tmp, s"slice=$i") if d.isDirectory
+        part <- d.listFiles.filter(_.getName.endsWith(".parquet")).headOption
+      } place(i, part)
       // TWO sentinels: the watermark advances at the END of the batch
       // that read sentinel 1, and closed sessions emit in the NEXT
       // batch — sentinel 2 is that batch (without it the final ~gap of
       // real sessions stays in state forever; measured: 7 sessions
       // short at sf0.01)
-      for (j <- 0 to 1)
-        emit(slices + j, Seq((-1L,
+      for (j <- 0 to 1) {
+        val sdir = new java.io.File(tmp, s"sent$j")
+        Seq((-1L,
             new java.sql.Timestamp((mx + (j + 1) * 86_400_000_000L) / 1000),
             0.0))
-          .toDF("user_id", "t", "value"))
+          .toDF("user_id", "t", "value")
+          .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
+        place(slices + j,
+          sdir.listFiles.filter(_.getName.endsWith(".parquet")).head)
+      }
       deleteRec(tmp)
 
       val schema = org.apache.spark.sql.types.StructType(Seq(

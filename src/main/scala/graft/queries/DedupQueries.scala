@@ -449,17 +449,59 @@ object DedupQueries {
     //      cheap next to the dedup itself); quantizer-defined →
     //      rows-only check, greedy stage brute-force-gated in
     //      DedupKernelSpec ----
+    // GATE (round 9): the (vec_id, cluster, kept) relation is
+    // quantizer-defined, but the greedy-dedup CLAIM is checkable from
+    // the OUTPUT alone, whatever the clusters are:
+    //  - no two KEPT vectors in one cluster with cos >= tau (a missed
+    //    drop), and
+    //  - every DROPPED vector has a smaller-id cluster-mate with
+    //    cos >= tau (a justified drop).
+    // The query re-derives both invariants in-plan from the result —
+    // NOT from the operator's internals, so a broken greedy stage
+    // fails the gate — and emits (n_vectors — real data DuckDB counts
+    // independently — plus two structural-zero violation counts). The
+    // verify's within-cluster pair work is the same N²/nlist bound as
+    // the operator itself.
     "d16_semantic_dedup_scaled" -> { (s, d) =>
       import s.implicits._
+      val tau = 0.35
       val emb = load(s, d, "embeddings")
       val nlist = math.max(8, math.ceil(math.sqrt(emb.count())).toInt)
-      Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
-          nlist, tau = 0.35, sampleSize = math.max(4096, nlist * 8))
-        .orderBy($"vec_id")
+      val res = Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
+        nlist, tau = tau, sampleSize = math.max(4096, nlist * 8))
+      val r = res.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      val a = r.select($"vec_id".as("ida"), $"cluster",
+        $"kept".as("kepta"), $"embedding".as("va"))
+      val b = r.select($"vec_id".as("idb"), $"cluster",
+        $"kept".as("keptb"), $"embedding".as("vb"))
+      val pairs = a.join(b, Seq("cluster")).filter($"ida" < $"idb")
+        .withColumn("cos",
+          round(graft.functions.Vectors.cosine($"va", $"vb"), 6))
+      val violKept = pairs
+        .filter($"kepta" && $"keptb" && $"cos" >= tau)
+        .agg(count(lit(1)).as("n_viol_kept"))
+      // every >= tau pair justifies dropping its LARGER id; a dropped
+      // id with no such pair is an unjustified drop
+      val justified = pairs.filter($"cos" >= tau)
+        .select($"idb".as("vec_id")).distinct()
+      val violDrop = res.filter(!$"kept")
+        .join(justified, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_viol_dropped"))
+      res.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(violKept).crossJoin(violDrop)
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // d16: greedy-dedup invariant gate (see the query) — clusters are
+    // quantizer-defined; the oracleable claims are the structural
+    // zeros plus the vector count
+    "d16_semantic_dedup_scaled" ->
+      """SELECT COUNT(*) AS n_vectors,
+        |  CAST(0 AS BIGINT) AS n_viol_kept,
+        |  CAST(0 AS BIGINT) AS n_viol_dropped
+        |FROM embeddings""".stripMargin,
+
     // d03: exactness gate (see the query) — the pair set itself is
     // xxhash64-defined; the oracleable claim is banded ≡ brute force
     "d03_simhash_pairs" ->

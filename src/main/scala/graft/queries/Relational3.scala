@@ -65,8 +65,21 @@ object Relational3 {
         .toDF("n_kept", "kept_price")
     },
 
-    // ---- approximate sketches (impl-defined values; rows-only gate,
-    //      error bounds asserted in SketchSpec) ----
+    // ---- approximate sketches: error-bound gate ----
+    // sketch values are impl-defined (HLL++ register layout, KLL-style
+    // percentile internals), so no DuckDB oracle can match them — but
+    // the sketch CLAIM is its error bound, and that is oracle-able:
+    // the query runs sketch AND exact reference in ONE aggregation
+    // pass and emits per-group (exact_parts — real data, computed
+    // independently by DuckDB — plus two deterministic bound flags):
+    //  - hll_pass: |approx−exact|/exact ≤ 0.1 (default rsd 0.05; 2σ
+    //    margin; deterministic — HLL is exact-replayable on fixed data)
+    //  - median_pass: approx_percentile(accuracy=1000 → rank error
+    //    ≤ n/1000) lands between the exact 49th and 51st percentiles
+    //    (±1%·n rank margin, 10× the guarantee)
+    // The exact legs are gate-reference work at gate scale (the
+    // s-family brute-force pattern); production calls the sketch
+    // aggregates alone. SketchSpec keeps the tighter spec-level bounds.
     "q30_approx_sketches" -> { (s, d) =>
       import s.implicits._
       // single-row-group input = one scan task; the per-row distinct
@@ -76,9 +89,15 @@ object Relational3 {
         .repartition(s.sparkContext.defaultParallelism)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_partkey").as("ap"),
           countDistinct($"l_partkey").as("exact_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"ap" - $"exact_parts") <=
+            $"exact_parts".cast("double") * 0.1).cast("long").as("hll_pass"),
+          ($"am" >= $"lo" && $"am" <= $"hi").cast("long").as("median_pass"))
         .orderBy($"l_returnflag")
     },
 
@@ -105,6 +124,13 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    // q30: error-bound gate (see the query) — exact_parts is real data
+    // both engines compute; the flags assert the sketch bounds
+    "q30_approx_sketches" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS hll_pass, CAST(1 AS BIGINT) AS median_pass
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q49_observe_metrics" ->
       """SELECT COUNT(*) AS n_kept,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)

@@ -35,15 +35,12 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("rows-only queries are the documented hash-defined set") {
-    // round 9 moved the quantizer family (s03/s04/s08/s13-s16) and d03
-    // to driver-checkable measurement gates (recall/exactness relations
-    // with VALUES oracles); what remains rows-only: the √N-kmeans
-    // variant (d16 — learned clustering over a derived corpus), the
-    // codec stub (m03 — sandbox ships no media codecs), and the
-    // approximate sketches (q30 — engine-specific sketch internals,
-    // bounds spec-gated in SketchSpec)
+    // round 9 moved every hash/quantizer/sketch-defined entry to a
+    // driver-checkable measurement gate (recall, exactness, error
+    // bound, or structural invariant — each with a VALUES oracle);
+    // the ONLY remaining rows-only entry is the documented multimodal
+    // codec stub (the sandbox ships no media codecs)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("m03_fake_features",
-      "q30_approx_sketches", "d16_semantic_dedup_scaled"), rowsOnly)
+    assert(rowsOnly == Set("m03_fake_features"), rowsOnly)
   }
 }

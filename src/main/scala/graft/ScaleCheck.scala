@@ -76,8 +76,10 @@ object ScaleCheck {
     // weights, nearest as-of join
     "t21_dsir_score", "d20_dup_weights", "q64_asof_nearest",
     "t22_source_divergence",
-    // round 9: append-mode session windows (the q61 production shape)
-    "q65_stream_session_append")
+    // round 9: append-mode session windows (the q61 production shape),
+    // index tombstone-delete lifecycle, left-outer stream-stream join
+    "q65_stream_session_append", "s17_index_delete",
+    "q66_stream_left_join")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -137,6 +137,50 @@ object VectorIndex {
     writeCells(e, dir, loadCodebook(spark, dir), metaCols, "overwrite")
   }
 
+  /** Tombstone-delete ids from the index: O(delete batch) — one tiny
+    * parquet append, NO cell rewrite. The serve path anti-joins the
+    * tombstone sidecar at probe time, so deleted vectors stop
+    * appearing immediately (the GDPR-erasure shape every production
+    * vector store needs). Tombstones accumulate until [[compact]]
+    * folds them into the cell files; between compactions the probe
+    * pays one broadcast anti-join over the tombstone set (bounded by
+    * deletes since the last compaction — compact when it grows). */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("id").cast("long").as("id"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  private def tombstones(spark: SparkSession,
+      dir: String): Option[DataFrame] =
+    if (!new java.io.File(s"$dir/tombstones").exists()) None
+    else Some(spark.read.parquet(s"$dir/tombstones"))
+
+  /** Fold the tombstones into the cell files: rewrite the cells
+    * WITHOUT the deleted rows — assignments are already stored, so
+    * this is a filtered copy under the frozen quantizers (no
+    * re-assignment, no retraining) — then drop the sidecar. Staged
+    * rewrite + directory swap; single-writer maintenance op like
+    * [[build]]/[[reindex]] (the versioned-manifest discipline lives
+    * in CdcTable — an index is rebuilt-from-source on loss, not
+    * recovered). */
+  def compact(spark: SparkSession, dir: String): Unit =
+    tombstones(spark, dir).foreach { t =>
+      val live = spark.read.parquet(s"$dir/cells")
+        .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      val cols = live.columns.filter(_ != "cid").map(col) // cid last:
+      live.select(cols :+ col("cid"): _*)                 // partition col
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$dir/cells_compacting")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/cells"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/cells_compacting"),
+        java.nio.file.Paths.get(s"$dir/cells"))
+      rm(new java.io.File(s"$dir/tombstones"))
+    }
+
   /** Cell-balance report (cid, n_vectors) — the reindex/rebuild
     * trigger: appends under frozen quantizers skew cell sizes as the
     * corpus drifts; a hot cell means probes re-scan ever-larger files.
@@ -181,7 +225,12 @@ object VectorIndex {
       .distinct().collect().map(_.getLong(0))
     val pruned = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probed.map(_.asInstanceOf[Any]): _*))
-    val cells = where.fold(pruned)(pruned.filter)
+    // tombstoned ids die at the probe (broadcast anti-join over the
+    // since-last-compaction delete set) — a deleted vector can never
+    // reach scoring, the shortlist, or the re-rank
+    val alive = tombstones(spark, dir).fold(pruned)(t =>
+      pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+    val cells = where.fold(alive)(alive.filter)
 
     val adc = (0 until m).map(s =>
       element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))

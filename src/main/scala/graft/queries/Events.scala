@@ -196,6 +196,90 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // ---- LEFT OUTER stream-stream join: the outer complement of
+    //      q45's inner join — a purchase with NO prior click inside
+    //      the 30-minute lookback emits explicitly (n_clicks = 0) once
+    //      the watermark passes its join window, instead of silently
+    //      vanishing (attribution pipelines need the "organic
+    //      purchase" rows as much as the attributed ones). Outer null
+    //      emission happens one batch behind the watermark advance and
+    //      evicts on the MIN of the two sides' watermarks, so the
+    //      corpus stages as one file plus two far-future sentinel
+    //      files (the q65 discipline) carrying BOTH event types; the
+    //      sentinel user (-1) passes the sample filter via its own
+    //      clause and is dropped from the sink aggregate. ----
+    "q66_stream_left_join" -> { (s, d) =>
+      import s.implicits._
+      val evRaw = load(s, d, "events")
+      val schema = evRaw.schema
+      val stage = new java.io.File(
+        s"target/q66_stage_${math.abs(d.hashCode.toLong)}")
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+      }
+      deleteRec(stage); stage.mkdirs()
+      val mtime0 = System.currentTimeMillis() - 3600L * 1000
+      // the corpus itself: one filesystem copy, no rewrite
+      val ev0 = new java.io.File(stage, "ev00.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
+      ev0.setLastModified(mtime0)
+      // sentinels in the corpus's OWN ts encoding (nanos-long corpora
+      // shipped before; the type-adaptive loader reads both)
+      val tsIsLong = schema("ts").dataType
+        .isInstanceOf[org.apache.spark.sql.types.LongType]
+      def plusDays(c: org.apache.spark.sql.Column, days: Int) =
+        if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
+        else c + expr(s"INTERVAL $days DAYS")
+      val tmp = new java.io.File(stage, "_tmp")
+      val maxRow = evRaw.orderBy($"ts".desc).limit(1)
+      for (j <- 1 to 2) {
+        val sdir = new java.io.File(tmp, s"sent$j")
+        maxRow.withColumn("ts", plusDays($"ts", j))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L))
+          .withColumn("event_type",
+            explode(array(lit("purchase"), lit("click"))))
+          .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
+        val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(stage, f"sent0$j.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime0 + j * 2000L)
+      }
+      deleteRec(tmp)
+
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.getPath)
+        .filter($"user_id" % 10 === 0 || $"user_id" < 0) // q45's sample
+        .withColumn("t", timestamp_micros(Tables.tsMicros(schema)))
+      val purchases = src.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"t".as("p_t"),
+          $"event_id".as("event_id"))
+        .withWatermark("p_t", "1 hour")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"t".as("c_t"))
+        .withWatermark("c_t", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_t" >= $"p_t" - expr("INTERVAL 30 MINUTES") &&
+          $"c_t" <= $"p_t",
+        "left_outer")
+      withStatePartitions(s, 4) {
+        val q = joined.select($"event_id", $"c_t").writeStream
+          .format("memory").queryName("q66_stream_left_join_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table("q66_stream_left_join_sink")
+        .filter($"event_id" >= 0) // drop the sentinel's own rows
+        .groupBy($"event_id")
+        .agg(count($"c_t").as("n_clicks")) // non-null only: 0 = organic
+        .orderBy($"event_id")
+    },
+
     // ---- Structured Streaming parity: q17 through a streaming plan ----
     "q20_stream_hourly" -> { (s, d) =>
       import s.implicits._
@@ -633,6 +717,21 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events WHERE user_id % 10 = 0
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // LEFT OUTER: COUNT(c.c_ts) gives 0 for unmatched purchases — the
+    // explicit "organic purchase" rows the inner join drops
+    "q66_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts)//1000 AS ts_us FROM events
+        |           WHERE user_id % 10 = 0),
+        |p AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, COUNT(c.c_ts) AS n_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts BETWEEN p.ts_us - 1800000000 AND p.ts_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

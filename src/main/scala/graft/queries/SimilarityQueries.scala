@@ -56,6 +56,25 @@ object SimilarityQueries {
             .otherwise(lit(0L)).as("recall_pass") +: extra: _*)
   }
 
+  private def rmRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+  }
+
+  /** Copy an index's quantizer sidecars so a second construction runs
+    * under the SAME frozen quantizers (the independence comparisons
+    * s16/s17 gate on). */
+  private def copySidecars(from: String, to: String): Unit = {
+    new java.io.File(to).mkdirs()
+    for (sub <- Seq("centroids", "codebook")) {
+      val dst = new java.io.File(to, sub); dst.mkdirs()
+      new java.io.File(from, sub).listFiles.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+  }
+
   /** VALUES oracle for [[recallGate]]: n_queries derives from the
     * table (regeneration-robust), the rest are the gate constants. */
   private def recallOracleSql(param: (String, Long),
@@ -206,9 +225,6 @@ object SimilarityQueries {
       // would double-append the increment (build overwrites cells, but
       // append by definition does not) — the n_diff gate caught exactly
       // this, so start from a clean slate every run
-      def rmRec(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
-      }
       rmRec(new java.io.File(dir)); rmRec(new java.io.File(dir2))
       val corpus = corpusDf(s, d).select($"id", $"vec")
       VectorIndex.build(corpus.filter($"id" % 10 =!= 0), dir)
@@ -217,20 +233,8 @@ object SimilarityQueries {
       // independent construction: reindexing the full corpus under the
       // SAME frozen quantizers must serve row-identical results —
       // append is pure incremental maintenance, never a result change
-      VectorIndex.reindex(corpus, {
-        // reuse dir's sidecars: copy quantizers, rewrite cells
-        val src = new java.io.File(dir); val dst = new java.io.File(dir2)
-        def cp(sub: String): Unit = {
-          val from = new java.io.File(src, sub).toPath
-          val to = new java.io.File(dst, sub).toPath
-          java.nio.file.Files.createDirectories(to)
-          java.nio.file.Files.list(from).forEach { p =>
-            java.nio.file.Files.copy(p, to.resolve(p.getFileName.toString),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
-          }
-        }
-        cp("centroids"); cp("codebook"); dir2
-      })
+      copySidecars(dir, dir2)
+      VectorIndex.reindex(corpus, dir2)
       val reserved = VectorIndex.search(s, dir2, q, K)
       val nDiff = served.exceptAll(reserved).unionAll(reserved.exceptAll(served))
         .agg(count(lit(1)).as("n_diff"))
@@ -239,6 +243,51 @@ object SimilarityQueries {
       // at sf0.01, 0.64 at sf0.1 — the standard fixed-quantizer decay)
       recallGate(served, Similarity.bruteForceTopK(q, corpus, K), K,
         "nprobe" -> 4L, 0.6).crossJoin(nDiff)
+    },
+
+    // ---- index lifecycle: tombstone DELETE + compaction ----
+    // the erasure path a production vector store needs (GDPR deletes,
+    // retracted documents): VectorIndex.delete appends a tombstone
+    // sidecar in O(delete batch) — no cell rewrite — and the probe
+    // anti-joins it so a deleted vector can never reach scoring;
+    // compact later folds tombstones into the cell files (filtered
+    // copy under frozen quantizers, no re-assignment). Gate, all from
+    // the OUTPUT: (a) tombstone-serve is row-identical to an
+    // independent reindex over corpus-minus-deleted under the same
+    // quantizers (n_diff_reindex = 0); (b) compaction changes nothing
+    // (n_diff_compact = 0); (c) no deleted id is ever served
+    // (n_served_deleted = 0); (d) recall vs brute force over the
+    // REMAINING corpus holds.
+    "s17_index_delete" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val q = queriesDf(s, d)
+      val dir = s"target/vindexe_${math.abs(d.hashCode.toLong)}"
+      val dir2 = s"${dir}_re"
+      rmRec(new java.io.File(dir)); rmRec(new java.io.File(dir2))
+      val corpus = corpusDf(s, d).select($"id", $"vec")
+      val deleted = corpus.filter($"id" % 7 === 0).select($"id")
+      val remaining = corpus.filter($"id" % 7 =!= 0)
+      VectorIndex.build(corpus, dir)
+      VectorIndex.delete(s, dir, deleted)
+      // EAGER materialization: compact below deletes the tombstone
+      // files this plan reads — a lazy `served` would try to re-scan
+      // them when the driver finally collects the gate row
+      val served = VectorIndex.search(s, dir, q, K).localCheckpoint(true)
+      copySidecars(dir, dir2)
+      VectorIndex.reindex(remaining, dir2)
+      val reserved = VectorIndex.search(s, dir2, q, K)
+      val nDiffT = served.exceptAll(reserved).unionAll(reserved.exceptAll(served))
+        .agg(count(lit(1)).as("n_diff_reindex"))
+      VectorIndex.compact(s, dir)
+      val compacted = VectorIndex.search(s, dir, q, K)
+      val nDiffC = compacted.exceptAll(served).unionAll(served.exceptAll(compacted))
+        .agg(count(lit(1)).as("n_diff_compact"))
+      val nDel = served.join(deleted, Seq("id"))
+        .agg(count(lit(1)).as("n_served_deleted"))
+      recallGate(served, Similarity.bruteForceTopK(q, remaining, K), K,
+          "nprobe" -> 4L, 0.6)
+        .crossJoin(nDiffT).crossJoin(nDiffC).crossJoin(nDel)
     },
 
     // ---- sign-LSH ANN: recall@10 gate vs brute force ----
@@ -564,6 +613,10 @@ object SimilarityQueries {
     "s15_filtered_search" -> recallOracleSql("nprobe" -> 10L),
     "s16_index_append" -> recallOracleSql("nprobe" -> 4L,
       ",\n  CAST(0 AS BIGINT) AS n_diff"),
+    "s17_index_delete" -> recallOracleSql("nprobe" -> 4L,
+      ",\n  CAST(0 AS BIGINT) AS n_diff_reindex" +
+        ",\n  CAST(0 AS BIGINT) AS n_diff_compact" +
+        ",\n  CAST(0 AS BIGINT) AS n_served_deleted"),
 
     "s11_mmr_rerank" -> mmrSql,
 

@@ -89,6 +89,7 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
     .filterNot(_ == "s14_vector_index")
     .filterNot(_ == "s15_filtered_search")
     .filterNot(_ == "s16_index_append")
+    .filterNot(_ == "s17_index_delete")
     .filterNot(_ == "s08_pq_adc")
 
   test("every documents/embeddings query survives hostile inputs") {
@@ -196,7 +197,7 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
       .write.parquet(s"$d2/documents.parquet")
     val quantizerFamily = Seq("s04_ann_ivf", "s06_centroids",
       "s07_quantize", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
-      "s15_filtered_search", "s16_index_append")
+      "s15_filtered_search", "s16_index_append", "s17_index_delete")
     val failures = quantizerFamily.flatMap { name =>
       try { SparkEntry.queries(name)(spark, d2).collect(); None }
       catch { case e: Throwable =>

@@ -192,6 +192,46 @@ class VectorSpec extends AnyFunSuite {
       s"stats: expected $baseCells+$incN vectors, saw $total")
   }
 
+  test("index delete: tombstones hide ids immediately, compact folds " +
+      "them into the cells and clears the sidecar, results unchanged") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vdelete")
+      .toString
+    VectorIndex.build(corpus, dir)
+    val deleted = corpus.filter($"id" % 7 === 0).select($"id")
+    val delSet = deleted.as[Long].collect().toSet
+    VectorIndex.delete(spark, dir, deleted)
+    // delete is O(batch): a tombstone sidecar exists, cells untouched
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    val served = VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect()
+    assert(served.nonEmpty)
+    assert(!served.exists(r => delSet(r.getLong(1))),
+      "a tombstoned id was served")
+    // compact: same results, tombstones gone, stats reflect the drop
+    VectorIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compact left the tombstone sidecar")
+    val compacted = VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(compacted == served.map(_.toSeq).toSeq,
+      "compaction changed the serve result")
+    val total = VectorIndex.stats(spark, dir)
+      .agg(sum($"n_vectors")).as[Long].head()
+    assert(total == corpus.count() - delSet.size,
+      s"stats after compact: $total")
+    // compact with no tombstones is a no-op
+    VectorIndex.compact(spark, dir)
+    assert(VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq == compacted)
+  }
+
   test("filtered vector search: the predicate pushes into the probed-cell " +
       "scan and recall vs filtered brute force holds") {
     import spark.implicits._

@@ -79,7 +79,7 @@ object ScaleCheck {
     // round 9: append-mode session windows (the q61 production shape),
     // index tombstone-delete lifecycle, left-outer stream-stream join
     "q65_stream_session_append", "s17_index_delete",
-    "q66_stream_left_join")
+    "q66_stream_left_join", "c21_cdc_vector_sync")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -290,6 +290,97 @@ object SimilarityQueries {
         .crossJoin(nDiffT).crossJoin(nDiffC).crossJoin(nDel)
     },
 
+    // ---- CDC → ANN-index incremental sync: the loop that keeps a
+    //      vector index consistent with a MUTABLE source table ----
+    // Embeddings live in a CdcTable (vectors get re-embedded, rows get
+    // deleted, new rows land); the index is built ONCE from the
+    // initial snapshot and then maintained from the change feed at
+    // per-commit cost: delete-side changes (deletes + update
+    // pre-images) tombstone, insert-side changes (inserts + update
+    // post-images) append under the frozen quantizers. Within one
+    // maintenance window an updated id is first tombstoned then
+    // re-appended, so the feed fold COMPACTS between the two — the
+    // tombstone is id-keyed and would otherwise hide the re-appended
+    // row (a pure insert+delete feed needs no per-batch compaction).
+    // Gate, all from the output: (a) the synced index serves
+    // row-identically to an independent reindex of the table's CURRENT
+    // live state under the same quantizers (n_diff_sync = 0); (b)
+    // recall holds vs a brute force over the EXPECTED current corpus,
+    // derived from the raw table by the same mutations — so a CDC
+    // merge bug surfaces here too, not just an index bug.
+    "c21_cdc_vector_sync" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      import graft.cdc.CdcTable
+      val q = queriesDf(s, d)
+      val emb = corpusDf(s, d).select($"id", $"vec")
+      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+      val tdir = s"target/cdcvec_${math.abs(d.hashCode.toLong)}"
+      val dir = s"target/vindexs_${math.abs(d.hashCode.toLong)}"
+      val dir2 = s"${dir}_re"
+      Seq(tdir, dir, dir2).foreach(p => rmRec(new java.io.File(p)))
+
+      val t = new CdcTable(s, tdir, Seq("id"), numBuckets = 4)
+      val base = emb.filter($"id" % 10 =!= 0)
+      // v0: initial snapshot (90% of the corpus)
+      t.applyBatch(base.select(struct($"id", $"vec").as("row"),
+        lit("INSERT").as("op"), key(0)), 0L)
+      // v1: re-embeds — id%5==0 vectors flip sign (an update)
+      t.applyBatch(base.filter($"id" % 5 === 0)
+        .select(struct($"id",
+          transform($"vec", x => -x).cast("array<float>").as("vec")).as("row"),
+          lit("UPDATE").as("op"), key(1)), 1L)
+      // v2: deletes (id%7==0 of the base) + the held-out 10% lands
+      t.applyBatch(
+        base.filter($"id" % 7 === 0)
+          .select(struct($"id", $"vec").as("row"),
+            lit("DELETE").as("op"), key(2))
+          .unionByName(emb.filter($"id" % 10 === 0)
+            .select(struct($"id", $"vec").as("row"),
+              lit("INSERT").as("op"), key(2))),
+        2L)
+
+      // index: build at v0, then fold each commit's change feed
+      VectorIndex.build(
+        t.stateAt(0L).get.filter(!$"_is_deleted").select($"id", $"vec"), dir)
+      for (v <- 1L to t.currentVersion.get) {
+        // the feed reads committed immutable bucket files — lazy plans
+        // stay valid across the index writes below
+        val cdf = t.changeFeedCdf(v).get
+        val delSide = cdf.filter(
+          $"_change_type".isin("delete", "update_preimage"))
+          .select($"id")
+        val insSide = cdf.filter(
+          $"_change_type".isin("insert", "update_postimage"))
+          .select($"id", $"vec")
+        if (delSide.limit(1).count() > 0) {
+          VectorIndex.delete(s, dir, delSide)
+          VectorIndex.compact(s, dir) // fold BEFORE re-appending ids
+        }
+        if (insSide.limit(1).count() > 0) VectorIndex.append(insSide, dir)
+      }
+      val served = VectorIndex.search(s, dir, q, K)
+
+      // independent construction over the table's CURRENT live state
+      copySidecars(dir, dir2)
+      VectorIndex.reindex(
+        t.state.get.filter(!$"_is_deleted").select($"id", $"vec"), dir2)
+      val reserved = VectorIndex.search(s, dir2, q, K)
+      val nDiff = served.exceptAll(reserved).unionAll(reserved.exceptAll(served))
+        .agg(count(lit(1)).as("n_diff_sync"))
+
+      // expected current corpus, derived from the RAW table by the
+      // same mutations — independent of both the CDC merge and the feed
+      val expected = base.filter($"id" % 7 =!= 0)
+        .select($"id", when($"id" % 5 === 0,
+          transform($"vec", x => -x).cast("array<float>"))
+          .otherwise($"vec").as("vec"))
+        .unionByName(emb.filter($"id" % 10 === 0))
+      recallGate(served, Similarity.bruteForceTopK(q, expected, K), K,
+        "nprobe" -> 4L, 0.6).crossJoin(nDiff)
+    },
+
     // ---- sign-LSH ANN: recall@10 gate vs brute force ----
     // the low bound is the honest number: multi-probe hamming≤1 over
     // 8 random-hyperplane bits collapses on a continuous similarity
@@ -617,6 +708,8 @@ object SimilarityQueries {
       ",\n  CAST(0 AS BIGINT) AS n_diff_reindex" +
         ",\n  CAST(0 AS BIGINT) AS n_diff_compact" +
         ",\n  CAST(0 AS BIGINT) AS n_served_deleted"),
+    "c21_cdc_vector_sync" -> recallOracleSql("nprobe" -> 4L,
+      ",\n  CAST(0 AS BIGINT) AS n_diff_sync"),
 
     "s11_mmr_rerank" -> mmrSql,
 

@@ -365,7 +365,12 @@ object SimilarityQueries {
             .select($"id", $"vec")
           if (delSide.limit(1).count() > 0) {
             VectorIndex.delete(s, dir, delSide)
-            VectorIndex.compact(s, dir) // fold BEFORE re-appending ids
+            // fold BEFORE re-appending a tombstoned id (updates); a
+            // commit whose appends are all NEW ids (pure insert+delete
+            // traffic) skips the rewrite — tombstones keep hiding the
+            // deleted rows at probe time until a later compaction
+            if (delSide.join(insSide, Seq("id")).limit(1).count() > 0)
+              VectorIndex.compact(s, dir)
           }
           if (insSide.limit(1).count() > 0) VectorIndex.append(insSide, dir)
         }

@@ -115,7 +115,7 @@ object Similarity {
     * MODAL dimension of the sample (ties → smaller dim) so one
     * wrong-length row cannot poison a trainer's `dim`. Deterministic:
     * the sample is id-ordered before any filtering. */
-  private def trainingSample(corpus: DataFrame,
+  private[graft] def trainingSample(corpus: DataFrame,
       sampleSize: Int): Array[Array[Double]] = {
     val raw: Array[Array[Double]] = corpus.orderBy(col("id"))
       .limit(sampleSize).select(col("vec")).collect()
@@ -131,9 +131,14 @@ object Similarity {
   }
 
   def learnCentroids(corpus: DataFrame, nlist: Int,
-      sampleSize: Int = 512, iters: Int = 8): IndexedSeq[Seq[Float]] = {
-    val sample: Array[Array[Double]] =
-      trainingSample(corpus, sampleSize)
+      sampleSize: Int = 512, iters: Int = 8): IndexedSeq[Seq[Float]] =
+    learnCentroidsFrom(trainingSample(corpus, sampleSize), nlist, iters)
+
+  /** [[learnCentroids]] on an already-collected training sample, so a
+    * caller training BOTH quantizers (coarse + PQ, the IVF+PQ build)
+    * pays the sample scan once instead of twice. */
+  private[graft] def learnCentroidsFrom(sample: Array[Array[Double]],
+      nlist: Int, iters: Int = 8): IndexedSeq[Seq[Float]] = {
     require(sample.nonEmpty, "empty corpus: cannot learn centroids")
     val dim = sample(0).length
     def normalize(v: Array[Double]): Array[Double] = {
@@ -410,9 +415,14 @@ object Similarity {
     * training shape (a 100 TB corpus trains its PQ on a sample too).
     * Returned as [subspace][code] → centroid of `dim/m` floats. */
   def pqTrain(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
-      sampleSize: Int = 512, iters: Int = 8): IndexedSeq[IndexedSeq[Seq[Float]]] = {
-    val sample: Array[Array[Double]] =
-      trainingSample(corpus, sampleSize)
+      sampleSize: Int = 512, iters: Int = 8): IndexedSeq[IndexedSeq[Seq[Float]]] =
+    pqTrainFrom(trainingSample(corpus, sampleSize), m, ksub, iters)
+
+  /** [[pqTrain]] on an already-collected training sample (see
+    * [[learnCentroidsFrom]]). */
+  private[graft] def pqTrainFrom(sample: Array[Array[Double]],
+      m: Int = 16, ksub: Int = 32,
+      iters: Int = 8): IndexedSeq[IndexedSeq[Seq[Float]]] = {
     require(sample.length >= ksub,
       s"pqTrain: need >= $ksub sample vectors, got ${sample.length}")
     val dim = sample(0).length
@@ -555,8 +565,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val e = corpus.select(col("id"), col("vec"))
       .filter(Vectors.norm(col("vec")) > 0.0)
-    val cents = learnCentroids(e, nlist)
-    val cb = pqTrain(e, m, ksub)
+    // both quantizers train on ONE collected sample — two separate
+    // trainer calls would scan-and-collect the sample twice
+    val sample = trainingSample(e, 512)
+    val cents = learnCentroidsFrom(sample, nlist)
+    val cb = pqTrainFrom(sample, m, ksub)
     val centroids = broadcast(spark.createDataFrame(
       cents.zipWithIndex.map { case (v, i) => (i.toLong, v) })
       .toDF("cid", "cvec")

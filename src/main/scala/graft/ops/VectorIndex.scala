@@ -46,8 +46,11 @@ object VectorIndex {
     val spark = corpus.sparkSession
     val e = corpus.select(col("id") +: col("vec") +: metaCols.map(col): _*)
       .filter(Vectors.norm(col("vec")) > 0.0)
-    val cents = Similarity.learnCentroids(e, nlist)
-    val cb = Similarity.pqTrain(e, m, ksub)
+    // both quantizers train on ONE collected sample — two separate
+    // trainer calls would scan-and-collect the sample twice
+    val sample = Similarity.trainingSample(e.select(col("id"), col("vec")), 512)
+    val cents = Similarity.learnCentroidsFrom(sample, nlist)
+    val cb = Similarity.pqTrainFrom(sample, m, ksub)
 
     spark.createDataFrame(
         cents.zipWithIndex.map { case (v, i) => (i.toLong, v) })
@@ -211,12 +214,17 @@ object VectorIndex {
     val m = cb.length
     val ksub = cb.head.length
 
+    // eagerly materialized (still distributed — query×nprobe rows):
+    // BOTH consumers below (the probed-cell collect and the probe
+    // join) read the checkpointed rows instead of re-running the
+    // assignment + LUT subtree once each
     val qprobe = Similarity.assignCells(
         queries.filter(Vectors.norm(col("qvec")) > 0.0)
           .select(col("qid"), col("qvec")), "qid", "qvec",
         centroids, nprobe)
       .select(col("qid"), col("qvec"), col("cid"),
         graft.functions.ProductQuantizer.lut(col("qvec"), cb).as("lut"))
+      .localCheckpoint(true)
 
     // the probed cell set is queries×nprobe-bounded; inlined as a
     // partition-pruning predicate so the cells scan touches only

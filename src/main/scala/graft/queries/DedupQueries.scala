@@ -142,13 +142,17 @@ object DedupQueries {
     "d03_simhash_pairs" -> { (s, d) =>
       import s.implicits._
       val docs = load(s, d, "documents")
+      // each relation below feeds BOTH diff directions — checkpointed
+      // (pair/signature-sized rows) so the banding pipeline, the
+      // signature scan, and the quadratic verify join each run once
       val got = Dedup.simhashPairs(docs, "doc_id", "text")
-        .select($"a", $"b")
+        .select($"a", $"b").localCheckpoint(true)
       val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", bits = 64)
+        .localCheckpoint(true)
       val brute = broadcast(sigs.select($"id".as("a"), $"sig".as("siga")))
         .join(sigs.select($"id".as("b"), $"sig".as("sigb")), $"a" < $"b")
         .filter(Dedup.hamming($"siga", $"sigb") <= 4)
-        .select($"a", $"b")
+        .select($"a", $"b").localCheckpoint(true)
       val missed = brute.exceptAll(got).agg(count(lit(1)).as("n_missed"))
       val extra = got.exceptAll(brute).agg(count(lit(1)).as("n_extra"))
       docs.agg(count(lit(1)).as("n_docs"))
@@ -467,8 +471,13 @@ object DedupQueries {
       val tau = 0.35
       val emb = load(s, d, "embeddings")
       val nlist = math.max(8, math.ceil(math.sqrt(emb.count())).toInt)
+      // res feeds three consumers (pair join, dropped-side anti-join,
+      // vector count) and pairs feeds two — checkpointed so the
+      // kmeans+greedy stage and the within-cluster pair kernel each
+      // run once; pairs drops the vectors BEFORE materializing
       val res = Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
         nlist, tau = tau, sampleSize = math.max(4096, nlist * 8))
+        .localCheckpoint(true)
       val r = res.join(emb.select($"vec_id", $"embedding"), "vec_id")
       val a = r.select($"vec_id".as("ida"), $"cluster",
         $"kept".as("kepta"), $"embedding".as("va"))
@@ -477,6 +486,8 @@ object DedupQueries {
       val pairs = a.join(b, Seq("cluster")).filter($"ida" < $"idb")
         .withColumn("cos",
           round(graft.functions.Vectors.cosine($"va", $"vb"), 6))
+        .select($"ida", $"idb", $"kepta", $"keptb", $"cos")
+        .localCheckpoint(true)
       val violKept = pairs
         .filter($"kepta" && $"keptb" && $"cos" >= tau)
         .agg(count(lit(1)).as("n_viol_kept"))

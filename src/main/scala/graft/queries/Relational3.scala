@@ -92,12 +92,14 @@ object Relational3 {
           approx_count_distinct($"l_partkey").as("ap"),
           countDistinct($"l_partkey").as("exact_parts"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("am"),
-          expr("percentile(l_extendedprice, 0.49)").as("lo"),
-          expr("percentile(l_extendedprice, 0.51)").as("hi"))
+          // one exact-percentile buffer, not two: the array form
+          // computes both bracket ranks from a single value buffer
+          expr("percentile(l_extendedprice, array(0.49, 0.51))").as("lohi"))
         .select($"l_returnflag", $"exact_parts",
           (abs($"ap" - $"exact_parts") <=
             $"exact_parts".cast("double") * 0.1).cast("long").as("hll_pass"),
-          ($"am" >= $"lo" && $"am" <= $"hi").cast("long").as("median_pass"))
+          ($"am" >= element_at($"lohi", 1) &&
+            $"am" <= element_at($"lohi", 2)).cast("long").as("median_pass"))
         .orderBy($"l_returnflag")
     },
 

@@ -44,13 +44,17 @@ object Profile {
       })
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // listener events are delivered asynchronously: settle the bus
+    // before reading/clearing jobLog or late events skew the counts
+    def settle(): Unit = Thread.sleep(500)
     for (n <- names; r <- 1 to 2) {
-      jobLog.synchronized(jobLog.clear())
+      settle(); jobLog.synchronized(jobLog.clear())
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, d)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"QUERY $n%-28s r$r $wall%.2f s")
+      settle()
       if (r == 2) {
         val snap = jobLog.synchronized(jobLog.toList)
         println(f"  jobs=${snap.size} jobSec=${snap.map(_._1).sum}%.2f")

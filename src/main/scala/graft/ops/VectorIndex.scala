@@ -66,17 +66,25 @@ object VectorIndex {
         col("cvec").cast("array<float>").as("cvec"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
 
-    writeCells(e, dir, cb, metaCols, "overwrite")
+    writeCells(e, dir, cb, metaCols, "overwrite", gen = 0L)
   }
 
+  /** Highest append generation present in the cell files. Derived
+    * from the data (crash-safe — no counter sidecar to desync);
+    * parquet column statistics make the scan footer-cheap. */
+  private def currentGen(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/cells")
+      .agg(max(col("gen"))).head().getLong(0)
+
   /** Assign each row to its cell under `dir`'s FROZEN quantizers and
-    * write the `(cid, id, codes, vec, meta…)` cell files. Shared by
-    * [[build]] (overwrite, right after training), [[append]]
+    * write the `(cid, id, codes, vec, gen, meta…)` cell files. Shared
+    * by [[build]] (overwrite, right after training), [[append]]
     * (append-only increment) and [[reindex]] (full rewrite without
-    * retraining). */
+    * retraining). `gen` stamps every row with its append generation —
+    * the tombstone scope key (see [[delete]]). */
   private def writeCells(e: DataFrame, dir: String,
       cb: IndexedSeq[IndexedSeq[Seq[Float]]],
-      metaCols: Seq[String], mode: String): Unit = {
+      metaCols: Seq[String], mode: String, gen: Long): Unit = {
     val spark = e.sparkSession
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
     // map-side-combined assignment (Similarity.assignCells): the
@@ -89,7 +97,7 @@ object VectorIndex {
           graft.functions.ProductQuantizer.codes(col("vec"), cb)),
         "id", "vec", centroids, 1)
       .select(col("cid") +: col("id") +: col("codes") +:
-        col("vec") +: metaCols.map(col): _*)
+        col("vec") +: lit(gen).as("gen") +: metaCols.map(col): _*)
       // co-locate each cell before the partitioned write: one shuffle
       // by cell id → one file per cell dir instead of one per task per
       // cell (task-count × nlist tiny files would dominate both the
@@ -125,7 +133,10 @@ object VectorIndex {
     val spark = newRows.sparkSession
     val e = newRows.select(col("id") +: col("vec") +: metaCols.map(col): _*)
       .filter(Vectors.norm(col("vec")) > 0.0)
-    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "append")
+    // one generation past everything already indexed: rows appended
+    // AFTER a delete outlive that delete's tombstone (see [[delete]])
+    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "append",
+      gen = currentGen(spark, dir) + 1)
   }
 
   /** Rewrite the cell files for `corpus` under `dir`'s existing
@@ -137,7 +148,11 @@ object VectorIndex {
     val spark = corpus.sparkSession
     val e = corpus.select(col("id") +: col("vec") +: metaCols.map(col): _*)
       .filter(Vectors.norm(col("vec")) > 0.0)
-    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "overwrite")
+    writeCells(e, dir, loadCodebook(spark, dir), metaCols, "overwrite",
+      gen = 0L)
+    // the caller's corpus is authoritative: pre-rewrite tombstones
+    // must not hide rows of the fresh generation-0 cells
+    rmRec(new java.io.File(s"$dir/tombstones"))
   }
 
   /** Tombstone-delete ids from the index: O(delete batch) — one tiny
@@ -147,9 +162,19 @@ object VectorIndex {
     * vector store needs). Tombstones accumulate until [[compact]]
     * folds them into the cell files; between compactions the probe
     * pays one broadcast anti-join over the tombstone set (bounded by
-    * deletes since the last compaction — compact when it grows). */
+    * deletes since the last compaction — compact when it grows).
+    *
+    * Each tombstone is SCOPED to the generations it saw: it records
+    * the index's current max `gen` and kills only rows with
+    * `gen <= gen_at`. A later [[append]] of the same id lands at a
+    * higher generation and serves immediately — resurrection works
+    * WITHOUT compaction, and an update (delete + re-append in one
+    * maintenance window) never pays a cell rewrite. An id-keyed
+    * tombstone would silently hide every future re-insert until the
+    * next compaction. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
-    ids.select(col("id").cast("long").as("id"))
+    ids.select(col("id").cast("long").as("id"),
+        lit(currentGen(spark, dir)).as("gen_at"))
       .write.mode("append").parquet(s"$dir/tombstones")
 
   private def tombstones(spark: SparkSession,
@@ -165,23 +190,36 @@ object VectorIndex {
     * [[build]]/[[reindex]] (the versioned-manifest discipline lives
     * in CdcTable — an index is rebuilt-from-source on loss, not
     * recovered). */
+  private def rmRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+  }
+
+  /** Drop every cell row some tombstone covers: same id AND appended
+    * at or before the tombstone's recorded generation. Still a
+    * broadcast anti-join keyed on id — the generation bound rides as
+    * the join's residual condition, so rows re-appended AFTER the
+    * delete survive. */
+  private def killTombstoned(cells: DataFrame, t: DataFrame): DataFrame = {
+    val tb = broadcast(t.select(col("id").as("t_id"),
+      col("gen_at").as("t_gen_at")))
+    cells.join(tb,
+      cells("id") === tb("t_id") && cells("gen") <= tb("t_gen_at"),
+      "left_anti")
+  }
+
   def compact(spark: SparkSession, dir: String): Unit =
     tombstones(spark, dir).foreach { t =>
-      val live = spark.read.parquet(s"$dir/cells")
-        .join(broadcast(t.select(col("id"))), Seq("id"), "left_anti")
+      val live = killTombstoned(spark.read.parquet(s"$dir/cells"), t)
       val cols = live.columns.filter(_ != "cid").map(col) // cid last:
       live.select(cols :+ col("cid"): _*)                 // partition col
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/cells_compacting")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(s"$dir/cells"))
+      rmRec(new java.io.File(s"$dir/cells"))
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$dir/cells_compacting"),
         java.nio.file.Paths.get(s"$dir/cells"))
-      rm(new java.io.File(s"$dir/tombstones"))
+      rmRec(new java.io.File(s"$dir/tombstones"))
     }
 
   /** Cell-balance report (cid, n_vectors) — the reindex/rebuild
@@ -233,11 +271,12 @@ object VectorIndex {
       .distinct().collect().map(_.getLong(0))
     val pruned = spark.read.parquet(s"$dir/cells")
       .filter(col("cid").isin(probed.map(_.asInstanceOf[Any]): _*))
-    // tombstoned ids die at the probe (broadcast anti-join over the
-    // since-last-compaction delete set) — a deleted vector can never
-    // reach scoring, the shortlist, or the re-rank
+    // tombstoned rows die at the probe (broadcast anti-join over the
+    // since-last-compaction delete set, generation-scoped) — a deleted
+    // vector can never reach scoring, the shortlist, or the re-rank,
+    // while a re-appended id (higher generation) serves immediately
     val alive = tombstones(spark, dir).fold(pruned)(t =>
-      pruned.join(broadcast(t.select(col("id"))), Seq("id"), "left_anti"))
+      killTombstoned(pruned, t))
     val cells = where.fold(alive)(alive.filter)
 
     val adc = (0 until m).map(s =>

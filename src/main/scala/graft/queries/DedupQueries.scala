@@ -472,9 +472,13 @@ object DedupQueries {
       val emb = load(s, d, "embeddings")
       val nlist = math.max(8, math.ceil(math.sqrt(emb.count())).toInt)
       // res feeds three consumers (pair join, dropped-side anti-join,
-      // vector count) and pairs feeds two — checkpointed so the
-      // kmeans+greedy stage and the within-cluster pair kernel each
-      // run once; pairs drops the vectors BEFORE materializing
+      // vector count) and the >=tau pair relation feeds two —
+      // checkpointed so the kmeans+greedy stage and the within-cluster
+      // pair kernel each run once. BOTH consumers only read pairs at
+      // cos >= tau, so the filter lands BEFORE the checkpoint: what
+      // materializes is the (sparse) near-dup pair set, never the full
+      // O(N²/nlist) within-cluster expansion — that one only ever
+      // streams through this plan's aggregates
       val res = Dedup.semanticDedupKmeans(emb, "vec_id", "embedding",
         nlist, tau = tau, sampleSize = math.max(4096, nlist * 8))
         .localCheckpoint(true)
@@ -486,14 +490,15 @@ object DedupQueries {
       val pairs = a.join(b, Seq("cluster")).filter($"ida" < $"idb")
         .withColumn("cos",
           round(graft.functions.Vectors.cosine($"va", $"vb"), 6))
-        .select($"ida", $"idb", $"kepta", $"keptb", $"cos")
+        .filter($"cos" >= tau)
+        .select($"ida", $"idb", $"kepta", $"keptb")
         .localCheckpoint(true)
       val violKept = pairs
-        .filter($"kepta" && $"keptb" && $"cos" >= tau)
+        .filter($"kepta" && $"keptb")
         .agg(count(lit(1)).as("n_viol_kept"))
       // every >= tau pair justifies dropping its LARGER id; a dropped
       // id with no such pair is an unjustified drop
-      val justified = pairs.filter($"cos" >= tau)
+      val justified = pairs
         .select($"idb".as("vec_id")).distinct()
       val violDrop = res.filter(!$"kept")
         .join(justified, Seq("vec_id"), "left_anti")

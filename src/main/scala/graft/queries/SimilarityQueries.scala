@@ -302,11 +302,12 @@ object SimilarityQueries {
     // initial snapshot and then maintained from the change feed at
     // per-commit cost: delete-side changes (deletes + update
     // pre-images) tombstone, insert-side changes (inserts + update
-    // post-images) append under the frozen quantizers. Within one
-    // maintenance window an updated id is first tombstoned then
-    // re-appended, so the feed fold COMPACTS between the two — the
-    // tombstone is id-keyed and would otherwise hide the re-appended
-    // row (a pure insert+delete feed needs no per-batch compaction).
+    // post-images) append under the frozen quantizers. Tombstones are
+    // generation-scoped (VectorIndex.delete), so an updated id's
+    // re-append — one generation past its tombstone — serves
+    // immediately and NO commit ever pays a cell rewrite; compaction
+    // is a space reclaim the operator schedules, never a correctness
+    // step in the sync loop.
     // Gate, all from the output: (a) the synced index serves
     // row-identically to an independent reindex of the table's CURRENT
     // live state under the same quantizers (n_diff_sync = 0); (b)
@@ -318,8 +319,8 @@ object SimilarityQueries {
       import graft.ops.VectorIndex
       import graft.cdc.CdcTable
       val q = queriesDf(s, d)
-      // full corpus: the gate's cost is fixed build/compact/serve
-      // floors, not volume (a 25% sample was tried and reverted — it
+      // full corpus: the gate's cost is fixed build/serve floors,
+      // not volume (a 25% sample was tried and reverted — it
       // left ~125 vectors at the driver's SF, too few for a stable
       // recall reference)
       val emb = corpusDf(s, d).select($"id", $"vec")
@@ -361,35 +362,35 @@ object SimilarityQueries {
       // stay valid across the index writes below; a commit that
       // repointed no buckets has no feed (foreach skips it)
       for (v <- 1L to t.currentVersion.get)
-        t.changeFeedCdf(v).foreach { cdf =>
+        t.changeFeedCdf(v).foreach { cdfLive =>
+          // the feed feeds three consumers (the branch probe, the
+          // tombstone write, the append) — materialize it once instead
+          // of re-running the pre/post bucket join per consumer
+          val cdf = cdfLive.localCheckpoint(true)
           val delSide = cdf.filter(
             $"_change_type".isin("delete", "update_preimage"))
             .select($"id")
           val insSide = cdf.filter(
             $"_change_type".isin("insert", "update_postimage"))
             .select($"id", $"vec")
-          // one action decides all three branches (the old shape paid
-          // three separate limit(1).count() jobs per commit): per-id
-          // change flags fold to (any delete-side row, any insert-side
-          // row, any id on BOTH sides — an update whose re-append the
-          // id-keyed tombstone would hide without a compaction first)
-          val st = cdf.groupBy($"id").agg(
-              max(when($"_change_type".isin("delete", "update_preimage"),
-                1).otherwise(0)).as("dl"),
-              max(when($"_change_type".isin("insert", "update_postimage"),
-                1).otherwise(0)).as("ins"))
-            .agg(coalesce(sum($"dl"), lit(0L)).as("nd"),
-              coalesce(sum($"ins"), lit(0L)).as("ni"),
-              coalesce(sum($"dl" * $"ins"), lit(0L)).as("nb"))
+          // one action decides both branches (the old shape paid
+          // separate limit(1).count() jobs per commit)
+          val st = cdf.agg(
+              coalesce(sum($"_change_type"
+                .isin("delete", "update_preimage").cast("long")), lit(0L))
+                .as("nd"),
+              coalesce(sum($"_change_type"
+                .isin("insert", "update_postimage").cast("long")), lit(0L))
+                .as("ni"))
             .collect()(0)
-          if (st.getLong(0) > 0) {
-            VectorIndex.delete(s, dir, delSide)
-            // fold BEFORE re-appending a tombstoned id (updates); a
-            // commit whose appends are all NEW ids (pure insert+delete
-            // traffic) skips the rewrite — tombstones keep hiding the
-            // deleted rows at probe time until a later compaction
-            if (st.getLong(2) > 0) VectorIndex.compact(s, dir)
-          }
+          // delete first, then append: tombstones are generation-
+          // scoped (they kill only rows appended at or before the
+          // delete), so an update's re-append lands one generation
+          // later and serves immediately — no per-commit compaction,
+          // maintenance stays O(commit) even for update-heavy feeds,
+          // and a resurrected id (deleted in one commit, re-inserted
+          // commits later) serves without any compaction either
+          if (st.getLong(0) > 0) VectorIndex.delete(s, dir, delSide)
           if (st.getLong(1) > 0) VectorIndex.append(insSide, dir)
         }
       // checkpointed: k×queries rows read by both exceptAll legs and

@@ -232,6 +232,59 @@ class VectorSpec extends AnyFunSuite {
       .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq == compacted)
   }
 
+  test("tombstones are generation-scoped: a re-appended id serves " +
+      "immediately without compaction, and an update (delete + " +
+      "re-append) never hides the new row") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vresurrect")
+      .toString
+    VectorIndex.build(corpus, dir)
+    val victims = corpus.filter($"id" % 7 === 0)
+    val vicSet = victims.select($"id").as[Long].collect().toSet
+
+    // delete, then RE-INSERT the same ids (a later CDC commit
+    // resurrecting them, or an update's re-embed) — NO compaction
+    VectorIndex.delete(spark, dir, victims.select($"id"))
+    VectorIndex.append(victims, dir)
+    val served = VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    // the index now holds the same live rows as a fresh build of the
+    // full corpus: an id-keyed tombstone would hide every victim and
+    // diverge; the generation-scoped form must serve identically
+    val dirRef = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vresurrectR")
+      .toString
+    VectorIndex.build(corpus, dirRef)
+    val ref = VectorIndex.search(spark, dirRef, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(served == ref,
+      "resurrected ids diverge from a fresh index of the same corpus")
+    assert(served.exists(r => vicSet(r.asInstanceOf[Seq[Any]](1)
+      .asInstanceOf[Long])) || !ref.exists(r =>
+      vicSet(r.asInstanceOf[Seq[Any]](1).asInstanceOf[Long])),
+      "no resurrected id was served though the reference serves some")
+
+    // a SECOND delete after the re-append must hide them again (the
+    // new tombstone records the later generation)
+    VectorIndex.delete(spark, dir, victims.select($"id"))
+    val afterRedelete = VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect()
+    assert(!afterRedelete.exists(r => vicSet(r.getLong(1))),
+      "a re-deleted id was served")
+    // and compaction folds both generations away with no result change
+    VectorIndex.compact(spark, dir)
+    assert(VectorIndex.search(spark, dir, qs, 10)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq ==
+      afterRedelete.map(_.toSeq).toSeq,
+      "compaction changed the re-deleted serve result")
+  }
+
   test("filtered vector search: the predicate pushes into the probed-cell " +
       "scan and recall vs filtered brute force holds") {
     import spark.implicits._

@@ -608,6 +608,58 @@ object Dedup {
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
   }
 
+  /** Coverage-guaranteeing greedy within each cluster: ids ascending,
+    * a vector is dropped iff some already-KEPT cluster-mate has
+    * rounded cosine >= tau — the lexicographically-first maximal
+    * independent set of the within-cluster >=tau graph. Unlike the
+    * pairwise drop rule ([[clusterGreedyDedup]], the SemDeDup paper's
+    * published form), every dropped vector is within tau of a KEPT
+    * representative: a chain a–b, b–c with cos(a,c) < tau keeps BOTH
+    * a and c, so dedup never erases an epsilon-neighborhood whose only
+    * witness was itself dropped. This is the contract the d16 output
+    * gate checks (every drop justified by a kept smaller-id mate).
+    *
+    * Sequential within a cluster, parallel across clusters; per-task
+    * memory is one cluster's vectors and the work is the same
+    * N²/nlist bound as the pair join (the coarse quantizer sizes
+    * clusters at ~N/nlist — pick nlist ≈ √N so a cluster fits an
+    * executor). Cosine + HALF_UP 6-decimal rounding replicate
+    * [[graft.functions.CosineSimilarity]] exactly, so in-plan gate
+    * re-derivations agree bit-for-bit. */
+  private def clusterGreedyStrict(emb: DataFrame, idCol: String,
+      vecCol: String, asgn: DataFrame, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withCl = emb.select(col(idCol), col(vecCol)).join(asgn, idCol)
+      .select(col(idCol).cast("long"), col("cluster").cast("long"),
+        transform(col(vecCol), _.cast("float")))
+      .as[(Long, Long, Seq[Float])]
+    withCl.groupByKey(_._2).flatMapGroups { (cl, it) =>
+      val members = it.map { case (id, _, v) => (id, v.toArray) }
+        .toArray.sortBy(_._1)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val out = new Array[(Long, Long, Boolean)](members.length)
+      var i = 0
+      while (i < members.length) {
+        val (id, v) = members(i)
+        val dup = kept.exists { kv =>
+          var dot = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+          while (j < v.length) {
+            val xi = kv(j).toDouble; val yi = v(j).toDouble
+            dot += xi * yi; nx += xi * xi; ny += yi * yi; j += 1
+          }
+          nx > 0.0 && ny > 0.0 &&
+            BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+        }
+        if (!dup) kept += v
+        out(i) = (id, cl, !dup)
+        i += 1
+      }
+      out.iterator
+    }.toDF(idCol, "cluster", "kept")
+  }
+
   /** Production-scale SemDeDup: clusters come from a learned spherical
     * k-means coarse quantizer (`Similarity.learnCentroids`, nlist ≈
     * sqrt(N)) instead of a label seed — the paper's actual
@@ -615,7 +667,14 @@ object Dedup {
     * work at N^2/nlist as the corpus grows. Quantizer-defined, so the
     * result is gated by spec (the greedy stage is re-derived by brute
     * force over the operator's own assignment; the quantizer is
-    * deterministic by construction) rather than a SQL oracle. */
+    * deterministic by construction) rather than a SQL oracle.
+    *
+    * Dedup stage: [[clusterGreedyStrict]] — the coverage-guaranteeing
+    * greedy (every dropped vector has a KEPT representative within
+    * tau), not the pairwise drop rule the labeled [[semanticDedup]]
+    * keeps for exact SQL-oracle parity with the paper's published
+    * form. At corpus scale the strict form is what a training-data
+    * pipeline wants: no epsilon-neighborhood loses all its members. */
   def semanticDedupKmeans(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, tau: Double, sampleSize: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
@@ -634,6 +693,6 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(max(struct(col("__sim").as("s"), (-col("cl")).as("nc"),
         col("cl").as("cl"))).getField("cl").as("cluster"))
-    clusterGreedyDedup(emb, idCol, vecCol, asgn, tau)
+    clusterGreedyStrict(emb, idCol, vecCol, asgn, tau)
   }
 }

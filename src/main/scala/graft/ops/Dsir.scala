@@ -135,11 +135,17 @@ object Dsir {
 
     val ps = (col("cs") + lit(alpha)) / (col("ns") + lit(alpha) * col("v"))
     val pt = (col("ct") + lit(alpha)) / (col("nt") + lit(alpha) * col("v"))
-    sw.join(tw, Seq("w"))
+    val out = sw.join(tw, Seq("w"))
       .join(broadcast(totG), Seq("g"))
       .crossJoin(broadcast(tot))
       .withColumn("term", ps * log2(ps / pt))
       .groupBy(col("g"))
       .agg(max(col("ns")).as("n_tokens"), sum(col("term")).as("divergence"))
+      // |strata|-sized — eagerly materialized so the shared (g, w)
+      // aggregate can be released here rather than leaking executor
+      // storage across invocations in a long-lived driver
+      .localCheckpoint(true)
+    sw.unpersist()
+    out
   }
 }

@@ -71,10 +71,42 @@ object VectorIndex {
 
   /** Highest append generation present in the cell files. Derived
     * from the data (crash-safe — no counter sidecar to desync);
-    * parquet column statistics make the scan footer-cheap. */
-  private def currentGen(spark: SparkSession, dir: String): Long =
-    spark.read.parquet(s"$dir/cells")
-      .agg(max(col("gen"))).head().getLong(0)
+    * parquet column statistics make the scan footer-cheap. -1 on an
+    * empty index (every row compacted away) so the next append lands
+    * at generation 0. */
+  private def currentGen(spark: SparkSession, dir: String): Long = {
+    val r = readCells(spark, dir).agg(max(col("gen"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  private def hasParquet(path: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        f.isDirectory && Option(f.listFiles).exists(_.exists(walk))
+    walk(new java.io.File(path))
+  }
+
+  /** The cell relation — or, when a compaction tombstoned every row
+    * (the partitioned write of an empty relation leaves no data
+    * files), the schema-bearing empty relation from the `schema/`
+    * sidecar, so delete/search/stats/append keep working on an
+    * emptied index instead of dying on schema inference. */
+  private def readCells(spark: SparkSession, dir: String): DataFrame = {
+    restoreIfCrashed(dir)
+    if (hasParquet(s"$dir/cells")) spark.read.parquet(s"$dir/cells")
+    else spark.read.parquet(s"$dir/schema")
+  }
+
+  /** A compaction that crashed between its two promote renames leaves
+    * `cells_old` (the authoritative pre-compaction index) with no
+    * `cells`; put it back. Tombstones are deleted last, so the retried
+    * compaction still sees them. */
+  private def restoreIfCrashed(dir: String): Unit =
+    if (!new java.io.File(s"$dir/cells").exists() &&
+        new java.io.File(s"$dir/cells_old").exists())
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/cells_old"),
+        java.nio.file.Paths.get(s"$dir/cells"))
 
   /** Assign each row to its cell under `dir`'s FROZEN quantizers and
     * write the `(cid, id, codes, vec, gen, meta…)` cell files. Shared
@@ -104,6 +136,15 @@ object VectorIndex {
       // write and every probed read)
       .repartition(col("cid"))
       .write.mode(mode).partitionBy("cid").parquet(s"$dir/cells")
+    // overwrite = build/reindex: refresh the schema sidecar (one empty
+    // file carrying the full cell schema incl. cid/gen/meta) that
+    // readCells falls back to when a compaction empties the index
+    if (mode == "overwrite")
+      e.select(Seq(col("id"), lit(Array.empty[Int]).as("codes"),
+          col("vec"), lit(gen).as("gen")) ++ metaCols.map(col) :+
+          lit(0L).as("cid"): _*)
+        .limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/schema")
   }
 
   /** Read the codebook sidecar back as the driver-side structure the
@@ -209,16 +250,27 @@ object VectorIndex {
 
   def compact(spark: SparkSession, dir: String): Unit =
     tombstones(spark, dir).foreach { t =>
-      val live = killTombstoned(spark.read.parquet(s"$dir/cells"), t)
+      // a crashed previous compaction may have left its staging dir
+      // behind; readCells below restores an orphaned cells_old
+      rmRec(new java.io.File(s"$dir/cells_compacting"))
+      val live = killTombstoned(readCells(spark, dir), t)
       val cols = live.columns.filter(_ != "cid").map(col) // cid last:
       live.select(cols :+ col("cid"): _*)                 // partition col
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/cells_compacting")
-      rmRec(new java.io.File(s"$dir/cells"))
+      // promote via rename-aside: the live cells dir survives until the
+      // compacted one is in place — a crash anywhere in this window
+      // loses at most the compaction, never the index (cells_old is
+      // restored above on the next attempt; tombstones still pending)
+      rmRec(new java.io.File(s"$dir/cells_old"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/cells"),
+        java.nio.file.Paths.get(s"$dir/cells_old"))
       java.nio.file.Files.move(
         java.nio.file.Paths.get(s"$dir/cells_compacting"),
         java.nio.file.Paths.get(s"$dir/cells"))
+      rmRec(new java.io.File(s"$dir/cells_old"))
       rmRec(new java.io.File(s"$dir/tombstones"))
     }
 
@@ -227,7 +279,7 @@ object VectorIndex {
     * corpus drifts; a hot cell means probes re-scan ever-larger files.
     * Metadata-cheap: reads cell-partition row counts only. */
   def stats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/cells")
+    readCells(spark, dir)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cid"))
 
@@ -269,7 +321,7 @@ object VectorIndex {
     // probed directories
     val probed: Array[Long] = qprobe.select(col("cid"))
       .distinct().collect().map(_.getLong(0))
-    val pruned = spark.read.parquet(s"$dir/cells")
+    val pruned = readCells(spark, dir)
       .filter(col("cid").isin(probed.map(_.asInstanceOf[Any]): _*))
     // tombstoned rows die at the probe (broadcast anti-join over the
     // since-last-compaction delete set, generation-scoped) — a deleted

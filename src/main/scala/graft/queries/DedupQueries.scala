@@ -458,8 +458,10 @@ object DedupQueries {
     // the OUTPUT alone, whatever the clusters are:
     //  - no two KEPT vectors in one cluster with cos >= tau (a missed
     //    drop), and
-    //  - every DROPPED vector has a smaller-id cluster-mate with
-    //    cos >= tau (a justified drop).
+    //  - every DROPPED vector has a KEPT smaller-id cluster-mate with
+    //    cos >= tau (a justified drop — the strict-greedy coverage
+    //    guarantee; a drop justified only by another dropped vector
+    //    counts as a violation).
     // The query re-derives both invariants in-plan from the result —
     // NOT from the operator's internals, so a broken greedy stage
     // fails the gate — and emits (n_vectors — real data DuckDB counts
@@ -496,9 +498,13 @@ object DedupQueries {
       val violKept = pairs
         .filter($"kepta" && $"keptb")
         .agg(count(lit(1)).as("n_viol_kept"))
-      // every >= tau pair justifies dropping its LARGER id; a dropped
-      // id with no such pair is an unjustified drop
+      // a >= tau pair justifies dropping its LARGER id only when the
+      // smaller id was KEPT — greedy keeps the first of every chain, so
+      // a drop justified solely by another DROPPED vector (a chain the
+      // operator should have kept the head of) must count as a
+      // violation, not a justification
       val justified = pairs
+        .filter($"kepta")
         .select($"idb".as("vec_id")).distinct()
       val violDrop = res.filter(!$"kept")
         .join(justified, Seq("vec_id"), "left_anti")

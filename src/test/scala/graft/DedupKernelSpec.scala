@@ -501,9 +501,10 @@ class DedupKernelSpec extends AnyFunSuite {
     val rows = out.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.length == emb.count())
-    // brute-force reference: within the operator's own clusters, a
-    // vector must be dropped iff a smaller-id cluster-mate has rounded
-    // cosine >= tau (exactly the greedy keep-lowest-id rule)
+    // brute-force reference: within the operator's own clusters, the
+    // STRICT greedy (ids ascending, drop iff an already-KEPT mate has
+    // rounded cosine >= tau — the coverage-guaranteeing MIS form; a
+    // chain a-b, b-c with cos(a,c) < tau must keep BOTH a and c)
     val vecs = emb.select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -514,14 +515,27 @@ class DedupKernelSpec extends AnyFunSuite {
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
+    def near(a: Long, b: Long): Boolean =
+      BigDecimal(cos(vecs(a), vecs(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.35
     val byCluster = rows.groupBy(_._2)
-    rows.foreach { case (id, cl, kept) =>
-      val expectDrop = byCluster(cl).exists { case (other, _, _) =>
-        other < id &&
-          BigDecimal(cos(vecs(other), vecs(id)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.35
+    val expectKept: Map[Long, Boolean] = byCluster.values.flatMap { ms =>
+      val keptSoFar = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ms.map(_._1).sorted.map { id =>
+        val dup = keptSoFar.exists(k => near(k, id))
+        if (!dup) keptSoFar += id
+        id -> !dup
       }
-      assert(kept == !expectDrop, s"vec $id in cluster $cl")
+    }.toMap
+    rows.foreach { case (id, cl, kept) =>
+      assert(kept == expectKept(id), s"vec $id in cluster $cl")
+    }
+    // coverage guarantee: every dropped vector has a KEPT cluster-mate
+    // within tau (the invariant the pairwise drop rule violates on
+    // chains — d16's output gate checks the same claim in-plan)
+    rows.filter(!_._3).foreach { case (id, cl, _) =>
+      assert(byCluster(cl).exists { case (o, _, k) => k && o != id && near(o, id) },
+        s"dropped vec $id has no kept representative within tau")
     }
     assert(rows.count(!_._3) > 0, "tau must drop something at this SF")
     // the deterministic sample/seed/iteration scheme must replay to

@@ -331,6 +331,53 @@ class VectorSpec extends AnyFunSuite {
       s"label predicate not pushed into the cells scan:\n${cellScans.mkString("\n")}")
   }
 
+  test("empty-index lifecycle: delete-everything + compact keeps the " +
+      "index servable, append revives it, and a crashed compaction " +
+      "promote is restored on the next read") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vempty")
+      .toString
+    VectorIndex.build(corpus, dir)
+    // tombstone EVERY row, then compact: the partitioned rewrite of an
+    // empty relation leaves no data files — the index must stay
+    // servable (schema sidecar fallback), not die on schema inference
+    VectorIndex.delete(spark, dir, corpus.select($"id"))
+    VectorIndex.compact(spark, dir)
+    assert(VectorIndex.search(spark, dir, qs, 5).collect().isEmpty,
+      "emptied index served rows")
+    assert(VectorIndex.stats(spark, dir).collect().isEmpty)
+    // delete/compact on the already-empty index (currentGen guard)
+    VectorIndex.delete(spark, dir, corpus.limit(1).select($"id"))
+    VectorIndex.compact(spark, dir)
+    // append revives it — the frozen quantizer sidecars are intact
+    val part = corpus.filter($"id" % 3 === 0)
+    VectorIndex.append(part, dir)
+    val revived = VectorIndex.search(spark, dir, qs, 5)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(revived.nonEmpty, "append after full compaction did not serve")
+
+    // crash simulation: a compaction that died between its two promote
+    // renames leaves cells_old (authoritative) and no cells — the next
+    // read must restore it and serve the pre-crash results
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/cells"),
+      java.nio.file.Paths.get(s"$dir/cells_old"))
+    new java.io.File(s"$dir/cells_compacting").mkdirs()
+    val afterCrash = VectorIndex.search(spark, dir, qs, 5)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(afterCrash == revived,
+      "crashed-compaction restore diverged from the pre-crash serve")
+    assert(new java.io.File(s"$dir/cells").exists() &&
+      !new java.io.File(s"$dir/cells_old").exists(),
+      "restore did not promote cells_old back")
+  }
+
   test("PQ kernels: codegen path equals a hand-rolled reference; " +
       "length mismatch yields null") {
     import spark.implicits._

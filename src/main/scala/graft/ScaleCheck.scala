@@ -79,7 +79,10 @@ object ScaleCheck {
     // round 9: append-mode session windows (the q61 production shape),
     // index tombstone-delete lifecycle, left-outer stream-stream join
     "q65_stream_session_append", "s17_index_delete",
-    "q66_stream_left_join", "c21_cdc_vector_sync")
+    "q66_stream_left_join", "c21_cdc_vector_sync",
+    // round 10: approximate index-probe kNN graph (the scale path
+    // where exact s12 degrades toward N² work)
+    "s18_knn_graph_approx")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

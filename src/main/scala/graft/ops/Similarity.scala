@@ -859,9 +859,9 @@ object Similarity {
           s"across ${admitted.size} admitted cell pairs exceeds the " +
           s"work budget of $maxComparisons — the corpus has too " +
           "little metric structure for an exact kNN graph at this " +
-          "size. Use the approximate family (ivfTopK / signLshAnn / " +
-          "pqTopK) for the graph edges, or raise maxComparisons " +
-          "deliberately for a one-off exact run.")
+          "size. Use the approximate graph (VectorIndex.knnGraph — " +
+          "bounded index-probe work, recall tuned by nprobe) or raise " +
+          "maxComparisons deliberately for a one-off exact run.")
 
     val allFrags =
       if (admitted.isEmpty) ownTop.select(col("qid"), col("id"), col("cos"))

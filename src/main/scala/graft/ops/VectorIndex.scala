@@ -283,6 +283,81 @@ object VectorIndex {
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cid"))
 
+  /** APPROXIMATE corpus self-kNN graph by probing this index once per
+    * indexed row — the corpus-scale graph-build shape.
+    * [[Similarity.knnGraph]] is exact but information-theoretically
+    * quadratic on structureless corpora (its own work-budget guard
+    * points here); this form bounds the work at
+    * N · nprobe · cellsize ADC code scans regardless of metric
+    * structure, trading recall (tune `nprobe`/`shortlist`) for a
+    * wall-clock that scales near-linearly with the corpus.
+    *
+    * Scale shape — every stage shuffle-partitionable, nothing
+    * corpus-sized is broadcast or collected (unlike [[search]], whose
+    * query side is a small broadcast batch, the query side HERE is
+    * the whole corpus):
+    *  1. one pass over the live cells computes each row's ADC lookup
+    *     table ONCE (not once per probe) and carries it through the
+    *     map-side-combined `nprobe`-cell assignment;
+    *  2. probe rows equi-join the `(cid, id, codes)` relation on cid —
+    *     a plain shuffle join, AQE-splittable on skewed cells;
+    *  3. ADC candidates collapse through a bounded partial top-k
+    *     aggregate ([[graft.functions.TopKByScore]]): each map
+    *     partition ships ~shortlist rows per qid to the exchange — the
+    *     candidate relation itself (N·nprobe·cellsize rows) is never
+    *     shuffled, which is what makes the build feasible at corpus
+    *     scale (a window over candidates would shuffle all of them);
+    *  4. only the shortlist survivors touch full vectors for the
+    *     exact re-rank (two shuffle joins of an N×shortlist relation).
+    *
+    * Tombstoned rows are excluded from both endpoints. Deterministic:
+    * ADC sums are fixed-order, top-k orders are total
+    * ((score desc, id) / (round(cos,6) desc, id)). Output contract =
+    * [[Similarity.knnGraph]] (qid, id, cos, rank); edge recall vs the
+    * exact graph is gated by s18. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val cb = loadCodebook(spark, dir)
+    val m = cb.length
+    val ksub = cb.head.length
+    val cellsAll = readCells(spark, dir)
+    val alive = tombstones(spark, dir).fold(cellsAll)(t =>
+      killTombstoned(cellsAll, t))
+    val q = alive.select(col("id").as("qid"), col("vec").as("qvec"))
+
+    val qprobe = Similarity.assignCells(
+        q.withColumn("lut",
+            graft.functions.ProductQuantizer.lut(col("qvec"), cb))
+          .select(col("qid"), col("qvec"), col("lut")),
+        "qid", "qvec", centroids, nprobe)
+      .select(col("qid"), col("cid"), col("lut"))
+
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val short = qprobe
+      .join(alive.select(col("cid"), col("id"), col("codes")), "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), adc.as("adc"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.TopKByScore(shortlist).toColumn.name("ids"))
+      .toDF("qid", "ids")
+      .select(col("qid"), explode(col("ids")).as("id"))
+
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    short.join(alive.select(col("id"), col("vec")), "id")
+      .join(q, "qid")
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** Top-k search over a built index. Output contract and determinism
     * identical to [[Similarity.ivfPqTopK]].
     *

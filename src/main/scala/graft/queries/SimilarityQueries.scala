@@ -647,6 +647,31 @@ object SimilarityQueries {
       Similarity.knnGraph(load(s, d, "embeddings"),
           "vec_id", "embedding", k = 5, nlist = 16)
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- APPROXIMATE kNN graph from the persisted IVF-PQ index
+    //      (VectorIndex.knnGraph): the corpus-scale complement of
+    //      s12's exact graph — s12's own work-budget guard points
+    //      here when the corpus has too little metric structure for
+    //      exact pruning. Work is bounded at N·nprobe·cellsize ADC
+    //      code scans whatever the geometry; the candidate relation
+    //      never shuffles (bounded partial top-k aggregate).
+    //      GATE: edge recall vs the exact graph over EVERY corpus row
+    //      (not a 5-query probe batch) — operator + reference in one
+    //      plan, constant oracle (the d16 pattern) ----
+    "s18_knn_graph_approx" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val c = corpusDf(s, d).select($"id", $"vec")
+      val dir = s"target/vgraph_${math.abs(d.hashCode.toLong)}"
+      VectorIndex.build(c, dir)
+      val approx = VectorIndex.knnGraph(s, dir, k = 5, nprobe = 8)
+      val exact = Similarity.knnGraph(load(s, d, "embeddings"),
+        "vec_id", "embedding", k = 5, nlist = 16)
+      // measured: 0.82 at sf0.01, 0.74 at sf0.1 (nprobe=8/nlist=16 on
+      // this structureless corpus; decays with corpus growth under a
+      // fixed quantizer — the documented nprobe lever, cf. s04/s13)
+      recallGate(approx, exact, 5, "nprobe" -> 8L, 0.6)
     }
   )
 
@@ -747,6 +772,18 @@ object SimilarityQueries {
         ",\n  CAST(0 AS BIGINT) AS n_served_deleted"),
     "c21_cdc_vector_sync" -> recallOracleSql("nprobe" -> 4L,
       ",\n  CAST(0 AS BIGINT) AS n_diff_sync"),
+
+    // s18: graph-recall gate constants; n_queries = every corpus row
+    // with a usable (non-null, non-empty, nonzero-norm) embedding —
+    // the rows both graph builds index
+    "s18_knn_graph_approx" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(8 AS BIGINT) AS nprobe,
+        |  COUNT(DISTINCT vec_id) AS n_queries,
+        |  CAST(1 AS BIGINT) AS recall_pass
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  AND list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[]) > 0""".stripMargin,
 
     "s11_mmr_rerank" -> mmrSql,
 

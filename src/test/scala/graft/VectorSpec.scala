@@ -331,6 +331,36 @@ class VectorSpec extends AnyFunSuite {
       s"label predicate not pushed into the cells scan:\n${cellScans.mkString("\n")}")
   }
 
+  test("approximate kNN graph (VectorIndex.knnGraph): deterministic " +
+      "across runs, excludes tombstoned rows from both endpoints, and " +
+      "k edges per live vector") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vgraph")
+      .toString
+    VectorIndex.build(corpus, dir)
+    val g1 = VectorIndex.knnGraph(spark, dir, k = 5, nprobe = 8)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    val n = corpus.count()
+    assert(g1.map(_.head).distinct.size == n, "not every vector has edges")
+    assert(g1.size == n * 5, "not k edges per vector")
+    val g2 = VectorIndex.knnGraph(spark, dir, k = 5, nprobe = 8)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(g1 == g2, "approx graph is not deterministic")
+
+    // tombstoned ids vanish from BOTH graph endpoints without compaction
+    val victims = corpus.filter($"id" % 5 === 0).select($"id")
+    val vicSet = victims.as[Long].collect().toSet
+    VectorIndex.delete(spark, dir, victims)
+    val g3 = VectorIndex.knnGraph(spark, dir, k = 5, nprobe = 8).collect()
+    assert(g3.nonEmpty)
+    assert(!g3.exists(r => vicSet(r.getLong(0)) || vicSet(r.getLong(1))),
+      "a tombstoned id appears in the graph")
+  }
+
   test("empty-index lifecycle: delete-everything + compact keeps the " +
       "index servable, append revives it, and a crashed compaction " +
       "promote is restored on the next read") {

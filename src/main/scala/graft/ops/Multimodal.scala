@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction runs batched over partitions.
   *
-  * The container ships no media codecs, so [[FakeDecoder]] stands in
-  * for the real decode step — it is DETERMINISTIC (byte-histogram
-  * features), and everything around it (schema, binary slicing,
-  * partition batching, feature vector shape) is real and tested: a
-  * production deployment swaps `decoder` for one that calls an actual
-  * codec, nothing else changes.
+  * Decoders behind the [[MediaDecoder]] seam: [[PpmDecoder]] is a
+  * REAL parser for binary PPM (P6) — the raster format a codec-less
+  * container can still decode honestly, oracled end-to-end by m03 —
+  * and [[FakeDecoder]] is the deterministic byte-histogram stand-in
+  * for formats whose codecs the container doesn't ship (JPEG, audio,
+  * video). Everything around the seam (schema, binary slicing,
+  * partition batching, feature vector shape) is identical either
+  * way: a production deployment swaps `decoder` for one that calls
+  * an actual codec, nothing else changes.
   *
   * Scale: media bytes never leave executors, all transforms are
   * per-row/per-partition (no shuffle); frame sampling is pure
@@ -76,6 +79,73 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM decoder for binary PPM (P6) — the one raster
+    * format a codec-less container can still decode honestly: ASCII
+    * header (`P6`, width, height, maxval, `#` comments, arbitrary
+    * whitespace) followed by a big-endian raster of w·h RGB samples
+    * (1 byte per channel for maxval < 256, 2 bytes above — the full
+    * netpbm contract, not a fixture-shaped subset).
+    *
+    * Features: `[w, h, meanR, meanG, meanB]` with channel means
+    * maxval-normalized to [0,1] and rounded HALF_UP to 6 decimals
+    * (exactly representable back from float32, so a downstream
+    * `cast(double)` recovers the rounded value bit-for-bit — what
+    * lets m03's DuckDB oracle recompute them from the same bytes).
+    * Channel sums accumulate in long (exact — no float-order
+    * sensitivity), means divide once in double. Anything that is not
+    * a complete, well-formed P6 (bad magic, missing tokens, zero or
+    * over-range maxval, truncated raster) → null, the same contract
+    * as a failed codec call. */
+  object PpmDecoder extends MediaDecoder {
+    def features(bytes: Array[Byte]): Array[Float] = {
+      var i = 0
+      val n = bytes.length
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      // skip whitespace and '#'-to-EOL comments before a token
+      def skip(): Unit = {
+        var more = true
+        while (more && i < n) {
+          if (isWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') {
+            while (i < n && bytes(i) != '\n') i += 1
+          } else more = false
+        }
+      }
+      def int(): Long = { // -1 = malformed
+        skip()
+        var v = 0L; var any = false
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9' && v <= 65535) {
+          v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+        }
+        if (!any || v > 65535) -1L else v
+      }
+      if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+      i = 2
+      val w = int(); val h = int(); val maxval = int()
+      if (w <= 0 || h <= 0 || maxval <= 0) return null
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (i >= n || !isWs(bytes(i))) return null
+      i += 1
+      val perSample = if (maxval < 256) 1 else 2
+      val npix = w * h
+      if (n - i < npix * 3 * perSample) return null
+      val sums = new Array[Long](3)
+      var p = 0
+      while (p < npix * 3) {
+        val v =
+          if (perSample == 1) bytes(i) & 0xFF
+          else ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+        sums(p % 3) += v
+        i += perSample
+        p += 1
+      }
+      def mean(c: Int): Float =
+        BigDecimal(sums(c).toDouble / (npix.toDouble * maxval))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+      Array(w.toFloat, h.toFloat, mean(0), mean(1), mean(2))
+    }
+  }
+
   /** Batched feature extraction: (id, bytes) → (id, features),
     * decoder applied per partition (the inference batch shape). */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
@@ -86,11 +156,12 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long"), col(bytesCol))
     input.mapPartitions { rows: Iterator[Row] =>
       rows.map { r =>
-        // a real corpus carries null payloads (failed fetches); the
-        // decoder never sees them — null features, row preserved
+        // a real corpus carries null payloads (failed fetches) and
+        // undecodable blobs; the decoder sees only real bytes and may
+        // itself return null — null features, row preserved
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.getLong(0),
-          if (bytes == null) null else decoder.features(bytes).toSeq)
+        val f = if (bytes == null) null else decoder.features(bytes)
+        Row(r.getLong(0), if (f == null) null else f.toSeq)
       }
     }(Encoders.row(schema))
   }

@@ -122,15 +122,38 @@ object MultimodalQueries {
         .orderBy($"source", $"shard_id")
     },
 
-    // ---- batched (stub) feature extraction; rows-only check ----
-    "m03_fake_features" -> { (s, d) =>
+    // ---- REAL media decode, end-to-end oracled: every payload is a
+    //      complete binary PPM (P6) file built in-plan — ASCII header
+    //      (width 16, data-derived height, maxval 255) + the
+    //      document's bytes as the RGB raster, truncated/padded to
+    //      exactly w·h·3 — and Multimodal.PpmDecoder parses it like
+    //      any netpbm reader (header tokenizing, comments, maxval,
+    //      raster stride). The oracle recomputes the dimensions and
+    //      the maxval-normalized channel means from the same bytes
+    //      character-wise, so a decoder that mis-parses the header,
+    //      strides the raster wrong, or mixes channels hash-fails.
+    //      (Formats whose codecs the container doesn't ship — JPEG,
+    //      audio — stay behind the same MediaDecoder seam with the
+    //      deterministic FakeDecoder stand-in; spec-gated.) ----
+    "m03_ppm_features" -> { (s, d) =>
       import s.implicits._
-      val media = load(s, d, "documents")
-        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
-      Multimodal.extractFeatures(media, "doc_id", "payload")
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"text",
+          greatest(lit(1L), floor(length($"text") / lit(48)).cast("long"))
+            .cast("int").as("h"))
+      val media = docs.select($"doc_id",
+        concat(
+          encode(concat(lit("P6\n16 "), $"h".cast("string"), lit("\n255\n")),
+            "UTF-8"),
+          encode(expr("rpad(text, h * 48, ' ')"), "UTF-8")).as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "payload",
+          Multimodal.PpmDecoder)
         .select($"id".as("doc_id"),
-          round(element_at($"features", 7).cast("double"), 6).as("f7"),
-          round(element_at($"features", 8).cast("double"), 6).as("f8"))
+          element_at($"features", 1).cast("long").as("w"),
+          element_at($"features", 2).cast("long").as("h"),
+          round(element_at($"features", 3).cast("double"), 6).as("mean_r"),
+          round(element_at($"features", 4).cast("double"), 6).as("mean_g"),
+          round(element_at($"features", 5).cast("double"), 6).as("mean_b"))
         .orderBy($"doc_id")
     }
   )
@@ -142,6 +165,29 @@ object MultimodalQueries {
       "|| ' ' || string_split(text,' ')[i+2]))"
 
   val oracle: Map[String, String] = Map(
+    // m03: the raster is the document's chars truncated/padded to
+    // w·h·3; channel c's samples sit at positions 3j+c. Sums are
+    // exact integers (ascii codes), the single double division and
+    // round(…,6) mirror the decoder's arithmetic.
+    "m03_ppm_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, CAST(FLOOR(length(text) / 48) AS BIGINT)) AS h,
+        |    rpad(text, CAST(GREATEST(1, FLOOR(length(text) / 48)) * 48
+        |      AS INT), ' ') AS raster
+        |  FROM documents)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS w, h,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 1 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_r,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 2 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_g,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 3 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_b
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "m07_media_shards" ->
       """WITH c AS (
         |  SELECT source, doc_id, length(text) AS n_bytes,

@@ -34,13 +34,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented hash-defined set") {
+  test("every query is oracled: no rows-only entries remain") {
     // round 9 moved every hash/quantizer/sketch-defined entry to a
     // driver-checkable measurement gate (recall, exactness, error
     // bound, or structural invariant — each with a VALUES oracle);
-    // the ONLY remaining rows-only entry is the documented multimodal
-    // codec stub (the sandbox ships no media codecs)
+    // round 10 closed the last gap by making m03 a REAL in-sandbox
+    // decode (binary PPM) whose features DuckDB recomputes bytewise
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("m03_fake_features"), rowsOnly)
+    assert(rowsOnly == Set.empty[String], rowsOnly)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -178,15 +178,7 @@ object Dedup {
     // COUNT for a giant mutual-dup bucket is inherently quadratic —
     // that is the operator's contract — but it flows through shuffle
     // spill instead of living in one row's eval buffer.)
-    val candidates = banded
-      .groupBy((col("band") +: col("bucket") +: blockCols.map(col)): _*)
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a"), explode(
-        slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - 1))
-        .as("b"))
-      .dropDuplicates("a", "b")
+    val candidates = bucketCandidates(banded, blockCols)
     candidates
       .join(base.select(col("id").as("a"), col("__text").as("__ta")), "a")
       .join(base.select(col("id").as("b"), col("__text").as("__tb")), "b")
@@ -217,6 +209,45 @@ object Dedup {
   // Both derive via the same bandBucketRows/minhashSignatures code the
   // batch and streaming (d18) paths use, so all three disciplines
   // bucket identically and one oracle covers them.
+
+  /** In-bucket candidate pair expansion shared by [[minhashPairs]]
+    * and [[pairsFromIndex]]: one aggregation per (block × band ×
+    * bucket) cell + two chained generators (see the minhashPairs
+    * comment for why chained explodes, not one m²/2-struct array). */
+  private def bucketCandidates(banded: DataFrame,
+      blockCols: Seq[String] = Nil): DataFrame =
+    banded
+      .groupBy((col("band") +: col("bucket") +: blockCols.map(col)): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")) - col("i") - 1))
+        .as("b"))
+      .dropDuplicates("a", "b")
+
+  /** All near-dup pairs WITHIN an indexed corpus, derived from the
+    * stored relations alone — the shared artifact behind every
+    * pair-consuming analysis (d11 cluster stats, m06 cross-modal QA,
+    * d07-style canonicalization): at 100 TB the index is built once
+    * ([[buildNearDupIndex]], or incrementally by the d19 ingest loop)
+    * and each analysis derives pairs from `buckets/` + `members/`
+    * instead of re-shingling and re-bucketing the corpus per query.
+    * Output contract identical to [[minhashPairs]] ((a, b, jaccard),
+    * a < b, exact jaccard >= threshold): same bucket expansion, same
+    * exact-Jaccard verification — reading STORED shingle sets, so no
+    * text is ever re-tokenized. */
+  def pairsFromIndex(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val members = spark.read.parquet(s"$dir/members")
+    bucketCandidates(spark.read.parquet(s"$dir/buckets"))
+      .join(members.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(members.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .filter(sizeCompatible(col("sha"), col("shb"), threshold))
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {

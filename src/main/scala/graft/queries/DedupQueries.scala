@@ -196,9 +196,14 @@ object DedupQueries {
     "d11_cluster_sizes" -> { (s, d) =>
       import s.implicits._
       val docs = load(s, d, "documents").select($"doc_id")
+      // pair relation via the PERSISTED index (built here for bench
+      // honesty — at 100 TB the d19 ingest loop already maintains it
+      // and every pair consumer shares ONE artifact instead of
+      // re-shingling the corpus per analysis)
+      val dir = s"target/nd_index_d11_${math.abs(d.hashCode.toLong)}"
+      Dedup.buildNearDupIndex(load(s, d, "documents"), "doc_id", "text", dir)
       val labels = Dedup.connectedComponents(
-        Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8))
+        Dedup.pairsFromIndex(s, dir, threshold = 0.8))
         .select($"id".as("doc_id"), $"cluster")
       docs.join(labels, Seq("doc_id"), "left_outer")
         .select(coalesce($"cluster", $"doc_id").as("cluster"))

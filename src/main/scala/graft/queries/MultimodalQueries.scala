@@ -71,8 +71,11 @@ object MultimodalQueries {
       import s.implicits._
       import graft.ops.Dedup
       import graft.functions.Vectors
-      val pairs = Dedup.minhashPairs(load(s, d, "documents"),
-        "doc_id", "text", threshold = 0.8)
+      // pair relation via the persisted index (the d11 discipline:
+      // one shared artifact per corpus, not a re-shingle per analysis)
+      val dir = s"target/nd_index_m06_${math.abs(d.hashCode.toLong)}"
+      Dedup.buildNearDupIndex(load(s, d, "documents"), "doc_id", "text", dir)
+      val pairs = Dedup.pairsFromIndex(s, dir, threshold = 0.8)
       val emb = load(s, d, "embeddings")
       pairs
         .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), "a")

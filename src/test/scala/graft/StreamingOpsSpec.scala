@@ -173,6 +173,98 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kill-and-restart: a session stream restarted from its " +
+      "checkpoint resumes mid-corpus — open sessions recover from " +
+      "state, processed files never re-emit, drained output equals " +
+      "the batch result exactly once") {
+    // the reference's recoverable-restart taxonomy
+    // (util/Utils.java:457-486) proved on the streaming side: q65/c16
+    // gate the happy path; this leg kills the query partway through
+    // the corpus (stop() aborts any in-flight batch) and restarts
+    // from the checkpoint over an exactly-once file sink.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "chaos").toFile
+    val stage = new java.io.File(root, "stage"); stage.mkdirs()
+    val sink = new java.io.File(root, "sink").getPath
+    val ckpt = new java.io.File(root, "ckpt").getPath
+
+    // 8 time-ordered 60-min slices; users 1-30 sessionize fully before
+    // the kill point, users 31-40 OPEN a session in slice 3 and extend
+    // it in slice 4 — their state must survive the restart
+    val events: Seq[(Long, Int)] =
+      (1L to 30L).flatMap(u => Seq((u, u.toInt), (u, u.toInt + 20))) ++
+        (31L to 40L).flatMap(u => Seq((u, 230), (u, 250)))
+    def writeSlice(i: Int, rows: Seq[(Long, Int)]): Unit = {
+      val tmp = new java.io.File(root, s"_tmp$i")
+      rows.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "t")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles.filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stage, f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 3600_000L + i * 2000L)
+      ()
+    }
+    val bySlice = events.groupBy(_._2 / 60)
+    for (i <- 0 to 3) writeSlice(i, bySlice.getOrElse(i, Nil))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType)))
+    def pipeline = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getPath)
+      .withWatermark("t", "1 minute")
+      .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("start"), $"w.end".as("end"), $"n")
+    def start() = pipeline.writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    // run A: kill as soon as at least one batch committed (stop()
+    // aborts whatever batch is in flight — wherever the kill lands,
+    // the final output below must be identical)
+    val qa = start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (Option(qa.lastProgress).forall(_.batchId < 1) &&
+        qa.isActive && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    qa.stop()
+
+    // the rest of the corpus lands AFTER the crash, plus the two
+    // far-future sentinel files that close the final sessions (the
+    // q65 discipline: watermark advances at the end of the batch that
+    // read sentinel 1, closed sessions emit in sentinel 2's batch)
+    for (i <- 4 to 7) writeSlice(i, bySlice.getOrElse(i, Nil))
+    writeSlice(8, Seq((-1L, 10000)))
+    writeSlice(9, Seq((-1L, 11000)))
+
+    // run B: restart from the same checkpoint, drain
+    val qb = start()
+    try qb.processAllAvailable() finally qb.stop()
+
+    val got = spark.read.parquet(sink).filter($"user_id" >= 0)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq.sorted
+    val expected = events.map { case (u, m) => (u, ts(m)) }
+      .toDF("user_id", "t")
+      .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("start"), $"w.end".as("end"), $"n")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq.sorted
+    assert(got == expected,
+      s"restart output diverged: got ${got.size} rows, " +
+        s"expected ${expected.size}\n${got.mkString(";")}\nvs\n" +
+        expected.mkString(";"))
+    // the cross-restart sessions specifically: one 2-event session per
+    // user 31-40, spanning the kill boundary
+    assert((31L to 40L).forall(u =>
+      got.count { case (uu, _, _, n) => uu == u && n == 2L } == 1),
+      "a session spanning the restart was split or duplicated")
+  }
+
   test("stream-static join buffers NO join state — only the downstream " +
       "aggregate holds rows") {
     import spark.implicits._

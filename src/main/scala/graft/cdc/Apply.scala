@@ -28,15 +28,28 @@ object Apply {
   /** Reduce a batch to at most one event per PK: the latest by
     * sort_key. A full sort-key tie (same transaction/statement) breaks
     * DELETE-wins — the conservative choice; real Datastream events
-    * differ at least in ssn, so this is a corner-case guard. */
+    * differ at least in ssn, so this is a corner-case guard. Remaining
+    * full ties resolve by row hash, a total order, so the pick is
+    * deterministic whatever the partitioning.
+    *
+    * Executes as one `max_by` aggregate, NOT a window: windows cannot
+    * partially aggregate, so a hot PK (one row updated millions of
+    * times in a batch — the realistic CDC skew) would sort its entire
+    * event pile in a single task. The aggregate map-side-combines:
+    * every input partition reduces the hot key to ONE row before the
+    * exchange, the shuffle carries at most (#map partitions) rows per
+    * key, and the final reduce is tiny — hot-key cost stays bounded by
+    * scan parallelism, not by the key's event count (measured in the
+    * MergeSkew panel, SURVEY §9). */
   def collapse(events: DataFrame, pkCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(pkCols.map(pkCol): _*)
-      .orderBy(col("sort_key").desc,
-        when(col("op") === "DELETE", 1).otherwise(0).desc)
-    events
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val all = events.columns.toSeq
+    val ord = struct(
+      col("sort_key").as("__sk"),
+      when(col("op") === "DELETE", 1).otherwise(0).as("__del"),
+      xxhash64(all.map(col): _*).as("__tb"))
+    events.groupBy(pkCols.map(pkCol): _*)
+      .agg(max_by(struct(all.map(col): _*), ord).as("__e"))
+      .select(col("__e.*"))
   }
 
   /** Merge collapsed events into `state`.

@@ -447,23 +447,23 @@ object Events {
           org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.DoubleType)))
-      val stream = s.readStream.schema(schema)
+      val raw = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.getPath)
-        // 1-minute delay: slices are range-disjoint and ascending, so
-        // nothing real ever arrives behind the watermark; the margin
-        // only guards the slice-boundary equality case. The sentinel
-        // rows flow THROUGH the stream (a pre-aggregate filter would
-        // be predicate-pushed below the EventTimeWatermark node and
-        // the sentinel would never advance the clock — measured: the
-        // final 31 min of sessions stuck open); their own sessions are
-        // dropped from the sink table below.
-        .withWatermark("t", "1 minute")
-        .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
-        .agg(count(lit(1)).as("n_events"),
-          sum(dec4($"value")).cast("double").as("total_value"))
-        .select($"user_id", unix_micros($"w.start").as("start_us"),
-          unix_micros($"w.end").as("end_us"), $"n_events", $"total_value")
+      // the watermark+append session pipeline is the ENGINE API
+      // (Sessionize.sessionWindows — round-9 stretch item: the q65
+      // discipline as a reusable surface, not a query-local pattern).
+      // 1-minute delay: slices are range-disjoint and ascending, so
+      // nothing real ever arrives behind the watermark; the margin
+      // only guards the slice-boundary equality case. The sentinel
+      // rows flow THROUGH the stream (a pre-aggregate filter would
+      // be predicate-pushed below the EventTimeWatermark node and
+      // the sentinel would never advance the clock — measured: the
+      // final 31 min of sessions stuck open); their own sessions are
+      // dropped from the sink table below.
+      val stream = graft.streaming.Sessionize.sessionWindows(raw,
+        gap = java.time.Duration.ofMinutes(30),
+        watermarkDelay = java.time.Duration.ofMinutes(1))
       withStatePartitions(s, 4) {
         val q = stream.writeStream
           .format("memory").queryName("q65_stream_session_append_sink")

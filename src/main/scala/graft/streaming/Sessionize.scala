@@ -23,6 +23,51 @@ object Sessionize {
   case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total_value: Double)
 
+  /** Declarative session windows in watermark+append mode — the q65
+    * production discipline as a reusable engine API (round-9 verdict
+    * stretch item), composable onto any decoded event stream
+    * (CdcStream's routed events, a file source, Kafka): each closed
+    * session emits exactly ONCE as the watermark passes its end and
+    * is evicted from state, so state holds only OPEN sessions
+    * (measured at 100×: 1.22 M state rows vs complete-mode's 9.55 M —
+    * SURVEY §10.9). Built entirely from Spark's `session_window` +
+    * watermark, so merges/extensions across batches are the engine's
+    * own; values fold through decimal(18,4) before the double cast
+    * (order-insensitive sums, the oracle-parity discipline).
+    *
+    * @param events streaming (user_id, t timestamp, value) relation;
+    *               the watermark is applied HERE — pass `t` raw
+    * @param gap inactivity gap closing a session
+    * @param watermarkDelay max accepted event lateness */
+  def sessionWindows(events: DataFrame, gap: java.time.Duration,
+      watermarkDelay: java.time.Duration): DataFrame =
+    events.select(col("user_id").cast("long").as("user_id"), col("t"),
+        col("value").cast("double").as("value"))
+      .withWatermark("t", s"${watermarkDelay.toMillis} milliseconds")
+      .groupBy(
+        session_window(col("t"), s"${gap.toMillis} milliseconds").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"),
+        col("total_value"))
+
+  /** [[sessionWindows]] into an exactly-once parquet sink: the
+    * checkpointed, restart-safe deployment shape (StreamingOpsSpec's
+    * kill-and-restart leg drives exactly this path). */
+  def startAppendSessions(events: DataFrame, gap: java.time.Duration,
+      watermarkDelay: java.time.Duration, sinkPath: String,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionWindows(events, gap, watermarkDelay).writeStream
+      .format("parquet").option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append").trigger(trigger).start()
+
   /** @param events streaming DataFrame with (user_id long, t timestamp,
     *               value double); must already carry a watermark on `t`.
     * @param gap    inactivity gap closing a session */

@@ -197,7 +197,7 @@ class StreamingOpsSpec extends AnyFunSuite {
         (31L to 40L).flatMap(u => Seq((u, 230), (u, 250)))
     def writeSlice(i: Int, rows: Seq[(Long, Int)]): Unit = {
       val tmp = new java.io.File(root, s"_tmp$i")
-      rows.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "t")
+      rows.map { case (u, m) => (u, ts(m), 1.0) }.toDF("user_id", "t", "value")
         .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
       val part = tmp.listFiles.filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(stage, f"slice$i%02d.parquet")
@@ -212,17 +212,18 @@ class StreamingOpsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("t",
-        org.apache.spark.sql.types.TimestampType)))
-    def pipeline = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.getPath)
-      .withWatermark("t", "1 minute")
-      .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n"))
-      .select($"user_id", $"w.start".as("start"), $"w.end".as("end"), $"n")
-    def start() = pipeline.writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // the deployment API under test: Sessionize.startAppendSessions
+    // (watermark+append session windows into an exactly-once parquet
+    // sink — the q65 discipline as an engine surface)
+    def start() = Sessionize.startAppendSessions(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.getPath),
+      gap = java.time.Duration.ofMinutes(30),
+      watermarkDelay = java.time.Duration.ofMinutes(1),
+      sinkPath = sink, checkpointPath = ckpt)
 
     // run A: kill as soon as at least one batch committed (stop()
     // aborts whatever batch is in flight — wherever the kill lands,
@@ -247,13 +248,16 @@ class StreamingOpsSpec extends AnyFunSuite {
     try qb.processAllAvailable() finally qb.stop()
 
     val got = spark.read.parquet(sink).filter($"user_id" >= 0)
-      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq.sorted
-    val expected = events.map { case (u, m) => (u, ts(m)) }
-      .toDF("user_id", "t")
-      .groupBy(session_window($"t", "30 minutes").as("w"), $"user_id")
-      .agg(count(lit(1)).as("n"))
-      .select($"user_id", $"w.start".as("start"), $"w.end".as("end"), $"n")
-      .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq.sorted
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    // batch/stream parity through the SAME API code path: the
+    // expected relation is sessionWindows over the full corpus in
+    // batch mode (withWatermark is a no-op there)
+    val expected = Sessionize.sessionWindows(
+        events.map { case (u, m) => (u, ts(m), 1.0) }
+          .toDF("user_id", "t", "value"),
+        gap = java.time.Duration.ofMinutes(30),
+        watermarkDelay = java.time.Duration.ofMinutes(1))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
     assert(got == expected,
       s"restart output diverged: got ${got.size} rows, " +
         s"expected ${expected.size}\n${got.mkString(";")}\nvs\n" +
@@ -261,7 +265,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     // the cross-restart sessions specifically: one 2-event session per
     // user 31-40, spanning the kill boundary
     assert((31L to 40L).forall(u =>
-      got.count { case (uu, _, _, n) => uu == u && n == 2L } == 1),
+      got.count { case (uu, _, _, n, _) => uu == u && n == 2L } == 1),
       "a session spanning the restart was split or duplicated")
   }
 

@@ -95,12 +95,18 @@ object Bench {
       Thread.sleep(15000)
       l0 = load1()
     }
-    // Optional subset run for local iteration: --family=q,d runs only
-    // those family prefixes. Subset runs never overwrite the committed
-    // full-surface artifact.
+    // Optional subset runs for local iteration: --family=q,d runs
+    // those family prefixes; --only=s18_knn_graph_approx runs exact
+    // names. Subset runs never overwrite the committed full-surface
+    // artifact and print their full per-query map (a subset is small
+    // enough to fit the harness's tail capture).
     val families: Option[Set[String]] = args.collectFirst {
       case a if a.startsWith("--family=") =>
         a.stripPrefix("--family=").split(",").map(_.trim).toSet
+    }
+    val onlyNames: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(",").map(_.trim).toSet
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -135,7 +141,8 @@ object Bench {
     // stays 2 runs/query (1 for prior-confirmed sub-second queries,
     // the fastPath above); only burst-hit queries pay extra.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter {
-      case (n, _) => families.forall(fs => fs(n.takeWhile(!_.isDigit)))
+      case (n, _) => families.forall(fs => fs(n.takeWhile(!_.isDigit))) &&
+        onlyNames.forall(_(n))
     }
     val measured = selected.map { case (name, fn) =>
       def once(): Double = {
@@ -199,7 +206,8 @@ object Bench {
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"queries":${jmap(results)}""" +
         loads + s""","sf":"$sfDir"}"""
-      if (families.isEmpty) {
+      val subset = families.nonEmpty || onlyNames.nonEmpty
+      if (!subset) {
         // tmp + atomic move, not Files.write in place: a SIGKILL mid-
         // rewrite would otherwise truncate the very artifact the
         // publish-first design exists to protect
@@ -213,7 +221,8 @@ object Bench {
       println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size}""" +
         s""","groups":${jmap(groups)}""" +
-        s""","queries":${jmap(results.filter(r => headline(r._1)))}""" +
+        s""","queries":${jmap(
+          if (subset) results else results.filter(r => headline(r._1)))}""" +
         loads + s""","full":"BENCH_FULL.json","sf":"$sfDir"}""")
     }
 

@@ -53,7 +53,8 @@ object CdcStream {
       modifiedAfter: Option[java.sql.Timestamp] = None,
       maxFileAge: Option[String] = None,
       pathFilter: Option[org.apache.spark.sql.Column] = None,
-      processedLog: Option[String] = None): Pipeline = {
+      processedLog: Option[String] = None,
+      maintenanceLease: Option[(WorkerLease, String)] = None): Pipeline = {
     // allowlist scoping here is row-level only (inside the decode);
     // file-level pruning needs the filename-keyed layout asserted —
     // see CdcRouter(filenameKeyed = true)
@@ -81,10 +82,20 @@ object CdcStream {
           }
           // periodic in-stream maintenance: the reference runs its
           // TTL/cleanup task every 3 scan cycles (90 s vs 30 s); here
-          // compaction+vacuum piggyback on every Nth commit
+          // compaction+vacuum piggyback on every Nth commit. With a
+          // maintenanceLease, only the current lease holder runs it —
+          // the reference's created-flag election around SetTTLTask
+          // (DatastreamEventReader.java:171-173), with failover: a
+          // dead owner's lease expires and a live worker takes over,
+          // instead of maintenance silently stopping forever.
           if (maintenanceEvery > 0 && (id + 1) % maintenanceEvery == 0) {
-            table.compact()
-            table.vacuum(keepVersions = 2)
+            val owns = maintenanceLease.forall { case (lease, me) =>
+              lease.tryAcquire(me).isDefined
+            }
+            if (owns) {
+              table.compact()
+              table.vacuum(keepVersions = 2)
+            }
           }
           ()
         }

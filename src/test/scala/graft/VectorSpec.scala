@@ -535,7 +535,7 @@ class VectorSpec extends AnyFunSuite {
         nlist = 16, maxComparisons = 1000L).count()
     }
     assert(e.getMessage.contains("work budget"), e.getMessage)
-    assert(e.getMessage.contains("ivfTopK"), e.getMessage)
+    assert(e.getMessage.contains("VectorIndex.knnGraph"), e.getMessage)
   }
 
   test("knnGraph exactness survives a degenerate quantizer (nlist=1 and nlist=3)") {

@@ -249,6 +249,29 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-document degree in the near-dup graph plus the hub-prune
+    * decision — the curation signal cluster statistics hide: a
+    * template shell ("hub") pairs with MANY documents that are not
+    * similar to EACH OTHER (a star, not a clique), so connected
+    * components report one big cluster while the one document worth
+    * dropping is the hub at its center. Degree is a map-side-
+    * combinable count over the symmetrized pair relation plus a left
+    * join back to the corpus (degree-0 docs kept at 0); `hubDegree`
+    * is corpus-calibrated (a production pipeline pins it at a high
+    * percentile of the degree distribution). At 100 TB `pairs` comes
+    * from the persisted near-dup index ([[pairsFromIndex]]) so no
+    * pair consumer re-shingles the corpus. */
+  def nearDupDegrees(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      hubDegree: Long): DataFrame = {
+    val deg = pairs.select(col("a").as(idCol))
+      .unionAll(pairs.select(col("b").as(idCol)))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("degree"))
+    corpus.select(col(idCol))
+      .join(deg, Seq(idCol), "left_outer")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("is_hub", col("degree") >= hubDegree)
+  }
+
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

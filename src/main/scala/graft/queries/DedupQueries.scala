@@ -516,6 +516,23 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_viol_dropped"))
       res.agg(count(lit(1)).as("n_vectors"))
         .crossJoin(violKept).crossJoin(violDrop)
+    },
+
+    // ---- near-dup hub report: per-doc degree + hub-prune flag ----
+    // the star-vs-clique distinction d11's cluster sizes hide: a
+    // boilerplate shell pairs with many mutually-dissimilar docs.
+    // Pair relation from minhashPairs here (one self-contained pass
+    // for the per-query bench); at 100 TB it derives from the
+    // persisted near-dup index (Dedup.pairsFromIndex, the d11 path).
+    // hubDegree=2 is calibrated to this synthetic corpus's degree
+    // distribution (max observed 2 at sf0.01).
+    "d21_hub_prune" -> { (s, d) =>
+      import s.implicits._
+      Dedup.nearDupDegrees(load(s, d, "documents"), "doc_id",
+          Dedup.minhashPairs(load(s, d, "documents"), "doc_id", "text",
+            threshold = 0.8),
+          hubDegree = 2L)
+        .orderBy($"doc_id")
     }
   )
 
@@ -822,6 +839,22 @@ object DedupQueries {
         |    eb.embedding::DOUBLE[]), 6) >= 0.35)
         |SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
         |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
-        |ORDER BY a.vec_id""".stripMargin
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "d21_hub_prune" ->
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |deg AS (
+         |  SELECT x AS doc_id, COUNT(*) AS degree
+         |  FROM (SELECT a AS x FROM prs UNION ALL SELECT b FROM prs)
+         |  GROUP BY 1)
+         |SELECT doc.doc_id, COALESCE(deg.degree, 0) AS degree,
+         |  COALESCE(deg.degree, 0) >= 2 AS is_hub
+         |FROM documents doc LEFT JOIN deg ON doc.doc_id = deg.doc_id
+         |ORDER BY doc.doc_id""".stripMargin
   )
 }

@@ -463,6 +463,37 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(split.select($"split").distinct().count() == 3)
   }
 
+  test("nearDupDegrees: the star hub is flagged, its spokes and " +
+      "unrelated docs are not") {
+    import spark.implicits._
+    // star construction: each spoke differs from the hub in ONE word
+    // (3 of 38 shingles change → J = 35/41 ≈ 0.854 ≥ 0.8), but two
+    // spokes differ in TWO words (J = 32/44 ≈ 0.727 < 0.8) — so the
+    // near-dup graph is a pure star: hub degree 3, spoke degree 1.
+    // Cluster statistics see ONE 4-doc component; only the degree
+    // view isolates the hub.
+    val words = (1 to 40).map(i => s"w$i")
+    def repl(pos: Int, w: String) = words.updated(pos - 1, w).mkString(" ")
+    val docs = Seq(
+      (1L, words.mkString(" ")),   // hub
+      (2L, repl(10, "x")),         // spokes: pair with the hub only
+      (3L, repl(20, "y")),
+      (4L, repl(30, "z")),
+      (5L, (100 to 140).map(i => s"v$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8)
+    assert(pairs.count() == 3, "expected exactly the three hub-spoke edges")
+    val out = Dedup.nearDupDegrees(docs, "doc_id", pairs, hubDegree = 3L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 3L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 0L, false)))
+    // the contrast claim: connected components CANNOT separate the hub
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.select($"cluster").distinct().count() == 1)
+    assert(cc.count() == 4)
+  }
+
   test("semanticDedup: within-cluster near-dups drop, cross-cluster survive") {
     import spark.implicits._
     // two label clusters along the x- and y-axes. Ids 1/2 (cluster A)

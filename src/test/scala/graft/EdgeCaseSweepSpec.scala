@@ -82,6 +82,7 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
     .filterNot(_.contains("stream"))
     .filterNot(_ == "d16_semantic_dedup_scaled") // sqrt(N) trainer needs >k vectors
     .filterNot(_ == "s12_knn_graph")             // ditto (nlist=16 > 6 usable)
+    .filterNot(_ == "s18_knn_graph_approx")      // ditto (PQ ksub=32 > 6 usable)
     .filterNot(_ == "s06_centroids")             // kmeans k exceeds usable corpus
     .filterNot(_ == "s07_quantize")
     .filterNot(_ == "s04_ann_ivf")

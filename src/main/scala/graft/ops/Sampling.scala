@@ -56,4 +56,40 @@ object Sampling {
       .withColumn("__cum", sum(col("__nt")).over(w))
       .withColumn("keep", col("__cum") <= budget)
   }
+
+  /** Temperature-flattened mixture shares — the third leg of mixture
+    * specification after rate ([[stratifiedSample]]) and budget
+    * ([[tokenBudgetKeep]]): given the corpus's OBSERVED per-stratum
+    * token mass p_s, the training mixture samples stratum s in
+    * proportion to p_s^alpha (alpha < 1 flattens the head toward
+    * uniform — the standard multilingual re-balancing; alpha = 1 is
+    * natural, alpha = 0 uniform), normalized over strata. Output is
+    * the stratum relation (n_docs, n_tokens, p_raw, mix_share);
+    * turning a share into keep-decisions is then a rate or budget per
+    * stratum via the other two ops.
+    *
+    * Scale shape: one map-side-combinable aggregate over the corpus
+    * (|strata| rows out), then two broadcast scalar joins — the
+    * corpus shuffles nothing but the partial-agg rows. Determinism:
+    * token masses are exact longs; alpha = 0.5 uses IEEE sqrt
+    * (exactly rounded, engine-identical); the |strata|-sized
+    * normalizer sums DECIMAL(28,18)-cast terms so addition order
+    * cannot change the result. */
+  def temperatureMix(df: DataFrame, strataCol: String, tokenCount: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val strata = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    val tot = strata.agg(sum(col("n_tokens")).as("__tt"))
+    def flat(p: Column): Column =
+      if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
+    val withP = strata.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("__tt"))
+      .withColumn("__f", flat(col("p_raw")))
+    val z = withP.agg(sum(col("__f").cast("decimal(28,18)")).as("__z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("__f") / col("__z").cast("double"), 6).as("mix_share"))
+  }
 }

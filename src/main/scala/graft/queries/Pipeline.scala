@@ -224,6 +224,17 @@ object Pipeline {
           min($"doc_id").as("first_doc"),
           max($"doc_id").as("last_doc"))
         .orderBy($"lang", $"source")
+    },
+
+    // ---- temperature-flattened language mixture (alpha = 0.5) ----
+    // the missing third mixture spec next to d08's rates and d14's
+    // budgets: shares derive from the corpus's OWN token masses
+    "p04_temperature_mix" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.Sampling
+      Sampling.temperatureMix(load(s, d, "documents"), "lang",
+          size(split($"text", " ")), alpha = 0.5)
+        .orderBy($"lang")
     }
   )
 
@@ -381,7 +392,26 @@ object Pipeline {
          |    ELSE 'de' END AS pred_lang,
          |  CAST(n_tok // 16 AS BIGINT) AS len_bucket,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // token masses are exact BIGINTs; sqrt is IEEE exactly-rounded in
+    // both engines; the |strata|-sized normalizer sums
+    // DECIMAL(28,18)-cast terms so addition order cannot differ
+    "p04_temperature_mix" ->
+      """WITH t AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM t),
+        |f AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    n_tokens::DOUBLE / tot AS p_raw,
+        |    sqrt(n_tokens::DOUBLE / tot) AS fl
+        |  FROM t, tt),
+        |z AS (SELECT SUM(CAST(fl AS DECIMAL(28,18))) AS zz FROM f)
+        |SELECT lang, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
+        |  round(fl / CAST(zz AS DOUBLE), 6) AS mix_share
+        |FROM f, z ORDER BY lang""".stripMargin
   )
 
   /** DuckDB hit-count for one language's marker list (t03's shape). */

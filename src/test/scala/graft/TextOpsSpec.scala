@@ -114,4 +114,33 @@ class TextOpsSpec extends AnyFunSuite {
       .select($"source", $"doc_id").as[(String, Long)].collect().toSet
     assert(kept == Set(("a", 1L), ("a", 2L), ("b", 1L)))
   }
+
+  test("temperatureMix: alpha=0.5 flattens the head toward uniform; " +
+      "shares match the closed form and sum to 1") {
+    import spark.implicits._
+    // en:es token mass 9:1 → raw p (0.9, 0.1); sqrt-flattened shares
+    // (0.75, 0.25) — the head gives up mass, the tail gains
+    val docs = Seq(
+      ("en", ("t " * 899).trim + " t"),   // 900 tokens
+      ("es", ("t " * 99).trim + " t")     // 100 tokens
+    ).toDF("lang", "text")
+    val out = Sampling.temperatureMix(docs, "lang",
+        size(split($"text", " ")), alpha = 0.5)
+      .orderBy($"lang").collect()
+    val en = out(0); val es = out(1)
+    assert(en.getAs[Long]("n_tokens") == 900L)
+    assert(es.getAs[Long]("n_tokens") == 100L)
+    assert(math.abs(en.getAs[Double]("p_raw") - 0.9) < 1e-9)
+    // closed form replicated with the op's own arithmetic
+    val (fe, fs) = (math.sqrt(900.0 / 1000), math.sqrt(100.0 / 1000))
+    val z = BigDecimal(fe).setScale(18, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(fs).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(en.getAs[Double]("mix_share") == r6(fe / z.toDouble))
+    assert(es.getAs[Double]("mix_share") == r6(fs / z.toDouble))
+    // flattening direction: head share < raw p, tail share > raw p
+    assert(en.getAs[Double]("mix_share") < 0.9)
+    assert(es.getAs[Double]("mix_share") > 0.1)
+  }
 }

@@ -47,8 +47,12 @@ object VectorIndex {
     val e = corpus.select(col("id") +: col("vec") +: metaCols.map(col): _*)
       .filter(Vectors.norm(col("vec")) > 0.0)
     // both quantizers train on ONE collected sample — two separate
-    // trainer calls would scan-and-collect the sample twice
-    val sample = Similarity.trainingSample(e.select(col("id"), col("vec")), 512)
+    // trainer calls would scan-and-collect the sample twice. The
+    // sample must exceed nlist (k-means seeds `take(nlist)` points),
+    // so it scales with production nlist ≈ √N; the 2^16 cap bounds
+    // driver memory and training flops (iters·sample·nlist·dim)
+    val sample = Similarity.trainingSample(e.select(col("id"), col("vec")),
+      math.min(1 << 16, math.max(512, 8 * nlist)))
     val cents = Similarity.learnCentroidsFrom(sample, nlist)
     val cb = Similarity.pqTrainFrom(sample, m, ksub)
 
@@ -299,14 +303,24 @@ object VectorIndex {
     *  1. one pass over the live cells computes each row's ADC lookup
     *     table ONCE (not once per probe) and carries it through the
     *     map-side-combined `nprobe`-cell assignment;
-    *  2. probe rows equi-join the `(cid, id, codes)` relation on cid —
-    *     a plain shuffle join, AQE-splittable on skewed cells;
-    *  3. ADC candidates collapse through a bounded partial top-k
-    *     aggregate ([[graft.functions.TopKByScore]]): each map
-    *     partition ships ~shortlist rows per qid to the exchange — the
-    *     candidate relation itself (N·nprobe·cellsize rows) is never
-    *     shuffled, which is what makes the build feasible at corpus
-    *     scale (a window over candidates would shuffle all of them);
+    *  2. probe rows equi-join the `(cid, id, codes)` relation on cid.
+    *     The probe side carries a ~4 KB ADC lookup table per row, so
+    *     it must never be sorted or re-shuffled: the codes relation
+    *     (24 bytes/vector) broadcasts when it fits (`broadcastRows`),
+    *     else a SHUFFLE_HASH hint keeps the join sort-free (sort-merge
+    *     would sort N·nprobe·4 KB of lut rows to co-locate ~nlist
+    *     keys);
+    *  3. ADC candidates collapse through a structurally-bounded
+    *     two-level top-k ([[graft.functions.TopKBuckets.partialTopK]]):
+    *     per-partition heaps with a flush valve ship ≤ shortlist rows
+    *     per qid per partition to the exchange — the candidate
+    *     relation itself (N·nprobe·cellsize rows) is never shuffled
+    *     OR sorted. (The previous typed-Aggregator form planned to
+    *     ObjectHashAggregateExec, whose 128-distinct-key sort-based
+    *     fallback sorts the whole candidate stream — ~10^11 spilled
+    *     rows at a 500 k corpus; the hand-rolled partial cannot fall
+    *     back.) Build the index with nlist ≈ √N so cellsize — and with
+    *     it the scan work — stays √N-bounded per probe;
     *  4. only the shortlist survivors touch full vectors for the
     *     exact re-rank (two shuffle joins of an N×shortlist relation).
     *
@@ -316,7 +330,8 @@ object VectorIndex {
     * [[Similarity.knnGraph]] (qid, id, cos, rank); edge recall vs the
     * exact graph is gated by s18. */
   def knnGraph(spark: SparkSession, dir: String, k: Int,
-      nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+      nprobe: Int = 4, shortlist: Int = 50,
+      broadcastRows: Long = 4000000L): DataFrame = {
     import spark.implicits._
     val centroids = broadcast(spark.read.parquet(s"$dir/centroids"))
     val cb = loadCodebook(spark, dir)
@@ -337,16 +352,19 @@ object VectorIndex {
     val adc = (0 until m).map(s =>
       element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val short = qprobe
-      .join(alive.select(col("cid"), col("id"), col("codes")), "cid")
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), adc.as("adc"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(graft.functions.TopKByScore(shortlist).toColumn.name("ids"))
-      .toDF("qid", "ids")
-      .select(col("qid"), explode(col("ids")).as("id"))
+    val codesRel = alive.select(col("cid"), col("id"), col("codes"))
+    // one codes-only count decides the join strategy; both branches
+    // leave the lut-carrying probe side unsorted and unshuffled
+    val joined =
+      if (codesRel.count() <= broadcastRows)
+        qprobe.join(broadcast(codesRel), "cid")
+      else qprobe.join(codesRel.hint("SHUFFLE_HASH"), "cid")
+    val short = graft.functions.TopKBuckets.partialTopK(
+        joined.filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id"), adc.as("adc"))
+          .as[(Long, Long, Double)], shortlist)
+      .toDF("qid", "id", "adc")
+      .select(col("qid"), col("id"))
 
     val wr = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("id"))

@@ -361,6 +361,44 @@ class VectorSpec extends AnyFunSuite {
       "a tombstoned id appears in the graph")
   }
 
+  test("TopKBuckets.partialTopK == TopKByScore aggregator under high " +
+      "key cardinality, with the flush valve exercised") {
+    import spark.implicits._
+    // 500 keys × 40 candidates, scores engineered with ties; flush
+    // every 7 keys so level-1 emits many partial fragments per key
+    val cand = spark.range(500 * 40).as[Long].map { i =>
+      (i % 500, i, ((i * 2654435761L) % 97).toDouble)  // heavy ties
+    }
+    val viaHeaps = graft.functions.TopKBuckets
+      .partialTopK(cand, k = 5, flushEvery = 7)
+      .collect().map(t => (t._1, t._2)).toSet
+    val viaAgg = cand.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.TopKByScore(5).toColumn.name("ids"))
+      .flatMap { case (k, ids) => ids.map(i => (k, i)) }
+      .collect().toSet
+    assert(viaHeaps == viaAgg)
+    assert(viaHeaps.size == 500 * 5)
+  }
+
+  test("knnGraph SHUFFLE_HASH branch (broadcastRows=0) matches the " +
+      "broadcast branch") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "vgraphsh")
+      .toString
+    VectorIndex.build(corpus, dir)
+    val bc = VectorIndex.knnGraph(spark, dir, k = 5, nprobe = 8)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    val sh = VectorIndex.knnGraph(spark, dir, k = 5, nprobe = 8,
+        broadcastRows = 0L)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    assert(bc == sh, "join strategy changed the graph")
+  }
+
   test("empty-index lifecycle: delete-everything + compact keeps the " +
       "index servable, append revives it, and a crashed compaction " +
       "promote is restored on the next read") {

@@ -81,8 +81,10 @@ object ScaleCheck {
     "q65_stream_session_append", "s17_index_delete",
     "q66_stream_left_join", "c21_cdc_vector_sync",
     // round 10: approximate index-probe kNN graph (the scale path
-    // where exact s12 degrades toward N² work)
-    "s18_knn_graph_approx")
+    // where exact s12 degrades toward N² work), near-dup hub degrees,
+    // temperature mixture, BM25 retrieval, cross-source overlap
+    "s18_knn_graph_approx", "d21_hub_prune", "p04_temperature_mix",
+    "t23_bm25_topk", "d22_source_overlap")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

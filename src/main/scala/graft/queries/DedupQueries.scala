@@ -533,6 +533,59 @@ object DedupQueries {
             threshold = 0.8),
           hubDegree = 2L)
         .orderBy($"doc_id")
+    },
+
+    // ---- cross-source verbatim-overlap matrix ----
+    // the between-SOURCES contamination signal (d09 guards corpus vs
+    // eval benchmarks; d13/d17 measure per-document coverage; this is
+    // the corpus-curation view: which source pairs share verbatim
+    // 8-gram material, as exact Jaccard/containment over each source's
+    // distinct-gram SET). Skew-proof shape: the distinct (source, gram)
+    // relation is one explode + distinct (linear); pair expansion is a
+    // groupBy(gram) -> sorted collect_set(source) whose size is bounded
+    // by |sources| (tiny), then an in-expression combination unfold —
+    // no gram-keyed self-join, so a mega-shared gram costs |sources|²
+    // rows, never n_docs². Sizes broadcast back (a |sources|-row
+    // relation). All ratios are integer-ratio doubles (bit-exact across
+    // engines, the t10 discipline).
+    "d22_source_overlap" -> { (s, d) =>
+      import s.implicits._
+      val grams = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"source", split($"text", " ").as("t"))
+        .filter(size($"t") >= 8)
+        .select($"source", explode(array_distinct(
+          transform(sequence(lit(1), size($"t") - 7),
+            i => array_join(slice($"t", i, lit(8)), " ")))).as("g"))
+        .distinct()
+      // one gram-grouped relation feeds BOTH consumers: sizes unfolds
+      // the per-gram source set (each distinct (source, gram) appears
+      // exactly once across the ss arrays), pairs unfolds its 2-combos
+      // — the exchange below the collect_set is identical in the two
+      // subtrees, so ReuseExchange runs the corpus scan+explode ONCE
+      // (a per-source groupBy for sizes would be a second full scan)
+      val bySrc = grams.groupBy($"g")
+        .agg(sort_array(collect_set($"source")).as("ss"))
+      val sizes = bySrc.select(explode($"ss").as("source"))
+        .groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      val pairs = bySrc
+        .filter(size($"ss") >= 2)
+        .select(explode(flatten(transform($"ss", (a, i) =>
+          transform(slice($"ss", i + 2, size($"ss")),
+            b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+        .groupBy($"p.src_a", $"p.src_b")
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sizes.select($"source".as("src_a"),
+          $"n_grams".as("grams_a"))), "src_a")
+        .join(broadcast(sizes.select($"source".as("src_b"),
+          $"n_grams".as("grams_b"))), "src_b")
+        .select($"src_a", $"src_b", $"grams_a", $"grams_b", $"n_shared",
+          round($"n_shared".cast("double") /
+            ($"grams_a" + $"grams_b" - $"n_shared"), 6).as("jaccard"),
+          round($"n_shared".cast("double") /
+            least($"grams_a", $"grams_b"), 6).as("containment"))
+        .orderBy($"src_a", $"src_b")
     }
   )
 
@@ -855,6 +908,31 @@ object DedupQueries {
          |SELECT doc.doc_id, COALESCE(deg.degree, 0) AS degree,
          |  COALESCE(deg.degree, 0) >= 2 AS is_hub
          |FROM documents doc LEFT JOIN deg ON doc.doc_id = deg.doc_id
-         |ORDER BY doc.doc_id""".stripMargin
+         |ORDER BY doc.doc_id""".stripMargin,
+
+    "d22_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source, gg AS g FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))))
+        |      AS gg
+        |    FROM (SELECT source, string_split(text,' ') AS t
+        |          FROM documents) s
+        |    WHERE len(t) >= 8) u),
+        |sizes AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  sa.n_grams AS grams_a, sb.n_grams AS grams_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / least(sa.n_grams, sb.n_grams), 6) AS containment
+        |FROM shared
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin
   )
 }

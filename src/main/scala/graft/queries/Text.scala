@@ -493,6 +493,60 @@ object Text {
           round($"q_sum" / $"n_docs", 4).as("avg_quality"),
           round($"n_kept".cast("double") / $"n_docs", 6).as("retention"))
         .orderBy($"lang", $"source")
+    },
+
+    // ---- BM25 lexical retrieval over an inverted index ----
+    // the retrieval half RAG/decontamination pipelines actually run
+    // (s10's lexical leg is raw set overlap; this is the ranked
+    // Lucene-BM25 scorer: idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    // k1=1.2 b=0.75). Plan shape IS the inverted-index build: one
+    // scan→explode→hash-agg produces the postings (term, doc, tf, dl);
+    // df is a window over the term partition (t09's trick — a
+    // groupBy+self-join would evaluate the postings subtree twice);
+    // query terms broadcast (queries are always the small side); score
+    // aggregation shuffles only postings that MATCH a query term. At
+    // 100 TB the postings relation is the linear-in-corpus artifact
+    // every search engine materializes; nothing here is pairwise.
+    // Cross-engine determinism: idf is ln() rounded to 6 up front (the
+    // one libm call), every other factor is exactly-rounded IEEE
+    // arithmetic on integers/avgdl with identical parenthesization in
+    // both engines, and per-term contributions sum as DECIMAL(28,18)
+    // (the p04 discipline) so addition order cannot change the hash.
+    "t23_bm25_topk" -> { (s, d) =>
+      import s.implicits._
+      val toks = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select($"doc_id", tokens($"text").as("t"))
+      val postings = toks
+        .select($"doc_id", size($"t").cast("long").as("dl"),
+          explode($"t").as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+      val stats = load(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          avg(tokenCount($"text")).as("avgdl"))
+      val qterms = toks.filter($"doc_id" < 5)
+        .select($"doc_id".as("qid"),
+          explode(array_distinct($"t")).as("term"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+      val contrib = postings
+        .withColumn("df", count(lit(1)).over(wDf))
+        .join(broadcast(qterms), "term")
+        .filter($"doc_id" =!= $"qid")
+        .crossJoin(broadcast(stats))
+        .select($"qid", $"doc_id".as("id"),
+          (round(log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0), 6) *
+            ($"tf" * lit(2.2)) /
+            ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+            .cast("decimal(28,18)").as("c"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"sc".desc, $"id")
+      contrib.groupBy($"qid", $"id").agg(sum($"c").as("sc"))
+        .withColumn("rank", row_number().over(wQ).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"qid", $"id",
+          round($"sc".cast("double"), 6).as("score"), $"rank")
+        .orderBy($"qid", $"rank")
     }
   )
 
@@ -832,6 +886,38 @@ object Text {
          |  round(CAST(COUNT(CASE WHEN q >= 0.75 THEN 1 END) AS DOUBLE)
          |    / COUNT(*), 6) AS retention
          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    "t23_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |postings AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, u AS term,
+        |    COUNT(*) AS tf
+        |  FROM toks, unnest(t) x(u) GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    AVG(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS qid, u AS term
+        |  FROM toks, unnest(t) x(u) WHERE doc_id < 5),
+        |contrib AS (
+        |  SELECT q.qid, p.doc_id AS id,
+        |    CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+        |      * (p.tf * 2.2)
+        |      / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+        |      AS DECIMAL(28,18)) AS c
+        |  FROM postings p
+        |  JOIN df d USING (term) JOIN qterms q USING (term)
+        |  CROSS JOIN stats s
+        |  WHERE p.doc_id <> q.qid),
+        |scored AS (SELECT qid, id, SUM(c) AS sc FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, id, sc,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, id) AS rank
+        |  FROM scored)
+        |SELECT qid, id, round(CAST(sc AS DOUBLE), 6) AS score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   )
 }

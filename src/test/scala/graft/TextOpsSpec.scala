@@ -143,4 +143,87 @@ class TextOpsSpec extends AnyFunSuite {
     assert(en.getAs[Double]("mix_share") < 0.9)
     assert(es.getAs[Double]("mix_share") > 0.1)
   }
+
+  test("t23 BM25: closed form on a crafted corpus — tf monotone, " +
+      "length-normalized, idf-weighted, self excluded") {
+    import spark.implicits._
+    // qid=1 queries {apple, rare}. Corpus designed so every BM25
+    // property is observable: 10 beats 11 (higher tf, same dl), 12
+    // beats 11 (same tf, shorter doc), 13 is boosted by the rare
+    // term's idf, 14 matches nothing, and the query doc itself never
+    // appears as a hit.
+    val docs = Seq(
+      (1L, "apple rare"),
+      (10L, "apple apple banana banana"),
+      (11L, "apple banana banana banana"),
+      (12L, "apple banana"),
+      (13L, "rare banana banana banana"),
+      (14L, "banana banana banana banana"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("t23_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(got.forall(_._1 == 1L), s"only qid=1 expected: ${got.toSeq}")
+    assert(!got.exists(_._2 == 1L), "query doc must not rank itself")
+    assert(!got.exists(_._2 == 14L), "a doc with no query term never scores")
+
+    // independent closed-form reference (same formula, recomputed from
+    // raw token counts — not through any query code)
+    val toks = docs.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def dfOf(t: String) = toks.values.count(_.contains(t))
+    def bm25(id: Long): Double = Seq("apple", "rare").map { t =>
+      val tf = toks(id).count(_ == t)
+      if (tf == 0) 0.0
+      else {
+        val df = dfOf(t)
+        val idf = BigDecimal(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        idf * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * toks(id).size / avgdl))
+      }
+    }.sum
+    val expected = Seq(10L, 11L, 12L, 13L).map(id => id -> bm25(id))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got.map(_._2).toSeq == expected.map(_._1),
+      s"rank order: got ${got.toSeq} expected $expected")
+    got.foreach { case (_, id, score, _) =>
+      val e = BigDecimal(expected.toMap.apply(id))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - e) < 2e-6, s"doc $id: $score vs $e")
+    }
+    // the designed property checks, independent of the formula dup
+    val sc = got.map(t => t._2 -> t._3).toMap
+    assert(sc(10L) > sc(11L), "higher tf must score higher at equal dl")
+    assert(sc(12L) > sc(11L), "shorter doc must score higher at equal tf")
+    assert(sc(13L) > sc(11L), "rare-term idf must beat common-term match")
+  }
+
+  test("d22 source overlap: exact gram-set Jaccard/containment on a " +
+      "crafted 3-source corpus; sub-8-token docs ignored") {
+    import spark.implicits._
+    val w = (1 to 9).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" "), "A"),             // grams {w1..w8, w2..w9}
+      (2L, w.take(8).mkString(" "), "B"),      // grams {w1..w8}
+      (3L, (1 to 8).map(i => s"z$i").mkString(" "), "C"), // disjoint
+      (4L, "too short", "C"))                  // <8 tokens: no grams
+    val dir = java.nio.file.Files.createTempDirectory("srcovl").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d22_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // only (A,B) shares anything; C's gram set is disjoint and its
+    // short doc contributes nothing
+    assert(got.toSeq == Seq(("A", "B", 2L, 1L, 1L, 0.5, 1.0)), got.toSeq)
+  }
 }

@@ -287,6 +287,62 @@ object VectorIndex {
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cid"))
 
+  /** Quantizer-drift report: SHOULD this index retrain its quantizers
+    * ([[build]]) rather than keep folding appends in under the frozen
+    * ones ([[append]]/[[compact]])? [[stats]] exposes the raw cell
+    * sizes; this folds them into the decision signal:
+    *
+    *  - `tv_drift` — total-variation distance between the LIVE cell
+    *    distribution and the build-time one (the surviving gen-0 rows,
+    *    which [[compact]] preserves and [[reindex]] resets — no extra
+    *    baseline sidecar to version). 0 = appends landed exactly like
+    *    the training corpus; 1 = nothing original survives.
+    *  - `max_share` — hottest cell's share of live vectors. Probes
+    *    scan whole cells, so one hot cell degrades every search that
+    *    probes it even when tv is low.
+    *  - `needs_retrain` — `tv_drift > tvBar` OR
+    *    `max_share > hotCellFactor / nlist` (a balanced index has
+    *    share ≈ 1/nlist).
+    *
+    * One row out; every stage is a partial aggregate over the cells
+    * scan (the per-cell relation is nlist-sized, so the tail is
+    * size-invariant). An empty index reports zeros / no-retrain; an
+    * index whose gen-0 rows were all deleted reports tv_drift = 1. */
+  def driftSignal(spark: SparkSession, dir: String,
+      tvBar: Double = 0.25, hotCellFactor: Double = 4.0): DataFrame = {
+    val nlist = spark.read.parquet(s"$dir/centroids").count()
+    val cellsAll = readCells(spark, dir)
+    val live = tombstones(spark, dir).fold(cellsAll)(t =>
+      killTombstoned(cellsAll, t))
+    val perCell = live.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_now"),
+        count(when(col("gen") === 0L, 1)).as("n_base"))
+    val totals = perCell.agg(
+      coalesce(sum("n_now"), lit(0L)).as("n_live"),
+      coalesce(sum("n_base"), lit(0L)).as("n_base_tot"),
+      coalesce(max("n_now"), lit(0L)).as("max_cell"))
+    // TV = Σ|p_now − p_base| / 2 over cells; null-safe on the empty /
+    // no-surviving-baseline edges, which the final select resolves
+    val tvAgg = perCell.crossJoin(broadcast(totals))
+      .agg((sum(when(col("n_live") === 0L || col("n_base_tot") === 0L,
+        lit(null)).otherwise(abs(
+          col("n_now").cast("double") / col("n_live") -
+            col("n_base").cast("double") / col("n_base_tot")))) / 2)
+        .as("tv_raw"))
+    totals.crossJoin(broadcast(tvAgg))
+      .select(
+        col("n_live"), col("n_base_tot").as("n_base"), lit(nlist).as("nlist"),
+        round(when(col("n_live") === 0L, 0.0)
+          .when(col("n_base_tot") === 0L, 1.0)
+          .otherwise(coalesce(col("tv_raw"), lit(0.0))), 6).as("tv_drift"),
+        round(when(col("n_live") === 0L, 0.0)
+          .otherwise(col("max_cell").cast("double") / col("n_live")), 6)
+          .as("max_share"))
+      .withColumn("needs_retrain",
+        col("tv_drift") > tvBar ||
+          col("max_share") > lit(hotCellFactor) / lit(nlist.toDouble))
+  }
+
   /** APPROXIMATE corpus self-kNN graph by probing this index once per
     * indexed row — the corpus-scale graph-build shape.
     * [[Similarity.knnGraph]] is exact but information-theoretically

@@ -593,4 +593,65 @@ class VectorSpec extends AnyFunSuite {
       assert(graph == exact, s"nlist=$nl")
     }
   }
+
+  test("driftSignal: proportional growth never flags; a hot-cell append " +
+      "flags; losing every gen-0 row reads as full drift") {
+    import spark.implicits._
+    import graft.ops.VectorIndex
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val n = corpus.count()
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), tag)
+      .toString
+    def sig(dir: String) =
+      VectorIndex.driftSignal(spark, dir).collect().head
+
+    // fresh build: live == baseline exactly
+    val dir = tmp("vdrift")
+    VectorIndex.build(corpus, dir)
+    val s0 = sig(dir)
+    assert(s0.getAs[Double]("tv_drift") == 0.0, s0)
+    assert(!s0.getAs[Boolean]("needs_retrain"), s0)
+    assert(s0.getAs[Long]("n_live") == n && s0.getAs[Long]("n_base") == n)
+
+    // proportional growth (same corpus re-appended under new ids):
+    // every cell doubles, the DISTRIBUTION is unchanged — size alone
+    // must never trigger a retrain
+    VectorIndex.append(
+      corpus.select(($"id" + 1000000L).as("id"), $"vec"), dir)
+    val s1 = sig(dir)
+    assert(s1.getAs[Double]("tv_drift") == 0.0, s1)
+    assert(!s1.getAs[Boolean]("needs_retrain"), s1)
+    assert(s1.getAs[Long]("n_live") == 2 * n)
+
+    // hot-cell drift: 2N copies of ONE vector all land in one cell
+    val hot = corpus.filter($"id" === corpus.agg(min($"id")).head.getLong(0))
+      .select($"vec").limit(1)
+    VectorIndex.append(
+      spark.range(2000000L, 2000000L + 2 * n).toDF("id").crossJoin(hot), dir)
+    val s2 = sig(dir)
+    assert(s2.getAs[Double]("tv_drift") > 0.25, s2)
+    assert(s2.getAs[Double]("max_share") > 0.4, s2)
+    assert(s2.getAs[Boolean]("needs_retrain"), s2)
+
+    // deleting every original row: baseline gone, tv reads 1
+    val dir2 = tmp("vdriftb")
+    VectorIndex.build(corpus, dir2)
+    VectorIndex.append(
+      corpus.select(($"id" + 1000000L).as("id"), $"vec"), dir2)
+    VectorIndex.delete(spark, dir2, corpus.select($"id"))
+    val s3 = sig(dir2)
+    assert(s3.getAs[Double]("tv_drift") == 1.0, s3)
+    assert(s3.getAs[Long]("n_base") == 0L && s3.getAs[Long]("n_live") == n)
+    assert(s3.getAs[Boolean]("needs_retrain"), s3)
+
+    // emptied index: zeros, no retrain recommendation
+    VectorIndex.delete(spark, dir2,
+      corpus.select(($"id" + 1000000L).as("id")))
+    val s4 = sig(dir2)
+    assert(s4.getAs[Long]("n_live") == 0L, s4)
+    assert(s4.getAs[Double]("tv_drift") == 0.0 &&
+      !s4.getAs[Boolean]("needs_retrain"), s4)
+  }
 }

@@ -27,7 +27,8 @@ object Decode {
   case class Options(
       dmlBlacklist: Set[String] = Set.empty,
       columns: Seq[String] = Nil,
-      allowlist: TableAllowlist = TableAllowlist(Nil))
+      allowlist: TableAllowlist = TableAllowlist(Nil),
+      includePosition: Boolean = false)
 
   /** Decode an envelope DataFrame (from [[DatastreamAvro]]) into the
     * engine's change-event shape. */
@@ -55,7 +56,17 @@ object Decode {
       .when(rawOp === "UPDATE-INSERT", "UPDATE")
       .otherwise(rawOp)
 
-    val decoded = envelope.select(
+    // per-record position bookkeeping (the reference's per-file resume
+    // `position`, DatastreamEventConsumer.java:73/:355):
+    // (_file_path, source_row) totally orders the stream's records;
+    // null where the envelope format cannot supply it (JSON twin)
+    val positionCols: Seq[Column] =
+      if (!opts.includePosition) Nil
+      else if (envelope.schema.fieldNames.contains(DatastreamAvro.FileRowCol))
+        Seq(col(DatastreamAvro.FileRowCol).as("source_row"))
+      else Seq(lit(null).cast("long").as("source_row"))
+
+    val decoded = envelope.select(Seq(
       col("source_metadata.database").as("database"),
       col("source_metadata.schema").as("schema_name"),
       col("source_metadata.table").as("table_name"),
@@ -79,7 +90,7 @@ object Decode {
           "([^/_]+)_[^/]*$", 1)).as("schema_key"),
       regexp_extract(col(DatastreamAvro.FilePathCol),
         "(\\d{4}/\\d{2}/\\d{2}/\\d{2}/\\d{2})", 1).as("source_time_path"),
-      col(DatastreamAvro.FilePathCol))
+      col(DatastreamAvro.FilePathCol)) ++ positionCols: _*)
       // previous_row := row for UPDATE (PK unchanged by construction:
       // PK updates arrive as a DELETE+UPDATE pair)
       .withColumn("previous_row", when(col("op") === "UPDATE", col("row")))

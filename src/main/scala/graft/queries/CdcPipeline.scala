@@ -458,10 +458,51 @@ object CdcPipeline {
       val v1 = Apply.merge(Some(v0), changes, Seq("c_custkey"), 1L)
       v1.select($"c_custkey", $"bal", $"_is_deleted".as("deleted"))
         .orderBy($"c_custkey")
+    },
+
+    // ---- per-record position bookkeeping ----
+    // the reference's resume `position` (record index within the
+    // current avro file, DatastreamEventConsumer.java:73/:355) as a
+    // decode column: (_file_path, source_row) totally orders the
+    // stream. The gate proves the contract on the reference's own
+    // fixture files — per file, positions are DENSE from 0
+    // (n_distinct == n_rows, min 0, max n−1) with the exact record
+    // counts pinned by the oracle. Scale shape: the index is assigned
+    // inside the per-file decode iterator (no window, no shuffle —
+    // a row_number over the file would re-sort the corpus), and the
+    // gate is one hash aggregate over the decode scan.
+    "c22_position_bookkeeping" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.DatastreamAvro
+      Decode.fromAvro(s,
+          s"$fixtures/{delete,dump,insert,update-pk,update}.avro",
+          Decode.Options(includePosition = true))
+        .groupBy(regexp_extract(col(DatastreamAvro.FilePathCol),
+          "([^/]+)\\.avro$", 1).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"source_row").as("first_row"),
+          max($"source_row").as("last_row"),
+          countDistinct($"source_row").as("n_distinct"))
+        .select($"file", $"n_rows", $"first_row", $"last_row",
+          ($"n_distinct" === $"n_rows" && $"first_row" === 0L &&
+            $"last_row" === $"n_rows" - 1L).as("dense"))
+        .orderBy($"file")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // positions are decode-time facts of the FIXED reference fixtures
+    // (read-only), so the oracle pins them as literals — the same
+    // golden-fixture discipline as c08/c12; `dense` is the structural
+    // invariant (per-file positions are 0..n−1 with no gaps/dups)
+    "c22_position_bookkeeping" -> ("SELECT * FROM (VALUES " +
+      "('delete', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), " +
+      "('dump', CAST(108 AS BIGINT), CAST(0 AS BIGINT), CAST(107 AS BIGINT), true), " +
+      "('insert', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), " +
+      "('update', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), true), " +
+      "('update-pk', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), true)" +
+      ") AS t(file, n_rows, first_row, last_row, dense) ORDER BY file"),
+
     "c12_schema_drift" -> ("SELECT * FROM (VALUES " +
       "(CAST(1 AS BIGINT), 'a', CAST(NULL AS DOUBLE), false, CAST(2 AS BIGINT)), " +
       "(CAST(2 AS BIGINT), 'b2', CAST(3.5 AS DOUBLE), false, CAST(2 AS BIGINT)), " +

@@ -39,6 +39,16 @@ object DatastreamAvro {
   /** Column appended to every decoded row with the source file path. */
   val FilePathCol = "_file_path"
 
+  /** 0-based record index within the source file — the reference's
+    * per-file resume `position` (DatastreamEventConsumer.java:73,
+    * saved per table at :355 and skip-replayed at :191). Here it is a
+    * plain data column: (file, _file_row) totally orders the stream's
+    * records, and the file-log exactly-once makes resume-by-skip
+    * unnecessary — the column exists for lineage/audit and for
+    * consumers that need the reference's position contract. Nullable
+    * because the JSON envelope twin cannot derive it. */
+  val FileRowCol = "_file_row"
+
   /** Read the writer schema embedded in one local avro file. */
   def writerSchema(path: String): AvroSchema = {
     val in = new java.io.FileInputStream(stripScheme(path))
@@ -51,7 +61,9 @@ object DatastreamAvro {
     * schema) + the file-path column. */
   def sparkSchema(samplePath: String): StructType = {
     val st = AvroSchemaConverter.toStructType(writerSchema(samplePath))
-    StructType(st.fields :+ StructField(FilePathCol, StringType, nullable = false))
+    StructType(st.fields :+
+      StructField(FilePathCol, StringType, nullable = false) :+
+      StructField(FileRowCol, LongType, nullable = true))
   }
 
   private def stripScheme(p: String): String =
@@ -187,18 +199,21 @@ object DatastreamAvro {
     val writer = reader.getSchema
     val fields = target.fields
     val fieldSchemas = fields.map(f =>
-      if (f.name == FilePathCol) null
+      if (f.name == FilePathCol || f.name == FileRowCol) null
       else Option(writer.getField(f.name)).map(_.schema()).orNull)
     val records = new Iterator[GenericRecord] {
       def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
       def next(): GenericRecord = reader.next()
     }
+    var rowIdx = -1L
     records.map { rec =>
+      rowIdx += 1
       val vals = new Array[Any](fields.length)
       var i = 0
       while (i < fields.length) {
         vals(i) =
           if (fields(i).name == FilePathCol) path
+          else if (fields(i).name == FileRowCol) rowIdx
           else if (fieldSchemas(i) == null) null
           else convert(rec.get(fields(i).name), fieldSchemas(i),
             fields(i).dataType)

@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.StructType
   */
 object DatastreamJson {
 
-  /** Strip the path column from an envelope schema (it is re-derived
-    * from the actual input file here). */
+  /** Strip the path/row-position columns from an envelope schema (the
+    * path is re-derived from the actual input file here; a per-file
+    * row index is an Avro-container notion the JSON reader cannot
+    * supply — it stays null, see [[DatastreamAvro.FileRowCol]]). */
   private def dataSchema(envelope: StructType): StructType =
-    StructType(envelope.fields.filterNot(_.name == DatastreamAvro.FilePathCol))
+    StructType(envelope.fields.filterNot(f =>
+      f.name == DatastreamAvro.FilePathCol ||
+        f.name == DatastreamAvro.FileRowCol))
 
   def read(spark: SparkSession, glob: String,
       envelope: StructType): DataFrame =

@@ -105,4 +105,31 @@ class CdcDecodeSpec extends AnyFunSuite {
     assert(row.getAs[String]("schema_key") != null)
     assert(row.getAs[Row]("source_metadata").getAs[String]("table") != null)
   }
+
+  test("position bookkeeping: source_row is the in-file record index " +
+      "and reproduces the reference's mid-file resume (106 records " +
+      "from position 2, DatastreamEventConsumerTest.java:68/:106)") {
+    import org.apache.spark.sql.functions.col
+    val withPos = decode("dump.avro", Decode.Options(includePosition = true))
+    val positions = withPos.select(col("source_row"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(positions == (0L until 108L), "positions must be dense 0..n−1")
+    // the reference consumer built with startingPosition=2 skips two
+    // records and emits 106 — the positional filter is that resume
+    assert(withPos.filter(col("source_row") >= 2L).count() == 106L)
+    // opt-out: the default decode shape is unchanged (no new column)
+    assert(!decode("dump.avro").columns.contains("source_row"))
+    // the JSON envelope twin cannot supply an in-file index: decoding
+    // it with positions yields a null column, never an analysis error
+    val env = DatastreamAvro.read(spark, s"$fixtures/insert.avro")
+    val dir = java.nio.file.Files.createTempDirectory("jsonpos").toString
+    env.drop(DatastreamAvro.FilePathCol, DatastreamAvro.FileRowCol)
+      .write.mode("overwrite").json(dir)
+    val jsonEnv = graft.sources.DatastreamJson.read(spark, s"$dir/*.json",
+      DatastreamAvro.sparkSchema(s"$fixtures/insert.avro"))
+    val jrows = Decode.changeEvents(jsonEnv,
+      Decode.Options(includePosition = true)).collect()
+    assert(jrows.nonEmpty &&
+      jrows.forall(r => r.isNullAt(r.fieldIndex("source_row"))))
+  }
 }

@@ -120,6 +120,51 @@ class CdcRouter(
     } finally { events.unpersist(); () }
   }
 
+  /** Mid-stream table ADDITION — the reference's stream-update CRUD
+    * leg (the control plane updates the stream's table list and
+    * triggers a backfill for the newly added tables while existing
+    * tables keep streaming; allowlist semantics util/Utils.java:
+    * 297-342). Discipline:
+    *
+    *  1. STOP the running query FIRST — a file committed between a
+    *     backfill listing and the stop would slip the new tables
+    *     forever (the old stream's checkpoint marks it done under the
+    *     old allowlist and never replays it);
+    *  2. batch-apply ONLY the added tables' rows from every
+    *     currently-available source file — their dump AND the
+    *     historical CDC the old checkpoint already committed;
+    *  3. restart from the SAME checkpoint under the widened allowlist
+    *     — uncommitted/new files flow for all tables. Overlap between
+    *     the backfill batch and the stream's uncommitted tail is
+    *     harmless: the sort-key-guarded PK merge is replay-idempotent
+    *     (MergePropertySpec), the same property that lets backfill and
+    *     CDC interleave on first start.
+    *
+    * Returns the widened router (same state dirs — per-table state is
+    * persistent under `rootPath`) and the restarted query. The
+    * backfill batch merges at sequence −1 like dump-first: LWW by
+    * sort keys makes batch numbering invisible to final state. */
+  def widen(added: Seq[String], running: StreamingQuery,
+      sourceGlob: String, schema: StructType, checkpoint: String,
+      decodeOpts: Decode.Options = Decode.Options(),
+      trigger: Trigger = Trigger.AvailableNow())
+      : (CdcRouter, StreamingQuery) = {
+    running.stop()
+    running.awaitTermination()
+    val widened = new CdcRouter(spark, rootPath, pkColsFor, numBuckets,
+      TableAllowlist(allowlist.patterns ++ added), databaseName,
+      filenameKeyed)
+    val addedOnly = TableAllowlist(added)
+    val envelope = DatastreamAvro.read(spark, sourceGlob, Some(schema),
+      pathFilter =
+        if (filenameKeyed) addedOnly.pathFilter(col("path")) else None)
+    val backfill = Decode.changeEvents(envelope,
+      decodeOpts.copy(allowlist = addedOnly))
+    if (!backfill.isEmpty) widened.applyBatch(backfill, -1L)
+    (widened, widened.start(sourceGlob, schema, checkpoint, decodeOpts,
+      trigger))
+  }
+
   /** Stream a directory of avro change files into per-table targets. */
   def start(sourceGlob: String, schema: StructType, checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),

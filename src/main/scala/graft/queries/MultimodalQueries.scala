@@ -158,6 +158,39 @@ object MultimodalQueries {
           round(element_at($"features", 4).cast("double"), 6).as("mean_g"),
           round(element_at($"features", 5).cast("double"), 6).as("mean_b"))
         .orderBy($"doc_id")
+    },
+
+    // ---- REAL audio decode: RIFF/WAVE PCM (m03's audio counterpart) ----
+    // payloads are complete 8-bit mono PCM WAVE files built in-plan
+    // (256 samples of the document's chars — fixed frame count keeps
+    // the binary header a literal; the DECODER still walks the full
+    // chunk grammar, and WavDecoderSpec pins 16-bit/stereo/pad-byte/
+    // malformed legs the fixed query shape can't reach). The oracle
+    // recomputes mean absolute amplitude character-wise: sums are
+    // exact integers, one double division, round 6 — the m03
+    // float32-round-trip discipline.
+    "m08_wav_features" -> { (s, d) =>
+      import s.implicits._
+      def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      val hdr: Array[Byte] =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + 256) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+          "data".getBytes("US-ASCII") ++ le32(256)
+      val media = load(s, d, "documents").select($"doc_id",
+        concat(lit(hdr),
+          encode(expr("rpad(text, 256, ' ')"), "UTF-8")).as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "payload",
+          Multimodal.WavDecoder)
+        .select($"id".as("doc_id"),
+          element_at($"features", 1).cast("long").as("channels"),
+          element_at($"features", 2).cast("long").as("sample_rate"),
+          element_at($"features", 3).cast("long").as("n_frames"),
+          round(element_at($"features", 4).cast("double"), 6).as("mean_abs"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -190,6 +223,20 @@ object MultimodalQueries {
         |    j -> ascii(substring(raster, CAST(3 * j + 3 AS INT), 1))))
         |    / (16 * h * 255.0), 6) AS mean_b
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // m08: 8-bit PCM samples are the padded document's ascii codes;
+    // mean absolute amplitude = Σ|code − 128| / (256·128), exact
+    // integer sum, one double division, round 6
+    "m08_wav_features" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_frames,
+        |  round(list_sum(list_transform(range(1, 257),
+        |    j -> abs(ascii(substring(rpad(text, 256, ' '),
+        |      CAST(j AS INT), 1)) - 128)))
+        |    / (256 * 128.0), 6) AS mean_abs
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m07_media_shards" ->
       """WITH c AS (

@@ -162,6 +162,16 @@ object Multimodal {
     * through `cast(double)`. Anything not a complete well-formed
     * PCM WAVE (bad magic, non-PCM, unsupported bit depth, truncated
     * or misaligned data) → null, the failed-codec contract. */
+  /** Little-endian field writers — the encode side of [[WavDecoder]]'s
+    * reader, shared by everything that BUILDS wave bytes (the m08
+    * payload constructor, WavDecoderSpec's fixtures) so the write and
+    * read layouts cannot drift apart. */
+  def wavLe16(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  def wavLe32(v: Int): Array[Byte] =
+    Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
   object WavDecoder extends MediaDecoder {
     def features(bytes: Array[Byte]): Array[Float] = {
       val n = bytes.length

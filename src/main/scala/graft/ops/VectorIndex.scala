@@ -71,16 +71,25 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
 
     writeCells(e, dir, cb, metaCols, "overwrite", gen = 0L)
+    // the caller's corpus is authoritative (same contract as reindex):
+    // tombstones left over from a previous index life would otherwise
+    // kill the fresh generation-0 cells
+    rmRec(new java.io.File(s"$dir/tombstones"))
   }
 
   /** Highest append generation present in the cell files. Derived
     * from the data (crash-safe — no counter sidecar to desync);
-    * parquet column statistics make the scan footer-cheap. -1 on an
-    * empty index (every row compacted away) so the next append lands
-    * at generation 0. */
+    * parquet column statistics make the scan footer-cheap. Floors at
+    * 0 on an empty index so the next append lands at generation ≥ 1 —
+    * generation 0 is reserved for build/reindex rows (driftSignal's
+    * baseline). */
   private def currentGen(spark: SparkSession, dir: String): Long = {
     val r = readCells(spark, dir).agg(max(col("gen"))).head()
-    if (r.isNullAt(0)) -1L else r.getLong(0)
+    // empty index floors at 0, NOT -1: generation 0 is reserved for
+    // build/reindex rows (driftSignal's baseline), so an append after
+    // a compact-to-empty lands at gen ≥ 1 and can never masquerade as
+    // the quantizers' training distribution
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   private def hasParquet(path: String): Boolean = {

@@ -171,18 +171,20 @@ object MultimodalQueries {
     // float32-round-trip discipline.
     "m08_wav_features" -> { (s, d) =>
       import s.implicits._
-      def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-      def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      import Multimodal.{wavLe16 => le16, wavLe32 => le32}
       val hdr: Array[Byte] =
         "RIFF".getBytes("US-ASCII") ++ le32(36 + 256) ++
           "WAVE".getBytes("US-ASCII") ++
           "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
           le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
           "data".getBytes("US-ASCII") ++ le32(256)
+      // non-ASCII chars would desync bytes (UTF-8 multi-byte) from the
+      // oracle's per-CHARACTER codes — sanitize identically on both
+      // sides so the gate is corpus-independent, not ascii-lucky
       val media = load(s, d, "documents").select($"doc_id",
         concat(lit(hdr),
-          encode(expr("rpad(text, 256, ' ')"), "UTF-8")).as("payload"))
+          encode(rpad(regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+            256, " "), "UTF-8")).as("payload"))
       Multimodal.extractFeatures(media, "doc_id", "payload",
           Multimodal.WavDecoder)
         .select($"id".as("doc_id"),
@@ -233,7 +235,9 @@ object MultimodalQueries {
         |  CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(256 AS BIGINT) AS n_frames,
         |  round(list_sum(list_transform(range(1, 257),
-        |    j -> abs(ascii(substring(rpad(text, 256, ' '),
+        |    j -> abs(ascii(substring(
+        |      rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |        256, ' '),
         |      CAST(j AS INT), 1)) - 128)))
         |    / (256 * 128.0), 6) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -522,9 +522,12 @@ object Text {
           explode($"t").as("term"))
         .groupBy($"doc_id", $"term")
         .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-      val stats = load(s, d, "documents")
+      // derived from toks, not a fresh load: the repartition exchange
+      // under toks is reused (postings/qterms/stats share one scan —
+      // a second load would re-read and re-tokenize the corpus)
+      val stats = toks
         .agg(count(lit(1)).as("n_docs"),
-          avg(tokenCount($"text")).as("avgdl"))
+          avg(size($"t").cast("long")).as("avgdl"))
       val qterms = toks.filter($"doc_id" < 5)
         .select($"doc_id".as("qid"),
           explode(array_distinct($"t")).as("term"))

@@ -157,7 +157,9 @@ object DatastreamAvro {
   }
 
   /** Decode a (path, content) DataFrame (batch or streaming) into rows
-    * of `target` (whose last column must be [[FilePathCol]]). */
+    * of `target`. Columns are matched BY NAME: the metadata columns
+    * ([[FilePathCol]], [[FileRowCol]]) may sit at any position or be
+    * pruned away entirely — absent envelope fields decode as null. */
   def decodeBinary(spark: SparkSession, binary: DataFrame,
       target: StructType): DataFrame = {
     val enc = Encoders.row(target)

@@ -149,6 +149,13 @@ class CdcRouter(
       decodeOpts: Decode.Options = Decode.Options(),
       trigger: Trigger = Trigger.AvailableNow())
       : (CdcRouter, StreamingQuery) = {
+    // an allow-everything router already replicates every table —
+    // appending patterns to an EMPTY pattern list would silently
+    // NARROW replication to only `added` (empty means "*.*"), dropping
+    // every other table's post-widen changes
+    require(!allowlist.allowsAll,
+      "widen on an allow-all router: every table already replicates " +
+        "(adding patterns would narrow the allowlist, not widen it)")
     running.stop()
     running.awaitTermination()
     val widened = new CdcRouter(spark, rootPath, pkColsFor, numBuckets,

@@ -174,5 +174,19 @@ class AllowlistRouterSpec extends AnyFunSuite {
       assert(got.nonEmpty && got == state(rb, t),
         s"$t diverged from the from-scratch run")
     }
+
+    // widen on an allow-all router must refuse: appending patterns to
+    // an EMPTY pattern list would silently NARROW replication to only
+    // the added tables (empty means "*.*")
+    val rAll = new CdcRouter(spark, tmp("widen-all"),
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2, databaseName = "xe")
+    val qAll = rAll.start(s"$src/*.avro", schema, tmp("widen-allckpt"),
+      trigger = trig)
+    qAll.processAllAvailable()
+    val e = intercept[IllegalArgumentException] {
+      rAll.widen(Seq("HR.NEW"), qAll, s"$src/*.avro", schema, "unused")
+    }
+    assert(e.getMessage.contains("allow-all"), e.getMessage)
+    qAll.stop(); qAll.awaitTermination()
   }
 }

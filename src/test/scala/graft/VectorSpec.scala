@@ -653,5 +653,19 @@ class VectorSpec extends AnyFunSuite {
     assert(s4.getAs[Long]("n_live") == 0L, s4)
     assert(s4.getAs[Double]("tv_drift") == 0.0 &&
       !s4.getAs[Boolean]("needs_retrain"), s4)
+
+    // generation-0 is RESERVED for build/reindex: an append after a
+    // compact-to-empty must land at gen ≥ 1 (currentGen floors at 0),
+    // so a fully-replaced corpus reads tv=1, never a fake-0 baseline
+    val dir3 = tmp("vdriftc")
+    VectorIndex.build(corpus, dir3)
+    VectorIndex.delete(spark, dir3, corpus.select($"id"))
+    VectorIndex.compact(spark, dir3)
+    VectorIndex.append(
+      corpus.select(($"id" + 3000000L).as("id"), $"vec"), dir3)
+    val s5 = sig(dir3)
+    assert(s5.getAs[Long]("n_base") == 0L && s5.getAs[Long]("n_live") == n, s5)
+    assert(s5.getAs[Double]("tv_drift") == 1.0 &&
+      s5.getAs[Boolean]("needs_retrain"), s5)
   }
 }

@@ -10,11 +10,7 @@ import graft.ops.Multimodal.WavDecoder
   * fixed-shape query payloads cannot reach. */
 class WavDecoderSpec extends AnyFunSuite {
 
-  private def le16(v: Int) =
-    Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
-  private def le32(v: Int) =
-    Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  import graft.ops.Multimodal.{wavLe16 => le16, wavLe32 => le32}
   private def ascii(s: String) = s.getBytes("US-ASCII")
 
   private def fmtChunk(channels: Int, rate: Int, bits: Int,

@@ -295,6 +295,46 @@ object SimilarityQueries {
         .crossJoin(nDiffT).crossJoin(nDiffC).crossJoin(nDel)
     },
 
+    // ---- quantizer-drift signal: the retrain decision, driver-gated ----
+    // driftSignal (TV distance between the live cell distribution and
+    // the build-time gen-0 one, plus the hottest cell's share) read at
+    // three lifecycle points. The gate encodes the decision table:
+    // a fresh build reads tv EXACTLY 0 (live == baseline per cell) and
+    // never flags; proportional growth (the same corpus re-appended
+    // under new ids — every cell doubles, the distribution is
+    // unchanged) still reads tv 0, so SIZE alone can never trigger a
+    // retrain; a hot append (2N copies of one vector, one cell) must
+    // flag on both the TV and hot-cell legs. Booleans are computed
+    // in-plan from the operator's own output (the d16 pattern); the
+    // oracle pins them plus the indexed-vector count.
+    "s19_index_drift" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.VectorIndex
+      val dir = s"target/vdriftq_${math.abs(d.hashCode.toLong)}"
+      rmRec(new java.io.File(dir))
+      val corpus = corpusDf(s, d).select($"id", $"vec")
+      VectorIndex.build(corpus, dir)
+      val fresh = VectorIndex.driftSignal(s, dir).localCheckpoint(true)
+      VectorIndex.append(
+        corpus.select(($"id" + 1000000L).as("id"), $"vec"), dir)
+      val grown = VectorIndex.driftSignal(s, dir).localCheckpoint(true)
+      val hot = corpus.orderBy($"id").limit(1).select($"vec")
+      val n = corpus.count()
+      VectorIndex.append(
+        s.range(2000000L, 2000000L + 2 * n).toDF("id").crossJoin(hot),
+        dir)
+      val drifted = VectorIndex.driftSignal(s, dir).localCheckpoint(true)
+      fresh.select(
+        $"n_live".as("n_indexed"),
+        ($"tv_drift" === 0.0 && !$"needs_retrain").as("fresh_stable"))
+        .crossJoin(grown.select(
+          ($"tv_drift" === 0.0 && !$"needs_retrain" &&
+            $"n_live" === 2 * n).as("growth_stable")))
+        .crossJoin(drifted.select(
+          ($"tv_drift" > 0.25 && $"max_share" > 0.4 && $"needs_retrain")
+            .as("hot_flagged")))
+    },
+
     // ---- CDC → ANN-index incremental sync: the loop that keeps a
     //      vector index consistent with a MUTABLE source table ----
     // Embeddings live in a CdcTable (vectors get re-embedded, rows get
@@ -778,6 +818,18 @@ object SimilarityQueries {
         ",\n  CAST(0 AS BIGINT) AS n_served_deleted"),
     "c21_cdc_vector_sync" -> recallOracleSql("nprobe" -> 4L,
       ",\n  CAST(0 AS BIGINT) AS n_diff_sync"),
+
+    // s19: decision-table gate — the count is recomputed from the
+    // corpus (build's norm>0 filter mirrored), the booleans are the
+    // operator's own in-plan claims
+    "s19_index_drift" ->
+      """SELECT COUNT(*) AS n_indexed,
+        |  true AS fresh_stable, true AS growth_stable,
+        |  true AS hot_flagged
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  AND list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * x)) > 0""".stripMargin,
 
     // s18: graph-recall gate constants; n_queries = the deterministic
     // 1-in-5 recall sample among rows with a usable (non-null,

@@ -84,7 +84,10 @@ object ScaleCheck {
     // where exact s12 degrades toward N² work), near-dup hub degrees,
     // temperature mixture, BM25 retrieval, cross-source overlap
     "s18_knn_graph_approx", "d21_hub_prune", "p04_temperature_mix",
-    "t23_bm25_topk", "d22_source_overlap")
+    "t23_bm25_topk", "d22_source_overlap",
+    // round-10 second wave: bipartite fuzzy decontamination, NB
+    // classifier filter, SQ8 compressed-scan ANN
+    "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

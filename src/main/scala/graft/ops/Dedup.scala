@@ -190,6 +190,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** BIPARTITE near-dup pairs: every (left, right) pair with exact
+    * Jaccard >= threshold — the fuzzy-decontamination shape (corpus vs
+    * a benchmark/eval set), where [[minhashPairs]] over the union
+    * would spend almost all its pairwise work on the corpus-internal
+    * pairs the caller does not want. Returns (a = left id, b = right
+    * id, jaccard); ids may collide across sides (the caller's ids are
+    * namespaced by side, never compared).
+    *
+    * Scale shape: both sides shingle/sign/bucket through the SAME
+    * kernels as [[minhashPairs]] (so banding guarantees carry over);
+    * the right side is small by nature (an eval set), so its bucket
+    * relation and its shingle sets BROADCAST — the corpus side stays
+    * one linear pass with a broadcast-hash join per band row and no
+    * corpus shuffle at all. Candidates dedup on (a, b) before the
+    * exact verify; verification hits stored right-side sets and
+    * re-shingles only candidate left rows (the minhashPairs
+    * discipline). */
+  def crossPairs(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame): DataFrame =
+      df.filter(size(split(col(textCol), " ")) >= k)
+        .repartition(par)
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    val lb = prep(left)
+    val rb = prep(right)
+    def banded(base: DataFrame): DataFrame =
+      bandBucketRows(
+        minhashSignatures(
+          base.select(col("id"), hashedShingleSet(col("__text"), k).as("sh")),
+          numHashes),
+        numHashes, bands)
+    val candidates = banded(lb)
+      .join(broadcast(banded(rb).select(col("id").as("b"),
+        col("band"), col("bucket"))), Seq("band", "bucket"))
+      .select(col("id").as("a"), col("b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .join(lb.select(col("id").as("a"), col("__text").as("__ta")), "a")
+      .join(broadcast(rb.select(col("id").as("b"),
+        hashedShingleSet(col("__text"), k).as("shb"))), "b")
+      .withColumn("sha", hashedShingleSet(col("__ta"), k))
+      .filter(sizeCompatible(col("sha"), col("shb"), threshold))
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---- persisted near-dup index (incremental corpus ingestion) ----
   //
   // minhashPairs re-derives everything per run — right for a one-shot
@@ -557,11 +607,23 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 4, sigBits: Int = 64): DataFrame = {
+      maxHamming: Int = 4, sigBits: Int = 64): DataFrame =
+    hammingPairs(simhashSignatures(df, idCol, textCol, sigBits),
+      maxHamming, sigBits)
+
+  /** ALL pairs with `hamming(sig_a, sig_b) <= maxHamming` from any
+    * (id, sig) signature relation — the Manku pigeonhole band join
+    * [[simhashPairs]] runs, factored out so OTHER bit-signature
+    * producers (m09's perceptual image dHash) share the exact banding
+    * instead of re-deriving it. Exact for its input signatures: a
+    * pair within maxHamming must agree on at least one of the
+    * maxHamming+1 blocks, so the equi-join admits every true pair and
+    * the hamming filter removes every false candidate. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 4,
+      sigBits: Int = 64): DataFrame = {
     val nBlocks = maxHamming + 1
     require(sigBits >= nBlocks && sigBits <= 64,
       s"sigBits must be in [$nBlocks, 64]")
-    val sigs = simhashSignatures(df, idCol, textCol, sigBits)
     val banded = sigs.select(col("id"), col("sig"),
       explode(array(
         simhashBandExprs(col("sig"), nBlocks, sigBits): _*)).as("b"))

@@ -96,46 +96,59 @@ object Multimodal {
     * a complete, well-formed P6 (bad magic, missing tokens, zero or
     * over-range maxval, truncated raster) → null, the same contract
     * as a failed codec call. */
+  /** Shared P6 header parse: `[w, h, maxval, rasterOffset, perSample]`
+    * with the complete-raster length check, or null for anything that
+    * is not a well-formed P6 — the one parsing of the netpbm grammar
+    * [[PpmDecoder]] and [[ppmDhash]] both read through. */
+  private[ops] def ppmHeader(bytes: Array[Byte]): Array[Long] = {
+    var i = 0
+    val n = bytes.length
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    // skip whitespace and '#'-to-EOL comments before a token
+    def skip(): Unit = {
+      var more = true
+      while (more && i < n) {
+        if (isWs(bytes(i))) i += 1
+        else if (bytes(i) == '#') {
+          while (i < n && bytes(i) != '\n') i += 1
+        } else more = false
+      }
+    }
+    def int(): Long = { // -1 = malformed
+      skip()
+      var v = 0L; var any = false
+      while (i < n && bytes(i) >= '0' && bytes(i) <= '9' && v <= 65535) {
+        v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+      }
+      if (!any || v > 65535) -1L else v
+    }
+    if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    i = 2
+    val w = int(); val h = int(); val maxval = int()
+    if (w <= 0 || h <= 0 || maxval <= 0) return null
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= n || !isWs(bytes(i))) return null
+    i += 1
+    val perSample = if (maxval < 256) 1L else 2L
+    if (n - i < w * h * 3 * perSample) return null
+    Array(w, h, maxval, i.toLong, perSample)
+  }
+
   object PpmDecoder extends MediaDecoder {
     def features(bytes: Array[Byte]): Array[Float] = {
-      var i = 0
-      val n = bytes.length
-      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
-      // skip whitespace and '#'-to-EOL comments before a token
-      def skip(): Unit = {
-        var more = true
-        while (more && i < n) {
-          if (isWs(bytes(i))) i += 1
-          else if (bytes(i) == '#') {
-            while (i < n && bytes(i) != '\n') i += 1
-          } else more = false
-        }
-      }
-      def int(): Long = { // -1 = malformed
-        skip()
-        var v = 0L; var any = false
-        while (i < n && bytes(i) >= '0' && bytes(i) <= '9' && v <= 65535) {
-          v = v * 10 + (bytes(i) - '0'); any = true; i += 1
-        }
-        if (!any || v > 65535) -1L else v
-      }
-      if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
-      i = 2
-      val w = int(); val h = int(); val maxval = int()
-      if (w <= 0 || h <= 0 || maxval <= 0) return null
-      // exactly ONE whitespace byte separates maxval from the raster
-      if (i >= n || !isWs(bytes(i))) return null
-      i += 1
-      val perSample = if (maxval < 256) 1 else 2
+      val hdr = ppmHeader(bytes)
+      if (hdr == null) return null
+      val w = hdr(0); val h = hdr(1); val maxval = hdr(2)
+      val perSample = hdr(4).toInt
+      var i = hdr(3).toInt
       val npix = w * h
-      if (n - i < npix * 3 * perSample) return null
       val sums = new Array[Long](3)
-      var p = 0
+      var p = 0L
       while (p < npix * 3) {
         val v =
           if (perSample == 1) bytes(i) & 0xFF
           else ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
-        sums(p % 3) += v
+        sums((p % 3).toInt) += v
         i += perSample
         p += 1
       }
@@ -144,6 +157,83 @@ object Multimodal {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
       Array(w.toFloat, h.toFloat, mean(0), mean(1), mean(2))
     }
+  }
+
+  /** 56-bit perceptual difference hash (dHash) of a P6 image: the
+    * raster grayscales (R+G+B per pixel — no luma weights, so every
+    * step stays exact integer math), box-downsamples onto a 9×7 cell
+    * grid, and each of the 8 horizontally-adjacent cell comparisons
+    * per row contributes one bit (left cell brighter → 1) at bit
+    * index `row*8 + col`. 56 bits — not the classic 64 — keeps the
+    * packed value positive, so engines with checked shifts (DuckDB
+    * rejects `1::BIGINT << 63`) recompute it verbatim. Cell means
+    * compare as exact integer cross-products (sumA·nB vs sumB·nA in
+    * BigInt — 126 driver-free multiplications per image, never a
+    * float), so the hash is bit-deterministic on any input. Images
+    * smaller than the grid (w < 9 or h < 7) have no defined
+    * downsample → null, like any malformed payload. */
+  def ppmDhash(bytes: Array[Byte]): java.lang.Long = {
+    val hdr = ppmHeader(bytes)
+    if (hdr == null) return null
+    val w = hdr(0); val h = hdr(1)
+    val perSample = hdr(4).toInt
+    if (w < 9 || h < 7) return null
+    val gw = 9; val gh = 7
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var i = hdr(3).toInt
+    var y = 0L
+    while (y < h) {
+      val cy = (y * gh / h).toInt
+      var x = 0L
+      while (x < w) {
+        val cx = (x * gw / w).toInt
+        var g = 0L
+        var c = 0
+        while (c < 3) {
+          g +=
+            (if (perSample == 1) bytes(i) & 0xFF
+             else ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF))
+          i += perSample
+          c += 1
+        }
+        sums(cy)(cx) += g; cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < 8) {
+        val lhs = BigInt(sums(r)(c)) * cnts(r)(c + 1)
+        val rhs = BigInt(sums(r)(c + 1)) * cnts(r)(c)
+        if (lhs > rhs) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Batched perceptual hashing: (id, bytes) → (id, sig) — the
+    * signature relation [[graft.ops.Dedup.hammingPairs]] consumes for
+    * image near-dup detection; null payloads and undecodable blobs
+    * hash to null (dropped by the pair join's banding, like empty
+    * shingle sets). Same per-partition batch shape as
+    * [[extractFeatures]]. */
+  def dhashOf(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sig", LongType)))
+    val input = df.select(col(idCol).cast("long"), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), if (bytes == null) null else ppmDhash(bytes))
+      }
+    }(Encoders.row(schema))
   }
 
   /** REAL pure-JVM decoder for RIFF/WAVE PCM — the audio counterpart

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive-Bayes quality/domain classifier — the
+  * classifier-based filtering stage (GPT-3 / CCNet / PaLM reports):
+  * train a generative two-class token model on weak labels (target
+  * domain vs rest), then score every document by the class
+  * log-posterior ratio and KEEP the ones that "read like" the target.
+  *
+  * vs [[Dsir]] (the importance-RESAMPLING leg): DSIR produces
+  * per-document sampling weights against the raw-corpus distribution
+  * (no priors, bigram features, no decision); this is the hard-filter
+  * leg — unigram multinomial likelihoods, class priors, and a binary
+  * keep decision at log-odds 0. The two compose in p01-style builds:
+  * classifier gate first, importance weights on the survivors.
+  *
+  * Model (add-one / Laplace over the shared vocabulary V):
+  *   theta(t|c) = (count(t,c) + 1) / (N_c + |V|)
+  *   score(d)   = ln P(tgt)/P(¬tgt) + Σ_t tf(d,t)·ln theta(t|tgt)/theta(t|¬tgt)
+  *
+  * Cross-engine determinism (the t23/p04 discipline): every ln — the
+  * only libm call — rounds to 6 up front; per-term contributions and
+  * the prior are exact-rational-factor products cast to
+  * DECIMAL(28,18) and summed as decimals, so partitioning can never
+  * reorder a float sum; the final score rounds to 6 for gates.
+  *
+  * Scale shape: one scan tokenizes the corpus; the (doc, term) tf
+  * relation and the V-sized model BOTH derive from that exploded
+  * relation (one exchange under both), the two O(1)-row stat
+  * aggregates broadcast, and scoring is an equi-join on the term key
+  * with map-side-combined per-doc partial sums — the DSIR hashed-
+  * feature trick (pmod(xxhash64)) applies unchanged when V itself is
+  * too large to shuffle comfortably.
+  */
+object NbClassifier {
+
+  /** Per-doc classifier scores: (id, n_tokens long, nb_score double
+    * round-6, keep boolean = nb_score > 0). Every input row gets an
+    * output row (a doc whose text is a single empty token still
+    * carries that token through the model — split(" ") never yields
+    * an empty array). `targetPred` marks target-domain rows; null
+    * evaluates as non-target. Degenerate labelings (all-target /
+    * none-target) make a prior term ln(0) = -inf by the model's own
+    * math — a corpus that cannot train a two-class model, surfaced as
+    * infinities rather than masked. */
+  def scores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(par).select(
+      col(idCol).cast("long").as("id"),
+      coalesce(targetPred, lit(false)).as("tgt"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+
+    val tok = base.select(col("id"), col("tgt"), explode(col("__t")).as("term"))
+
+    // scoring relation: per-(doc, term) tf
+    val dtf = tok.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // model: V rows of per-class occurrence counts
+    val model = tok.groupBy(col("term")).agg(
+      count(when(col("tgt"), 1)).as("c_tgt"),
+      count(lit(1)).as("c_all"))
+    // O(1)-row stats: class token totals + vocab size; doc priors
+    val tokStats = model.agg(
+      sum(col("c_tgt")).cast("long").as("n_tgt"),
+      (sum(col("c_all")) - sum(col("c_tgt"))).cast("long").as("n_oth"),
+      count(lit(1)).as("v"))
+    val docStats = base.agg(
+      count(when(col("tgt"), 1)).as("nd_tgt"),
+      count(lit(1)).as("nd_all"))
+
+    // per-occurrence weight: tf × (round-6 ln-ratio), exact product,
+    // decimal-cast so the per-doc sum is order-insensitive
+    val w =
+      round(log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v"))), 6) -
+        round(log((col("c_all") - col("c_tgt") + lit(1.0)) /
+          (col("n_oth") + col("v"))), 6)
+    val contrib = dtf.join(model, Seq("term"))
+      .crossJoin(broadcast(tokStats))
+      .select(col("id"), (col("tf") * w).cast("decimal(28,18)").as("c"))
+    val scored = contrib.groupBy(col("id")).agg(sum(col("c")).as("sc"))
+
+    val prior =
+      (round(log(col("nd_tgt").cast("double") / col("nd_all")), 6) -
+        round(log((col("nd_all") - col("nd_tgt")).cast("double") /
+          col("nd_all")), 6)).cast("decimal(28,18)")
+    base.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(scored, Seq("id"))
+      .crossJoin(broadcast(docStats))
+      .select(col("id"), col("n_tokens"),
+        round((col("sc") + prior).cast("double"), 6).as("nb_score"))
+      .withColumn("keep", col("nb_score") > 0)
+  }
+}

@@ -536,6 +536,74 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
 
+  /** Per-dim [min, step] SQ8 parameters (mins[0..d-1] ++ steps[0..d-1],
+    * step = (max-min)/255) from the deterministic training sample —
+    * the [[trainingSample]] discipline shared with the k-means and PQ
+    * trainers: id-ordered, modal-dimension, driver-bounded, no RNG.
+    * Out-of-range values at encode time saturate (the kernels clamp),
+    * so a sample-trained grid stays safe on unseen vectors. */
+  def sqTrain(corpus: DataFrame, sampleSize: Int = 512): Array[Float] = {
+    val sample = trainingSample(corpus, sampleSize)
+    require(sample.nonEmpty, "empty corpus: cannot train scalar quantizer")
+    val dim = sample(0).length
+    val mins = Array.fill(dim)(Double.MaxValue)
+    val maxs = Array.fill(dim)(Double.MinValue)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        if (v(i) < mins(i)) mins(i) = v(i)
+        if (v(i) > maxs(i)) maxs(i) = v(i)
+        i += 1
+      }
+    }
+    mins.map(_.toFloat) ++
+      mins.indices.map(i => ((maxs(i) - mins(i)) / 255.0).toFloat)
+  }
+
+  /** SQ8-ADC approximate top-k — scalar-quantized compressed scan +
+    * exact re-rank, completing the quantizer family (LSH signatures,
+    * IVF cells, PQ codebooks, IVF+PQ, SQ8): each corpus vector stores
+    * as d BYTES on a per-dim [min, max] grid (4× vs floats; no
+    * codebook lookups at scan time, unlike PQ's m table reads), the
+    * scan scores queries against DEQUANTIZED codes in one fused
+    * [[graft.functions.SqCosine]] loop, and only the per-query
+    * `shortlist` best candidates touch full vectors for the exact
+    * re-rank — the pqTopK shape with a cheaper, lower-compression
+    * code. Deterministic end-to-end ([[sqTrain]] has no RNG); recall
+    * is driver-gated vs [[bruteForceTopK]] (s20). */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 50, sampleSize: Int = 512): DataFrame = {
+    val e = corpus.select(col("id"), col("vec"))
+      .filter(Vectors.norm(col("vec")) > 0.0)
+    val params = typedlit(sqTrain(e, sampleSize))
+    // encode: one fused pass, maintenance-time; the scan relation is
+    // (id, d-byte code) — vectors are never read again until re-rank
+    val codes = e.select(col("id"),
+      graft.functions.ScalarQuantizer.encode(col("vec"), params).as("codes"))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("id"))
+    val short = broadcast(queries
+        .filter(Vectors.norm(col("qvec")) > 0.0)
+        .select(col("qid"), col("qvec")))
+      .crossJoin(codes)
+      .filter(col("qid") =!= col("id"))
+      .withColumn("acos", graft.functions.ScalarQuantizer.cosine(
+        col("qvec"), col("codes"), params))
+      // wrong-dimension corpus vectors dequantize to null — drop them
+      // rather than letting null order into the shortlist window
+      .filter(col("acos").isNotNull)
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= shortlist)
+      .select(col("qid"), col("qvec"), col("id"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   /** IVF+PQ top-k — the combined billion-vector index shape (an IVF
     * coarse quantizer restricting the scan to `nprobe` probed cells,
     * PQ-code ADC scoring inside them): the two halves this engine

@@ -303,6 +303,30 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- FUZZY benchmark decontamination: near-dup overlap ----
+    // d09's exact-8-gram check misses lightly-edited eval leakage
+    // (reworded prompts, reformatted answers) — the contamination
+    // audits in recent model reports run a near-dup pass too. Corpus
+    // docs whose 3-token shingle set sits within Jaccard 0.8 of any
+    // benchmark doc are flagged with the match count and the worst
+    // overlap. Dedup.crossPairs keeps the pairwise work BIPARTITE
+    // (corpus × bench only): the bench side's band buckets and
+    // shingle sets broadcast, so the corpus is one linear scan with
+    // no shuffle — minhashPairs over the union would pay for the
+    // corpus-internal pairs this query never reads.
+    "d23_fuzzy_decontam" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      Dedup.crossPairs(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0),
+          "doc_id", "text", threshold = 0.8)
+        .groupBy($"a".as("doc_id"))
+        .agg(countDistinct($"b").as("n_bench"),
+          max($"jaccard").as("max_jaccard"))
+        .orderBy($"doc_id")
+    },
+
     // ---- boilerplate detection: most-repeated verbatim 8-grams ----
     // the intra-corpus complement of d09: which exact 8-token spans
     // recur across distinct documents (headers, footers, templates).
@@ -744,6 +768,24 @@ object DedupQueries {
         |  COUNT(DISTINCT bench_id) AS n_bench
         |FROM corpus JOIN bench ON corpus.g = bench.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // brute-force bipartite Jaccard — the d02/d18 oracle discipline:
+    // the oracle states the semantics (all corpus × bench pairs), the
+    // engine answers through LSH + exact verification
+    "d23_fuzzy_decontam" ->
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents
+         |           WHERE len(string_split(text,' ')) >= 3),
+         |prs AS (
+         |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+         |    round(len(list_intersect(c.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(c.sh, b.sh))), 6) AS j
+         |  FROM d c JOIN d b
+         |    ON c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+         |  WHERE len(list_intersect(c.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(c.sh, b.sh))) >= 0.8)
+         |SELECT doc_id, COUNT(DISTINCT bench_id) AS n_bench,
+         |  MAX(j) AS max_jaccard
+         |FROM prs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d11_cluster_sizes" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),

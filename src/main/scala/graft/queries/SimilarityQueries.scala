@@ -494,6 +494,17 @@ object SimilarityQueries {
         Similarity.bruteForceTopK(q, c, K), K, "shortlist" -> 50L, 0.8)
     },
 
+    // ---- SQ8 ANN: scalar-quantized (1 byte/dim) compressed scan +
+    //      exact re-rank — the quantizer family's third compression
+    //      shape (per-dim grid; no codebooks); recall gate vs brute
+    //      force ----
+    "s20_sq8" -> { (s, d) =>
+      import s.implicits._
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.sqTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "shortlist" -> 50L, 0.8)
+    },
+
     // ---- IVF+PQ ANN: probed-cell, code-compressed scan + exact
     //      re-rank — s04's cell restriction composed with s08's ADC
     //      scoring, the stored-index shape a billion-vector corpus
@@ -805,6 +816,7 @@ object SimilarityQueries {
     // formerly rows-only, now full rows+schema+hash entries
     "s03_ann_lsh" -> recallOracleSql("num_bits" -> 8L),
     "s04_ann_ivf" -> recallOracleSql("nprobe" -> 4L),
+    "s20_sq8" -> recallOracleSql("shortlist" -> 50L),
     "s08_pq_adc" -> recallOracleSql("shortlist" -> 50L),
     "s13_ivf_pq" -> recallOracleSql("nprobe" -> 4L),
     "s14_vector_index" -> recallOracleSql("nprobe" -> 4L,

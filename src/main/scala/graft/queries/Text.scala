@@ -550,6 +550,24 @@ object Text {
         .select($"qid", $"id",
           round($"sc".cast("double"), 6).as("score"), $"rank")
         .orderBy($"qid", $"rank")
+    },
+
+    // ---- classifier-based quality filtering (NB, weak labels) ----
+    // the third filtering leg next to t08 (heuristic threshold) and
+    // t21 (DSIR importance weights): train a multinomial Naive-Bayes
+    // model on weak labels (lang='en' as the target domain — the t21
+    // convention), score every document by the class log-posterior
+    // ratio, keep at log-odds > 0. See graft.ops.NbClassifier for the
+    // model and the decimal-summed determinism contract.
+    "t24_nb_filter" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      docs.select($"doc_id", $"lang")
+        .join(graft.ops.NbClassifier.scores(docs, "doc_id", "text",
+            targetPred = $"lang" === "en")
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .select($"doc_id", $"lang", $"n_tokens", $"nb_score", $"keep")
+        .orderBy($"doc_id")
     }
   )
 
@@ -921,6 +939,44 @@ object Text {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sc DESC, id) AS rank
         |  FROM scored)
         |SELECT qid, id, round(CAST(sc AS DOUBLE), 6) AS score, rank
-        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "t24_nb_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, (lang = 'en') AS tgt,
+        |    string_split(text,' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, tgt, u AS term FROM toks, unnest(t) x(u)),
+        |dtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |model AS (
+        |  SELECT term, COUNT(CASE WHEN tgt THEN 1 END) AS c_tgt,
+        |    COUNT(*) AS c_all
+        |  FROM tok GROUP BY 1),
+        |tstats AS (
+        |  SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |    CAST(SUM(c_all) - SUM(c_tgt) AS BIGINT) AS n_oth,
+        |    COUNT(*) AS v
+        |  FROM model),
+        |dstats AS (
+        |  SELECT COUNT(CASE WHEN lang = 'en' THEN 1 END) AS nd_tgt,
+        |    COUNT(*) AS nd_all FROM documents),
+        |contrib AS (
+        |  SELECT d.doc_id,
+        |    CAST(d.tf * (round(ln((m.c_tgt + 1.0) / (s.n_tgt + s.v)), 6)
+        |               - round(ln((m.c_all - m.c_tgt + 1.0)
+        |                          / (s.n_oth + s.v)), 6))
+        |      AS DECIMAL(28,18)) AS c
+        |  FROM dtf d JOIN model m USING (term) CROSS JOIN tstats s),
+        |scored AS (SELECT doc_id, SUM(c) AS sc FROM contrib GROUP BY 1),
+        |pr AS (
+        |  SELECT CAST(round(ln(CAST(nd_tgt AS DOUBLE) / nd_all), 6)
+        |            - round(ln(CAST(nd_all - nd_tgt AS DOUBLE) / nd_all), 6)
+        |         AS DECIMAL(28,18)) AS p
+        |  FROM dstats)
+        |SELECT t.doc_id, t.lang, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  round(CAST(s.sc + pr.p AS DOUBLE), 6) AS nb_score,
+        |  round(CAST(s.sc + pr.p AS DOUBLE), 6) > 0 AS keep
+        |FROM toks t JOIN scored s USING (doc_id) CROSS JOIN pr
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -608,4 +608,45 @@ class DedupKernelSpec extends AnyFunSuite {
     // the corpus has real near-dup clusters, so the test isn't vacuous
     assert(mass.exists(_.getAs[Long]("n") > 1))
   }
+
+  test("crossPairs is bipartite: equals brute-force corpus×bench Jaccard, " +
+      "never a within-side pair (identical left docs stay unpaired)") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val left = Seq(
+      (1L, base),                                       // = bench 10
+      (2L, edited),                                     // near-dup of 10
+      (3L, "completely different unrelated words here entirely"),
+      (4L, base)                                        // = left 1: within-side
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, base),
+      (20L, "nothing shared with anyone at all ever")
+    ).toDF("doc_id", "text")
+
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (x, y) = (sh(a), sh(b))
+      (x & y).size.toDouble / (x | y).size
+    }
+    val texts = Map(1L -> base, 2L -> edited,
+      3L -> "completely different unrelated words here entirely",
+      10L -> base, 20L -> "nothing shared with anyone at all ever", 4L -> base)
+    val want = (for {
+      a <- Seq(1L, 2L, 3L, 4L); b <- Seq(10L, 20L)
+      j = jac(texts(a), texts(b)) if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(want.keySet == Set((1L, 10L), (2L, 10L), (4L, 10L))) // not vacuous
+
+    val got = Dedup.crossPairs(left, right, "doc_id", "text",
+        threshold = 0.5, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet,
+      s"got ${got.keySet}, want ${want.keySet}") // no (1,4), no (10,20)
+    want.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-6, s"pair $k: got ${got(k)}, want $j")
+    }
+  }
 }

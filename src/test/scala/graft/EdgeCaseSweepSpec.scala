@@ -92,6 +92,7 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
     .filterNot(_ == "s16_index_append")
     .filterNot(_ == "s17_index_delete")
     .filterNot(_ == "s08_pq_adc")
+    .filterNot(_ == "s19_index_drift")           // pqTrain ksub=32 > 6 usable
 
   test("every documents/embeddings query survives hostile inputs") {
     val failures = sweepNames.flatMap { name =>
@@ -198,7 +199,8 @@ class EdgeCaseSweepSpec extends AnyFunSuite {
       .write.parquet(s"$d2/documents.parquet")
     val quantizerFamily = Seq("s04_ann_ivf", "s06_centroids",
       "s07_quantize", "s08_pq_adc", "s13_ivf_pq", "s14_vector_index",
-      "s15_filtered_search", "s16_index_append", "s17_index_delete")
+      "s15_filtered_search", "s16_index_append", "s17_index_delete",
+      "s19_index_drift", "s20_sq8")
     val failures = quantizerFamily.flatMap { name =>
       try { SparkEntry.queries(name)(spark, d2).collect(); None }
       catch { case e: Throwable =>

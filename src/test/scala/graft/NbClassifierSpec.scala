@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.NbClassifier
+
+/** Closed-form coverage for the Naive-Bayes classifier filter: the
+  * exact add-one multinomial posterior on a 4-doc corpus, the keep
+  * decision at log-odds 0, and the one-row-per-doc contract. The
+  * cross-engine decimal/round discipline is the driver's t24 oracle. */
+class NbClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("NB filter matches the hand-computed add-one posterior and keeps " +
+      "exactly the target-looking docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "en", "a b"),
+      (3L, "de", "c c"),
+      (4L, "de", "b c")
+    ).toDF("doc_id", "lang", "text")
+
+    val got = NbClassifier.scores(docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == 4)
+
+    // model by hand: n_tgt=5, n_oth=4, V=3; priors 2/4 vs 2/4 → 0
+    // theta_tgt: a 4/8, b 3/8, c 1/8 ; theta_oth: a 1/7, b 2/7, c 4/7
+    val wA = r6(math.log(4.0 / 8)) - r6(math.log(1.0 / 7))
+    val wB = r6(math.log(3.0 / 8)) - r6(math.log(2.0 / 7))
+    val wC = r6(math.log(1.0 / 8)) - r6(math.log(4.0 / 7))
+    val want = Map(
+      1L -> (3L, r6(2 * wA + wB), true),
+      2L -> (2L, r6(wA + wB), true),
+      3L -> (2L, r6(2 * wC), false),
+      4L -> (2L, r6(wB + wC), false))
+    want.foreach { case (id, (nt, sc, keep)) =>
+      val (gnt, gsc, gkeep) = got(id)
+      assert(gnt == nt, s"doc $id n_tokens")
+      assert(math.abs(gsc - sc) < 1e-9, s"doc $id: got $gsc, want $sc")
+      assert(gkeep == keep, s"doc $id keep")
+    }
+  }
+
+  test("unbalanced priors shift every score by the same log-odds; " +
+      "null predicate rows count as non-target") {
+    import spark.implicits._
+    // same docs plus one more non-target doc with a null lang: the
+    // prior becomes ln(2/5) - ln(3/5) and doc 5's tokens train the
+    // non-target class
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "en", "a b"),
+      (3L, "de", "c c"),
+      (4L, "de", "b c"),
+      (5L, null.asInstanceOf[String], "c c")
+    ).toDF("doc_id", "lang", "text")
+    val got = NbClassifier.scores(docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 5)
+
+    // n_tgt=5, n_oth=6, V=3; priors 2/5 vs 3/5
+    val wA = r6(math.log(4.0 / 8)) - r6(math.log(1.0 / 9))
+    val wC = r6(math.log(1.0 / 8)) - r6(math.log(6.0 / 9))
+    val prior = r6(math.log(2.0 / 5)) - r6(math.log(3.0 / 5))
+    assert(math.abs(got(5L) - r6(2 * wC + prior)) < 1e-9)
+    // doc 1 decomposes to the same prior + its token terms
+    val wB = r6(math.log(3.0 / 8)) - r6(math.log(2.0 / 9))
+    assert(math.abs(got(1L) - r6(2 * wA + wB + prior)) < 1e-9)
+    assert(got(1L) > got(3L)) // separability survives the prior shift
+  }
+}

@@ -668,4 +668,65 @@ class VectorSpec extends AnyFunSuite {
     assert(s5.getAs[Double]("tv_drift") == 1.0 &&
       s5.getAs[Boolean]("needs_retrain"), s5)
   }
+
+  test("SQ8 kernels: saturating encode, constant-dim zero step, " +
+      "dequantized cosine matches a hand-rolled reference, " +
+      "length mismatch yields null") {
+    import spark.implicits._
+    import graft.functions.ScalarQuantizer
+    // dim 2: dim0 grid [0, 2.55] (step 0.01), dim1 CONSTANT at -1
+    // (step 0 — every value codes to 0 and dequantizes to the min)
+    val params = Array(0.0f, -1.0f, 0.01f, 0.0f)
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(-3.0f, 0.0f)), // below min → clamps to 0
+      (3L, Seq(9.0f, 0.0f)),  // above max → saturates to 255
+      (4L, Seq(1.0f))         // length ≠ params/2 → null
+    ).toDF("id", "vec")
+    val enc = df.select($"id",
+        ScalarQuantizer.encode($"vec", typedlit(params)).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))).toMap
+    assert(enc(4L) == null)
+    assert(enc(1L).length == 2)
+    assert((enc(1L)(0) & 0xff) == 100 && (enc(1L)(1) & 0xff) == 0)
+    assert((enc(2L)(0) & 0xff) == 0)
+    assert((enc(3L)(0) & 0xff) == 255)
+
+    // cosine against the DEQUANTIZED grid point, replicated by hand
+    val q = Seq((Seq(1.0f, 0.0f), enc(1L))).toDF("qvec", "codes")
+    val got = q.select(ScalarQuantizer.cosine(
+      $"qvec", $"codes", typedlit(params))).collect().head.getDouble(0)
+    val v0 = 0.0 + 100.0 * params(2).toDouble
+    val v1 = -1.0 + 0.0 * params(3).toDouble
+    val exp = (1.0 * v0 + 0.0 * v1) / (math.sqrt(1.0) *
+      math.sqrt(v0 * v0 + v1 * v1))
+    assert(math.abs(got - exp) < 1e-12, s"got $got, want $exp")
+
+    val mm = Seq((Seq(1.0f), enc(1L))).toDF("qvec", "codes")
+      .select(ScalarQuantizer.cosine($"qvec", $"codes", typedlit(params)))
+      .collect().head
+    assert(mm.isNullAt(0))
+  }
+
+  test("SQ8 recall against brute force on real embeddings, " +
+      "deterministic across runs") {
+    import spark.implicits._
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.sqTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sq = run()
+    val recall = (exact & sq.toSet).size.toDouble / exact.size
+    info(s"SQ8 recall@10 = $recall (1 byte/dim, shortlist=50, re-ranked)")
+    // 8 bits per dimension is near-lossless at this scale: the ADC
+    // shortlist (50 of 500) + exact re-rank must recover the exact
+    // top-10 almost completely
+    assert(recall >= 0.9)
+    assert(run().toSeq == sq.toSeq) // no RNG anywhere → replays identically
+  }
 }

@@ -86,8 +86,8 @@ object ScaleCheck {
     "s18_knn_graph_approx", "d21_hub_prune", "p04_temperature_mix",
     "t23_bm25_topk", "d22_source_overlap",
     // round-10 second wave: bipartite fuzzy decontamination, NB
-    // classifier filter, SQ8 compressed-scan ANN
-    "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8")
+    // classifier filter, SQ8 compressed-scan ANN, perceptual dHash
+    "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8", "m09_phash_pairs")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

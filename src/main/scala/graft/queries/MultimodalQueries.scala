@@ -193,6 +193,34 @@ object MultimodalQueries {
           element_at($"features", 3).cast("long").as("n_frames"),
           round(element_at($"features", 4).cast("double"), 6).as("mean_abs"))
         .orderBy($"doc_id")
+    },
+
+    // ---- perceptual image near-dup: dHash + pigeonhole hamming join ----
+    // the image counterpart of d03's SimHash text pass — the near-dup
+    // check an image pipeline runs on thumbnails. Every payload is a
+    // complete 9×7 P6 image built in-plan (sanitized document chars as
+    // the raster; documents under one raster skipped — a pushable
+    // length filter), Multimodal.ppmDhash decodes it through the REAL
+    // parser and packs the 56-bit difference hash, and
+    // Dedup.hammingPairs finds all pairs within hamming 8 by the same
+    // Manku banding d03 uses — never an all-pairs scan. The oracle
+    // recomputes the hash character-wise (cell grays are exact integer
+    // sums, bits exact comparisons, the pack a shift-sum) and
+    // brute-force-joins: SQL states the semantics, the engine answers
+    // through banding (the d02/d03 discipline).
+    "m09_phash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val media = load(s, d, "documents")
+        .filter(length($"text") >= 189)
+        .select($"doc_id",
+          concat(lit("P6\n9 7\n255\n".getBytes("US-ASCII")),
+            encode(rpad(regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+              189, " "), "UTF-8")).as("payload"))
+      val sigs = Multimodal.dhashOf(media, "doc_id", "payload")
+        .filter($"sig".isNotNull)
+      graft.ops.Dedup.hammingPairs(sigs, maxHamming = 8, sigBits = 56)
+        .select($"a", $"b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"a", $"b")
     }
   )
 
@@ -241,6 +269,38 @@ object MultimodalQueries {
         |      CAST(j AS INT), 1)) - 128)))
         |    / (256 * 128.0), 6) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m09: the 9×7 raster is the sanitized document's first 189
+    // chars, so each grid cell is exactly one pixel — gray = sum of
+    // the 3 ascii codes, bit b compares cell (b div 8, b mod 8) to
+    // its right neighbor (grid stride 9), packed at 1<<b (56 bits —
+    // the sign bit stays clear, so checked shifts accept it)
+    "m09_phash_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |      189, ' ') AS raster
+        |  FROM documents WHERE length(text) >= 189),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 63),
+        |      k -> ascii(substring(raster, CAST(3*k+1 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+2 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+3 AS INT), 1))) AS gray
+        |  FROM p),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 56),
+        |      b -> CASE WHEN gray[CAST((b//8)*9 + (b%8) + 1 AS INT)]
+        |                   > gray[CAST((b//8)*9 + (b%8) + 2 AS INT)]
+        |           THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+        |      AS BIGINT) AS sig
+        |  FROM g)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+        |FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sig, r.sig)) <= 8
+        |ORDER BY a, b""".stripMargin,
 
     "m07_media_shards" ->
       """WITH c AS (

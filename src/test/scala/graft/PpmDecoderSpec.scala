@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.Multimodal.PpmDecoder
+import graft.ops.Multimodal.{ppmDhash, PpmDecoder}
 
 /** Pure-JVM gate for the real P6 decoder: the full netpbm header
   * grammar (whitespace, comments, maxval), both sample widths, and
@@ -54,5 +54,63 @@ class PpmDecoderSpec extends AnyFunSuite {
       ppm("P6\n1 1\n70000\n", Array.fill[Byte](6)(1))) == null)
     assert(PpmDecoder.features("P6\n1".getBytes("US-ASCII")) == null)
     assert(PpmDecoder.features(Array.empty[Byte]) == null)
+  }
+
+  test("dHash: identity-grid image packs exactly the hand-computed bits") {
+    // 9×7 image, one pixel per grid cell. Row r: gray rises with the
+    // column except at column r (a dip) — every right-neighbor
+    // comparison is 0 (rising) except the cell just BEFORE the dip,
+    // which is brighter than the dip → bit r*8 + (r-1) for r ≥ 1.
+    val raster = new Array[Byte](9 * 7 * 3)
+    for (r <- 0 until 7; c <- 0 until 9) {
+      val v = if (c == r) 0 else (10 * (c + 1))
+      for (ch <- 0 until 3) raster((r * 9 + c) * 3 + ch) = v.toByte
+    }
+    val h = ppmDhash(ppm("P6\n9 7\n255\n", raster))
+    assert(h != null)
+    val want = (1 to 6).map(r => 1L << (r * 8 + (r - 1))).sum
+    assert(h.longValue == want, s"got ${h.longValue.toBinaryString}")
+  }
+
+  test("dHash box-downsample: a 2×-scaled image hashes identically, " +
+      "and unequal block sizes use exact mean comparison") {
+    // the same gradient rendered at 18×14 (every cell a 2×2 block)
+    // must produce the identity-grid hash — resize invariance
+    val small = new Array[Byte](9 * 7 * 3)
+    for (r <- 0 until 7; c <- 0 until 9; ch <- 0 until 3)
+      small((r * 9 + c) * 3 + ch) = (10 + 5 * ((c * 7 + r) % 9)).toByte
+    val hSmall = ppmDhash(ppm("P6\n9 7\n255\n", small))
+    val big = new Array[Byte](18 * 14 * 3)
+    for (y <- 0 until 14; x <- 0 until 18; ch <- 0 until 3)
+      big((y * 18 + x) * 3 + ch) = small((((y / 2) * 9) + (x / 2)) * 3 + ch)
+    val hBig = ppmDhash(ppm("P6\n18 14\n255\n", big))
+    assert(hSmall != null && hBig != null && hBig == hSmall)
+
+    // 10×7: column cells split 10 pixels over 9 cells (one 2-wide
+    // cell) — the exact cross-product mean comparison must not be
+    // fooled by the doubled sum: constant image → hash 0
+    val const = Array.fill[Byte](10 * 7 * 3)(77)
+    val hc = ppmDhash(ppm("P6\n10 7\n255\n", const))
+    assert(hc != null && hc.longValue == 0L)
+  }
+
+  test("dHash: sub-grid and malformed images are null; 2-byte samples " +
+      "decode through the same path") {
+    assert(ppmDhash(ppm("P6\n8 7\n255\n",
+      Array.fill[Byte](8 * 7 * 3)(1))) == null) // w < 9
+    assert(ppmDhash(ppm("P6\n9 6\n255\n",
+      Array.fill[Byte](9 * 6 * 3)(1))) == null) // h < 7
+    assert(ppmDhash(ppm("P6\n9 7\n255\n",
+      Array.fill[Byte](5)(1))) == null)         // truncated
+    assert(ppmDhash(Array.empty[Byte]) == null)
+    // 16-bit samples: big-endian values, gradient along columns only
+    val r16 = new Array[Byte](9 * 7 * 3 * 2)
+    for (r <- 0 until 7; c <- 0 until 9; ch <- 0 until 3) {
+      val v = 300 * (c + 1) // > 255 forces real 2-byte decode
+      val off = ((r * 9 + c) * 3 + ch) * 2
+      r16(off) = (v >> 8).toByte; r16(off + 1) = (v & 0xff).toByte
+    }
+    val h16 = ppmDhash(ppm("P6\n9 7\n65535\n", r16))
+    assert(h16 != null && h16.longValue == 0L) // strictly rising → no bit
   }
 }

@@ -361,7 +361,8 @@ class DedupKernelSpec extends AnyFunSuite {
       (i, Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
         .mkString(" "))
     }.toDF("doc_id", "text")
-    for ((mh, bits) <- Seq((2, 32), (3, 40), (4, 64))) {
+    // (4, 56) is m09's dHash configuration — uneven 11/12-bit blocks
+    for ((mh, bits) <- Seq((2, 32), (3, 40), (4, 64), (4, 56))) {
       val banded = Dedup.simhashPairs(docs, "doc_id", "text",
           maxHamming = mh, sigBits = bits)
         .select("a", "b").collect()

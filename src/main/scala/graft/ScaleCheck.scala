@@ -87,7 +87,8 @@ object ScaleCheck {
     "t23_bm25_topk", "d22_source_overlap",
     // round-10 second wave: bipartite fuzzy decontamination, NB
     // classifier filter, SQ8 compressed-scan ANN, perceptual dHash
-    "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8", "m09_phash_pairs")
+    "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8", "m09_phash_pairs",
+    "d24_pair_rank")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -322,6 +322,72 @@ object Dedup {
       .withColumn("is_hub", col("degree") >= hubDegree)
   }
 
+  /** PageRank-style centrality over the (symmetrized) near-dup graph
+    * — the transitive hub signal d21's raw degree can't see: a
+    * template shell that pairs with OTHER well-connected shells ranks
+    * above one with the same degree into leaf documents, which is the
+    * priority order a curation run prunes in. Fixed `iters` power
+    * iterations, no dangling-mass redistribution (isolated docs sit
+    * at (1-d)/N; the score is a relative signal, not a probability —
+    * documented, standard for graph-local centrality).
+    *
+    * Cross-engine determinism: per-iteration neighbor sums are
+    * DECIMAL(28,18) (float order-independence), every rank
+    * re-quantizes through the double→DECIMAL(28,18) cast between
+    * iterations (the t23/p04-gated cast — no round() in the loop,
+    * whose scaled-multiply implementation differs across engines),
+    * the damping complement is the EXPRESSION `1.0 - damping` on both
+    * engines (a 0.15 literal is a different double), and
+    * divisions/multiplications are single exactly-rounded IEEE ops.
+    * The oracle replays all `iters` iterations as unrolled CTEs.
+    *
+    * Scale shape: ranks are one row per document, edges one row per
+    * near-dup pair direction — each iteration is one equi-join on the
+    * edge source + one map-side-combinable aggregate on the
+    * destination, eagerly checkpointed so the plan stays
+    * iteration-shallow; at 100 TB `pairs` comes from the persisted
+    * near-dup index ([[pairsFromIndex]]), the same artifact every
+    * other pair consumer reads. */
+  def nearDupRank(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val ids = corpus.select(col(idCol).cast("long").as("id"))
+      .localCheckpoint(true)
+    val n = ids.agg(count(lit(1)).as("n"))
+    // the pair derivation may be the expensive part (minhash pipeline)
+    // and sym reads it twice — pin it before fanning out
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+    val degs = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // pair-relation-sized; read once per iteration
+    val edges = sym.join(degs, "src").localCheckpoint(true)
+    val dc = lit(1.0) - lit(damping)
+    var r = ids.crossJoin(broadcast(n))
+      .select(col("id"),
+        (lit(1.0) / col("n")).cast("decimal(28,18)").as("r"))
+      .localCheckpoint(true)
+    var k = 0
+    while (k < iters) {
+      val msum = edges.join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (col("r").cast("double") / col("deg"))
+            .cast("decimal(28,18)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("ms"))
+      r = ids.join(msum, Seq("id"), "left_outer")
+        .crossJoin(broadcast(n))
+        .select(col("id"),
+          (dc / col("n") + lit(damping) *
+            coalesce(col("ms"), lit(0)).cast("double"))
+            .cast("decimal(28,18)").as("r"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    ids.join(degs.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+      .join(r, Seq("id"))
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        round(col("r").cast("double"), 6).as("rank"))
+  }
+
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

@@ -23,6 +23,49 @@ object DedupQueries {
       "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] " +
       "|| ' ' || string_split(text,' ')[i+2]))"
 
+  // d24's oracle: brute-force pair graph + every power iteration
+  // replayed as an unrolled CTE (recursive CTEs cannot aggregate over
+  // the recursive relation). Arithmetic mirrors Dedup.nearDupRank
+  // term-for-term: the damping complement is the EXPRESSION
+  // (1.0 - 0.85), contributions and ranks re-quantize through
+  // DECIMAL(28,18), neighbor sums are decimal.
+  private def pairRankSql(iters: Int): String = {
+    val its = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.doc_id,
+         |    CAST((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s.n
+         |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(m.ms, 0) AS DOUBLE)
+         |      AS DECIMAL(28,18)) AS r
+         |  FROM nodes n CROSS JOIN stats s LEFT JOIN (
+         |    SELECT e.dst AS doc_id,
+         |      SUM(CAST(CAST(p.r AS DOUBLE) / e.deg AS DECIMAL(28,18))) AS ms
+         |    FROM ed e JOIN r${k - 1} p ON p.doc_id = e.src
+         |    GROUP BY 1) m USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+       |prs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |edges AS (SELECT a AS src, b AS dst FROM prs
+       |          UNION ALL SELECT b, a FROM prs),
+       |degs AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, g.deg FROM edges e JOIN degs g USING (src)),
+       |nodes AS (SELECT doc_id FROM documents),
+       |stats AS (SELECT COUNT(*) AS n FROM documents),
+       |r0 AS (SELECT doc_id,
+       |         CAST(CAST(1.0 AS DOUBLE) / s.n AS DECIMAL(28,18)) AS r
+       |       FROM nodes CROSS JOIN stats s),
+       |$its
+       |SELECT n.doc_id, CAST(COALESCE(g.deg, 0) AS BIGINT) AS deg,
+       |  round(CAST(f.r AS DOUBLE), 6) AS rank
+       |FROM nodes n
+       |LEFT JOIN degs g ON g.src = n.doc_id
+       |JOIN r$iters f USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // exact all-pairs Jaccard ≥ 0.8 — the shared oracle for batch d02
   // and streaming d18 (both must produce this exact pair set)
   private val bruteForcePairsSql =
@@ -559,6 +602,26 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- transitive near-dup centrality (PageRank over pairs) ----
+    // d21 flags hubs by raw degree; this ranks by TRANSITIVE
+    // centrality — a template shell pairing with other well-connected
+    // shells outranks one with equal degree into leaves, which is the
+    // order a curation run prunes in. Six deterministic power
+    // iterations (near-dup components have tiny diameter — round-6
+    // ranks are stationary well before 6; each iteration is a
+    // checkpointed job, so the count is wall time); the oracle
+    // replays every iteration as unrolled CTEs (cross-engine
+    // arithmetic contract in Dedup.nearDupRank's doc).
+    "d24_pair_rank" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      Dedup.nearDupRank(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8),
+          iters = 6)
+        .select($"id".as("doc_id"), $"deg", $"rank")
+        .orderBy($"doc_id")
+    },
+
     // ---- cross-source verbatim-overlap matrix ----
     // the between-SOURCES contamination signal (d09 guards corpus vs
     // eval benchmarks; d13/d17 measure per-document coverage; this is
@@ -951,6 +1014,8 @@ object DedupQueries {
          |  COALESCE(deg.degree, 0) >= 2 AS is_hub
          |FROM documents doc LEFT JOIN deg ON doc.doc_id = deg.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+
+    "d24_pair_rank" -> pairRankSql(6),
 
     "d22_source_overlap" ->
       """WITH g AS (

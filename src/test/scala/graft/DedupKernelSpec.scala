@@ -610,6 +610,35 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(mass.exists(_.getAs[Long]("n") > 1))
   }
 
+  test("nearDupRank: matches a hand-rolled power iteration on a path " +
+      "graph; isolated docs sit at the teleport floor; hub outranks " +
+      "equal-degree leaves") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.nearDupRank(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // path 1-2-3 (+isolated 4): deg 1,2,1,0
+    var r = Array.fill(4)(0.25)
+    for (_ <- 0 until 10) {
+      val into = Array(r(1) / 2, r(0) + r(2), r(1) / 2, 0.0)
+      r = into.map(m => 0.15 / 4 + 0.85 * m)
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 1 && got(2L)._1 == 2 &&
+      got(3L)._1 == 1 && got(4L)._1 == 0)
+    (0 until 4).foreach { i =>
+      assert(math.abs(got(i + 1L)._2 - r6(r(i))) < 1e-9,
+        s"doc ${i + 1}: got ${got(i + 1L)._2}, want ${r6(r(i))}")
+    }
+    assert(got(1L)._2 == got(3L)._2)    // symmetric leaves
+    assert(got(2L)._2 > got(1L)._2)     // the middle hub dominates
+    assert(got(4L)._2 == r6(0.15 / 4))  // teleport floor
+  }
+
   test("crossPairs is bipartite: equals brute-force corpus×bench Jaccard, " +
       "never a within-side pair (identical left docs stay unpaired)") {
     import spark.implicits._

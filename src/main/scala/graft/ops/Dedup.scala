@@ -217,7 +217,9 @@ object Dedup {
         .repartition(par)
         .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
     val lb = prep(left)
-    val rb = prep(right)
+    // the small side is read twice (buckets, then stored shingle
+    // sets) — pin it so neither consumer re-runs its scan
+    val rb = prep(right).localCheckpoint(true)
     def banded(base: DataFrame): DataFrame =
       bandBucketRows(
         minhashSignatures(
@@ -344,12 +346,17 @@ object Dedup {
     * Scale shape: ranks are one row per document, edges one row per
     * near-dup pair direction — each iteration is one equi-join on the
     * edge source + one map-side-combinable aggregate on the
-    * destination, eagerly checkpointed so the plan stays
-    * iteration-shallow; at 100 TB `pairs` comes from the persisted
-    * near-dup index ([[pairsFromIndex]]), the same artifact every
-    * other pair consumer reads. */
+    * destination. Each rank relation feeds ONLY the next iteration,
+    * so the chain evaluates once even fully lazy; checkpoints exist
+    * to bound LINEAGE depth, not to dedup work — hence periodic
+    * (`checkpointEvery`), not per-iteration: a short gate run stays
+    * one job instead of paying iters× scheduler floors, a long
+    * production run still truncates lineage. At 100 TB `pairs` comes
+    * from the persisted near-dup index ([[pairsFromIndex]]), the same
+    * artifact every other pair consumer reads. */
   def nearDupRank(corpus: DataFrame, idCol: String, pairs: DataFrame,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 8): DataFrame = {
     val ids = corpus.select(col(idCol).cast("long").as("id"))
       .localCheckpoint(true)
     val n = ids.agg(count(lit(1)).as("n"))
@@ -365,7 +372,6 @@ object Dedup {
     var r = ids.crossJoin(broadcast(n))
       .select(col("id"),
         (lit(1.0) / col("n")).cast("decimal(28,18)").as("r"))
-      .localCheckpoint(true)
     var k = 0
     while (k < iters) {
       val msum = edges.join(r.withColumnRenamed("id", "src"), "src")
@@ -379,8 +385,8 @@ object Dedup {
           (dc / col("n") + lit(damping) *
             coalesce(col("ms"), lit(0)).cast("double"))
             .cast("decimal(28,18)").as("r"))
-        .localCheckpoint(true)
       k += 1
+      if (k % checkpointEvery == 0 && k < iters) r = r.localCheckpoint(true)
     }
     ids.join(degs.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
       .join(r, Seq("id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHashSignature, UniqueTrigramCount}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHashSignature, SqCosine, SqEncode, UniqueTrigramCount}
 
 /** Registration of the engine's native expressions for SQL use.
   *
@@ -67,13 +67,25 @@ object GraftExtensions {
       f(args.head)
     })
 
+  private def ternary(name: String,
+      f: (Expression, Expression, Expression) => Expression,
+      cls: Class[_]): FunctionDescription = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, s"$name takes 3 arguments, got ${args.length}")
+      f(args.head, args(1), args(2))
+    })
+
   val functions: Seq[FunctionDescription] = Seq(
     unary("unique_trigram_count",
       (e: Expression) => UniqueTrigramCount(e), classOf[UniqueTrigramCount]),
     binary("cosine_similarity", CosineSimilarity.apply, classOf[CosineSimilarity]),
     binary("dot_product", DotProduct.apply, classOf[DotProduct]),
     sized("minhash_signature", MinHashSignature.apply, classOf[MinHashSignature]),
-    sized("simhash_signature", SimHashSignature.apply, classOf[SimHashSignature]))
+    sized("simhash_signature", SimHashSignature.apply, classOf[SimHashSignature]),
+    binary("sq_encode", SqEncode.apply, classOf[SqEncode]),
+    ternary("sq_cosine", SqCosine.apply, classOf[SqCosine]))
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit =

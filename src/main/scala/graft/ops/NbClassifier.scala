@@ -38,13 +38,16 @@ object NbClassifier {
 
   /** Per-doc classifier scores: (id, n_tokens long, nb_score double
     * round-6, keep boolean = nb_score > 0). Every input row gets an
-    * output row (a doc whose text is a single empty token still
-    * carries that token through the model — split(" ") never yields
-    * an empty array). `targetPred` marks target-domain rows; null
-    * evaluates as non-target. Degenerate labelings (all-target /
-    * none-target) make a prior term ln(0) = -inf by the model's own
-    * math — a corpus that cannot train a two-class model, surfaced as
-    * infinities rather than masked. */
+    * output row: a doc whose text is a single empty token still
+    * carries that token through the model (split(" ") never yields an
+    * empty array), and a NULL text contributes no token occurrences —
+    * it scores as the prior alone, with null n_tokens (honest: length
+    * undefined, prior is all the model knows). `targetPred` marks
+    * target-domain rows; null evaluates as non-target. Degenerate
+    * labelings (all-target / none-target) make a prior term
+    * ln(0) = -inf by the model's own math — a corpus that cannot
+    * train a two-class model, surfaced as infinities rather than
+    * masked. */
   def scores(
       docs: DataFrame,
       idCol: String,
@@ -90,10 +93,11 @@ object NbClassifier {
         round(log((col("nd_all") - col("nd_tgt")).cast("double") /
           col("nd_all")), 6)).cast("decimal(28,18)")
     base.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
-      .join(scored, Seq("id"))
+      .join(scored, Seq("id"), "left_outer")
       .crossJoin(broadcast(docStats))
       .select(col("id"), col("n_tokens"),
-        round((col("sc") + prior).cast("double"), 6).as("nb_score"))
+        round((coalesce(col("sc"), lit(0).cast("decimal(28,18)")) + prior)
+          .cast("double"), 6).as("nb_score"))
       .withColumn("keep", col("nb_score") > 0)
   }
 }

@@ -63,6 +63,24 @@ class ExtensionsAndJsonSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("sq_encode / sq_cosine callable from SQL and round-trip the grid") {
+    // dim-1 grid [0, 2.55] (step 0.01): 1.0 encodes to byte 100 and
+    // dequantizes to ~1.0, so cosine with itself reads 1.0 exactly
+    val r = spark.sql(
+      """SELECT sq_cosine(
+        |  array(cast(1.0 as float)),
+        |  sq_encode(array(cast(1.0 as float)),
+        |            array(cast(0.0 as float), cast(0.01 as float))),
+        |  array(cast(0.0 as float), cast(0.01 as float))) AS c""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 1.0) // 1-dim cosine of same-sign values
+    val codes = spark.sql(
+      """SELECT sq_encode(array(cast(9.0 as float)),
+        |  array(cast(0.0 as float), cast(0.01 as float))) AS b""".stripMargin)
+      .collect().head.getAs[Array[Byte]](0)
+    assert((codes(0) & 0xff) == 255) // saturates above the grid
+  }
+
   test("JSON envelope round-trips through the same decode pipeline") {
     val schema = DatastreamAvro.sparkSchema(s"$fixtures/insert.avro")
     val avroEnv = DatastreamAvro.read(spark, s"$fixtures/insert.avro")

@@ -81,4 +81,21 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(math.abs(got(1L) - r6(2 * wA + wB + prior)) < 1e-9)
     assert(got(1L) > got(3L)) // separability survives the prior shift
   }
+
+  test("null text keeps its row and scores as the prior alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a"),
+      (2L, "de", "b"),
+      (3L, "de", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val rows = NbClassifier.scores(docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))))
+      .toMap
+    assert(rows.size == 3)
+    val prior = r6(math.log(1.0 / 3)) - r6(math.log(2.0 / 3))
+    assert(rows(3L)._1.isEmpty) // length of a null text is undefined
+    assert(math.abs(rows(3L)._2 - r6(prior)) < 1e-9)
+  }
 }

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * relation and the V-sized model BOTH derive from that exploded
   * relation (one exchange under both), the two O(1)-row stat
   * aggregates broadcast, and scoring is an equi-join on the term key
-  * with map-side-combined per-doc partial sums — the DSIR hashed-
-  * feature trick (pmod(xxhash64)) applies unchanged when V itself is
-  * too large to shuffle comfortably.
+  * with map-side-combined per-doc partial sums. When V itself is too
+  * large to shuffle comfortably, `numBuckets` switches to hashed
+  * features (pmod(xxhash64) — the [[Dsir]] mode): the model collapses
+  * to ≤ b rows and BROADCASTS, so no exchange ever carries a V-sized
+  * relation — both remaining shuffles ((id, feature) tf compression,
+  * then the per-doc rollup) are document-bounded.
   */
 object NbClassifier {
 
@@ -52,14 +55,25 @@ object NbClassifier {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      targetPred: Column): DataFrame = {
+      targetPred: Column,
+      numBuckets: Option[Int] = None): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.repartition(par).select(
       col(idCol).cast("long").as("id"),
       coalesce(targetPred, lit(false)).as("tgt"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
 
-    val tok = base.select(col("id"), col("tgt"), explode(col("__t")).as("term"))
+    // hashed-feature mode (the Dsir trick): terms collapse into <= b
+    // buckets, so the model relation BROADCASTS and no exchange ever
+    // carries a V-sized relation — the 100 TB shape when V outgrows
+    // a comfortable term-keyed shuffle. Raw mode is its oracle.
+    val feature = numBuckets match {
+      case Some(b) => pmod(xxhash64(col("__w")), lit(b.toLong)).cast("string")
+      case None    => col("__w")
+    }
+    val tok = base
+      .select(col("id"), col("tgt"), explode(col("__t")).as("__w"))
+      .select(col("id"), col("tgt"), feature.as("term"))
 
     // scoring relation: per-(doc, term) tf
     val dtf = tok.groupBy(col("id"), col("term"))
@@ -83,7 +97,8 @@ object NbClassifier {
       round(log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + col("v"))), 6) -
         round(log((col("c_all") - col("c_tgt") + lit(1.0)) /
           (col("n_oth") + col("v"))), 6)
-    val contrib = dtf.join(model, Seq("term"))
+    val modelSide = if (numBuckets.isDefined) broadcast(model) else model
+    val contrib = dtf.join(modelSide, Seq("term"))
       .crossJoin(broadcast(tokStats))
       .select(col("id"), (col("tf") * w).cast("decimal(28,18)").as("c"))
     val scored = contrib.groupBy(col("id")).agg(sum(col("c")).as("sc"))

@@ -82,6 +82,55 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(got(1L) > got(3L)) // separability survives the prior shift
   }
 
+  test("hashed-feature mode: collision-free buckets reproduce raw mode " +
+      "bit-for-bit; forced collisions match a reference over the " +
+      "engine's own buckets; the model broadcasts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "en", "a b"),
+      (3L, "de", "c c"),
+      (4L, "de", "b c")
+    ).toDF("doc_id", "lang", "text")
+    def run(b: Option[Int]) =
+      NbClassifier.scores(docs, "doc_id", "text", $"lang" === "en", b)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    // 2^20 buckets over a 3-token vocab: no collisions → identical
+    val raw = run(None)
+    assert(run(Some(1 << 20)) == raw)
+
+    // b = 2 forces real collisions; reference buckets via the
+    // engine's own hash (xxhash64 → pmod), the DsirSpec discipline
+    val bucketOf = Seq("a", "b", "c").toDF("w")
+      .select($"w", pmod(xxhash64($"w"), lit(2L)).cast("string").as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val corpus = Seq((1L, true, "a a b"), (2L, true, "a b"),
+      (3L, false, "c c"), (4L, false, "b c"))
+    val toks = corpus.map { case (id, tgt, t) =>
+      (id, tgt, t.split(" ").toSeq.map(bucketOf)) }
+    val (tT, tO) = (toks.filter(_._2).flatMap(_._3),
+      toks.filterNot(_._2).flatMap(_._3))
+    val v = (tT ++ tO).distinct.size
+    val cT = tT.groupBy(identity).view.mapValues(_.size).toMap
+    val cO = tO.groupBy(identity).view.mapValues(_.size).toMap
+    def w(f: String) =
+      r6(math.log((cT.getOrElse(f, 0) + 1.0) / (tT.size + v))) -
+        r6(math.log((cO.getOrElse(f, 0) + 1.0) / (tO.size + v)))
+    val prior = 0.0 // 2 target / 2 other
+    val got2 = run(Some(2))
+    toks.foreach { case (id, _, fs) =>
+      val want = r6(fs.map(w).sum + prior)
+      assert(math.abs(got2(id) - want) < 1e-9,
+        s"doc $id: got ${got2(id)}, want $want")
+    }
+
+    val plan = NbClassifier.scores(docs, "doc_id", "text",
+      $"lang" === "en", Some(4096)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("null text keeps its row and scores as the prior alone") {
     import spark.implicits._
     val docs = Seq(

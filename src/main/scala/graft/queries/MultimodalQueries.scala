@@ -202,20 +202,24 @@ object MultimodalQueries {
     // the raster; documents under one raster skipped — a pushable
     // length filter), Multimodal.ppmDhash decodes it through the REAL
     // parser and packs the 56-bit difference hash, and
-    // Dedup.hammingPairs finds all pairs within hamming 4 by the same
+    // Dedup.hammingPairs finds all pairs within hamming 2 by the same
     // Manku banding d03 uses — never an all-pairs scan. The oracle
     // recomputes the hash character-wise (cell grays are exact integer
     // sums, bits exact comparisons, the pack a shift-sum) and
     // brute-force-joins: SQL states the semantics, the engine answers
     // through banding (the d02/d03 discipline).
     //
-    // Radius 4, not a looser 8: pigeonhole banding partitions the 56
-    // bits into maxHamming+1 blocks, and the CANDIDATE volume is
-    // birthday-bounded by the per-band value space — 2^11 values at
-    // radius 4 vs 2^6 at radius 8, where a 10× corpus measured a
-    // 12.8× wall (quadratic bucket growth). The same trade d03's
-    // 64-bit/radius-4 banding makes; a wider radius at corpus scale
-    // needs a wider signature, not more blocks.
+    // The radius is a MEASURED trade against the 56-bit signature's
+    // band entropy: pigeonhole banding partitions the bits into
+    // maxHamming+1 blocks, and the CANDIDATE volume is
+    // birthday-bounded by the per-band value space. Radius 8 (2^6
+    // values/band) measured a 12.8× wall on a 10× corpus; radius 4
+    // (2^11) fixed 10× but read 48× on a 100× corpus; radius 2
+    // (2^18.7) holds near-linear at 100×. The boundary is
+    // information-theoretic, not a plan bug — a wider radius at
+    // billion-image scale needs a wider hash (256-bit grids), not
+    // more blocks; exact-hash grouping (radius 0, plain groupBy) is
+    // the unbounded-scale fallback, the d05 division of labor.
     "m09_phash_pairs" -> { (s, d) =>
       import s.implicits._
       val media = load(s, d, "documents")
@@ -226,7 +230,7 @@ object MultimodalQueries {
               189, " "), "UTF-8")).as("payload"))
       val sigs = Multimodal.dhashOf(media, "doc_id", "payload")
         .filter($"sig".isNotNull)
-      graft.ops.Dedup.hammingPairs(sigs, maxHamming = 4, sigBits = 56)
+      graft.ops.Dedup.hammingPairs(sigs, maxHamming = 2, sigBits = 56)
         .select($"a", $"b", $"hamming".cast("int").as("hamming"))
         .orderBy($"a", $"b")
     }
@@ -307,7 +311,7 @@ object MultimodalQueries {
         |SELECT l.doc_id AS a, r.doc_id AS b,
         |  CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
         |FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id
-        |WHERE bit_count(xor(l.sig, r.sig)) <= 4
+        |WHERE bit_count(xor(l.sig, r.sig)) <= 2
         |ORDER BY a, b""".stripMargin,
 
     "m07_media_shards" ->

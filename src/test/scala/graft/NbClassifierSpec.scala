@@ -131,6 +131,54 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("persisted model round-trips bit-for-bit: a loaded model scores " +
+      "the training corpus exactly like scores(); unseen tokens get the " +
+      "smoothed zero-count weight; bucketing travels with the model") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a b"),
+      (2L, "en", "a b"),
+      (3L, "de", "c c"),
+      (4L, "de", "b c")
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "nbmodel")
+      .toString
+
+    NbClassifier.save(
+      NbClassifier.train(docs, "doc_id", "text", $"lang" === "en"), dir)
+    val loaded = NbClassifier.load(spark, dir)
+    val direct = NbClassifier.scores(docs, "doc_id", "text", $"lang" === "en")
+      .collect().map(_.toSeq).toSet
+    val served = NbClassifier.scoreWith(docs, "doc_id", "text", loaded)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct)
+
+    // a NEW doc with one seen and one unseen token: the OOV term gets
+    // the model's own smoothed zero-count weight
+    val fresh = Seq((9L, "zzz a")).toDF("doc_id", "text")
+    val got = NbClassifier.scoreWith(fresh, "doc_id", "text", loaded)
+      .collect().head.getDouble(2)
+    val wA = r6(math.log(4.0 / 8)) - r6(math.log(1.0 / 7))
+    val wOov = r6(math.log(1.0 / 8)) - r6(math.log(1.0 / 7))
+    assert(math.abs(got - r6(wA + wOov)) < 1e-9, s"got $got")
+
+    // a hashed model scores through its stored bucketing — the same
+    // values as an in-memory hashed model, even for unseen tokens
+    val dir2 = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "nbmodelh")
+      .toString
+    val hashed = NbClassifier.train(docs, "doc_id", "text",
+      $"lang" === "en", numBuckets = Some(2))
+    NbClassifier.save(hashed, dir2)
+    val hServed = NbClassifier
+      .scoreWith(fresh, "doc_id", "text", NbClassifier.load(spark, dir2))
+      .collect().head.getDouble(2)
+    val hDirect = NbClassifier.scoreWith(fresh, "doc_id", "text", hashed)
+      .collect().head.getDouble(2)
+    assert(hServed == hDirect)
+  }
+
   test("null text keeps its row and scores as the prior alone") {
     import spark.implicits._
     val docs = Seq(

@@ -235,6 +235,64 @@ object Pipeline {
       Sampling.temperatureMix(load(s, d, "documents"), "lang",
           size(split($"text", " ")), alpha = 0.5)
         .orderBy($"lang")
+    },
+
+    // ---- the model-SERVING loop: batch-trained classifier, streamed
+    //      corpus scored per micro-batch ----
+    // the deployment shape behind t24's self-scoring gate: the NB
+    // model trains ONCE on the curated split (doc_id % 10 = 0, the
+    // d09/p02 convention for the small curated side), persists, and
+    // every arriving micro-batch of the main corpus scores against
+    // the LOADED model inside foreachBatch — stream-static scoring,
+    // per-doc deterministic, so the report is batching- and
+    // arrival-order-independent. Tokens unseen at training time are
+    // REAL here (the main corpus's vocabulary is larger than the
+    // seed's) and exercise scoreWith's smoothed zero-count path; the
+    // per-language keep report aggregates from the scored sink
+    // batch-side (the d18/p02 discipline), deduped on doc_id so a
+    // foreachBatch retry (at-least-once) can never double-count.
+    "p05_stream_classify" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.NbClassifier
+      val docs = load(s, d, "documents")
+      val tag = math.abs(d.hashCode.toLong)
+      val mdir = s"target/nbmodel_p05_$tag"
+      NbClassifier.save(NbClassifier.train(
+        docs.filter($"doc_id" % 10 === 0), "doc_id", "text",
+        targetPred = $"lang" === "en"), mdir)
+      val model = NbClassifier.load(s, mdir)
+
+      def rmRec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+      }
+      val outDir = s"target/p05_scored_$tag"
+      rmRec(new java.io.File(outDir)) // append sink: never accumulate runs
+      val ckDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "p05ck").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(docs.schema).parquet(s"$d/documents.*")
+          .filter($"doc_id" % 10 =!= 0)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            NbClassifier.scoreWith(batch, "doc_id", "text", model)
+              .join(batch.select($"doc_id".as("id"), $"lang"), Seq("id"))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(outDir)
+        .dropDuplicates("id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"keep", 1)).as("n_keep"),
+          round(sum($"nb_score".cast("decimal(28,18)")).cast("double"), 6)
+            .as("score_sum"))
+        .orderBy($"lang")
     }
   )
 
@@ -411,7 +469,57 @@ object Pipeline {
         |z AS (SELECT SUM(CAST(fl AS DECIMAL(28,18))) AS zz FROM f)
         |SELECT lang, n_docs, n_tokens, round(p_raw, 6) AS p_raw,
         |  round(fl / CAST(zz AS DOUBLE), 6) AS mix_share
-        |FROM f, z ORDER BY lang""".stripMargin
+        |FROM f, z ORDER BY lang""".stripMargin,
+
+    // the t24 arithmetic with the train/score split: model counts and
+    // priors from the curated split only, scored docs LEFT-join the
+    // model (unseen term → smoothed zero-count weight)
+    "p05_stream_classify" ->
+      """WITH tr AS (
+        |  SELECT (lang = 'en') AS tgt, string_split(text,' ') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ttok AS (SELECT tgt, u AS term FROM tr, unnest(t) x(u)),
+        |model AS (
+        |  SELECT term, COUNT(CASE WHEN tgt THEN 1 END) AS c_tgt,
+        |    COUNT(*) AS c_all
+        |  FROM ttok GROUP BY 1),
+        |tstats AS (
+        |  SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |    CAST(SUM(c_all) - SUM(c_tgt) AS BIGINT) AS n_oth,
+        |    COUNT(*) AS v
+        |  FROM model),
+        |dstats AS (
+        |  SELECT COUNT(CASE WHEN lang = 'en' THEN 1 END) AS nd_tgt,
+        |    COUNT(*) AS nd_all
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |sc AS (
+        |  SELECT doc_id, lang, string_split(text,' ') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |dtf AS (
+        |  SELECT doc_id, u AS term, COUNT(*) AS tf
+        |  FROM sc, unnest(t) x(u) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT d.doc_id, CAST(d.tf * (
+        |      round(ln((COALESCE(m.c_tgt, 0) + 1.0) / (s.n_tgt + s.v)), 6)
+        |    - round(ln((COALESCE(m.c_all, 0) - COALESCE(m.c_tgt, 0) + 1.0)
+        |               / (s.n_oth + s.v)), 6)) AS DECIMAL(28,18)) AS c
+        |  FROM dtf d LEFT JOIN model m USING (term) CROSS JOIN tstats s),
+        |scored AS (SELECT doc_id, SUM(c) AS sc FROM contrib GROUP BY 1),
+        |pr AS (
+        |  SELECT CAST(round(ln(CAST(nd_tgt AS DOUBLE) / nd_all), 6)
+        |            - round(ln(CAST(nd_all - nd_tgt AS DOUBLE) / nd_all), 6)
+        |         AS DECIMAL(28,18)) AS p
+        |  FROM dstats),
+        |persc AS (
+        |  SELECT s.doc_id, s.lang,
+        |    round(CAST(COALESCE(c.sc, CAST(0 AS DECIMAL(28,18))) + pr.p
+        |      AS DOUBLE), 6) AS nb_score
+        |  FROM sc s LEFT JOIN scored c USING (doc_id) CROSS JOIN pr)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN nb_score > 0 THEN 1 END) AS n_keep,
+        |  round(CAST(SUM(CAST(nb_score AS DECIMAL(28,18))) AS DOUBLE), 6)
+        |    AS score_sum
+        |FROM persc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB hit-count for one language's marker list (t03's shape). */

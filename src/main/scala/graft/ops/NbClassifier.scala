@@ -174,6 +174,74 @@ object NbClassifier {
       dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/terms"), spark.read.parquet(s"$dir/stats"))
 
+  /** Incrementally maintain a trained model from a change feed — the
+    * c18/c19 IVM discipline applied to the classifier: NB sufficient
+    * statistics are pure integer counts, so inserts ADD and deletes
+    * SUBTRACT exactly and the delta-maintained model must equal a
+    * from-scratch retrain on the post-change corpus BIT-FOR-BIT
+    * (c23 gates exactly that; no approximation, no drift). The cost
+    * is delta-sized: one tokenize pass over `changes`, a V-vs-|Δ|
+    * outer join on the term key, and a V-sized stats re-aggregate —
+    * never a corpus rescan, the same economics as s16's index append.
+    *
+    * `opCol` marks each change row 'D' (delete; its text must equal
+    * the originally-inserted text — the caller's change feed carries
+    * before-images, as CDC deletes do) or anything else = insert.
+    * Terms whose occurrence count reaches 0 leave the relation, so
+    * vocabulary size V matches the retrain. The feature-bucketing
+    * mode is read from the model's own stats row — a delta cannot
+    * bucket differently than its trainer. */
+  def applyDelta(
+      model: (DataFrame, DataFrame),
+      changes: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      opCol: Column): (DataFrame, DataFrame) = {
+    val (terms, stats) = model
+    val nBuckets = stats.select(col("n_buckets")).head().getLong(0)
+    val feature =
+      if (nBuckets >= 0) pmod(xxhash64(col("__w")), lit(nBuckets)).cast("string")
+      else col("__w")
+    val par = changes.sparkSession.sparkContext.defaultParallelism
+    val base = changes.repartition(par).select(
+      col(idCol).cast("long").as("id"),
+      coalesce(targetPred, lit(false)).as("tgt"),
+      (when(opCol === "D", -1L).otherwise(1L)).as("sign"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val dTerms = base
+      .select(col("tgt"), col("sign"), explode(col("__t")).as("__w"))
+      .select(col("tgt"), col("sign"), feature.as("term"))
+      .groupBy(col("term")).agg(
+        sum(when(col("tgt"), col("sign")).otherwise(0L)).as("d_tgt"),
+        sum(col("sign")).as("d_all"))
+    val newTerms = terms.join(dTerms, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("c_tgt"), lit(0L)) + coalesce(col("d_tgt"), lit(0L)))
+          .as("c_tgt"),
+        (coalesce(col("c_all"), lit(0L)) + coalesce(col("d_all"), lit(0L)))
+          .as("c_all"))
+      .filter(col("c_all") > 0)
+    // coalesce: an EMPTY change feed sums to null, and a null delta
+    // would null the carried doc priors
+    val dDocs = base.agg(
+      coalesce(sum(when(col("tgt"), col("sign")).otherwise(0L)), lit(0L))
+        .as("dd_tgt"),
+      coalesce(sum(col("sign")), lit(0L)).as("dd_all"))
+    val newStats = newTerms.agg(
+        coalesce(sum(col("c_tgt")), lit(0L)).cast("long").as("n_tgt"),
+        coalesce(sum(col("c_all")) - sum(col("c_tgt")), lit(0L))
+          .cast("long").as("n_oth"),
+        count(lit(1)).as("v"))
+      .crossJoin(
+        stats.select(col("nd_tgt"), col("nd_all"), col("n_buckets"))
+          .crossJoin(broadcast(dDocs))
+          .select((col("nd_tgt") + col("dd_tgt")).as("nd_tgt"),
+            (col("nd_all") + col("dd_all")).as("nd_all"),
+            col("n_buckets")))
+    (newTerms, newStats)
+  }
+
   /** Score any document batch against a trained model. Unlike
     * [[scores]]' self-scoring join, tokens UNSEEN at training time
     * are real here (new documents, new vocabulary) and get the

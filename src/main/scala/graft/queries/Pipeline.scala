@@ -293,6 +293,47 @@ object Pipeline {
           round(sum($"nb_score".cast("decimal(28,18)")).cast("double"), 6)
             .as("score_sum"))
         .orderBy($"lang")
+    },
+
+    // ---- incremental model maintenance from a change feed ----
+    // the c18/c19 IVM discipline applied to the classifier: NB
+    // sufficient statistics are exact integer counts, so a
+    // delta-maintained model (inserts added, deletes subtracted at
+    // delta cost — never a corpus rescan) must equal a from-scratch
+    // retrain on the post-change corpus BIT-FOR-BIT. The gate runs
+    // train(base) → applyDelta(inserts + deletes) and a full retrain
+    // in one plan: n_term_diff / n_stat_diff count row-level
+    // disagreements (must be 0), and the surviving stats row is
+    // oracled against DuckDB's independent recount of the final
+    // corpus — structural equivalence AND semantic truth in one gate
+    // (the d16/s14 pattern).
+    "c23_model_ivm" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.NbClassifier
+      val docs = load(s, d, "documents")
+      val pred = $"lang" === "en"
+      val base = docs.filter($"doc_id" % 7 =!= 0)
+      val changes = docs.filter($"doc_id" % 7 === 0)
+        .withColumn("op", lit("I"))
+        .unionByName(docs
+          .filter($"doc_id" % 7 =!= 0 && $"doc_id" % 3 === 0)
+          .withColumn("op", lit("D"))) // before-image deletes
+      val m1 = NbClassifier.applyDelta(
+        NbClassifier.train(base, "doc_id", "text", pred),
+        changes, "doc_id", "text", pred, $"op")
+      val m2 = NbClassifier.train(
+        docs.filter($"doc_id" % 7 === 0 ||
+          ($"doc_id" % 7 =!= 0 && $"doc_id" % 3 =!= 0)),
+        "doc_id", "text", pred)
+      // each model relation feeds two exceptAll legs — pin them
+      val (t1, t2) = (m1._1.localCheckpoint(true), m2._1.localCheckpoint(true))
+      val (s1, s2) = (m1._2.localCheckpoint(true), m2._2.localCheckpoint(true))
+      val termDiff = t1.exceptAll(t2).unionAll(t2.exceptAll(t1))
+        .agg(count(lit(1)).as("n_term_diff"))
+      val statDiff = s1.exceptAll(s2).unionAll(s2.exceptAll(s1))
+        .agg(count(lit(1)).as("n_stat_diff"))
+      s1.select($"n_tgt", $"n_oth", $"v", $"nd_tgt", $"nd_all")
+        .crossJoin(termDiff).crossJoin(statDiff)
     }
   )
 
@@ -519,7 +560,32 @@ object Pipeline {
         |  COUNT(CASE WHEN nb_score > 0 THEN 1 END) AS n_keep,
         |  round(CAST(SUM(CAST(nb_score AS DECIMAL(28,18))) AS DOUBLE), 6)
         |    AS score_sum
-        |FROM persc GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM persc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle recounts the POST-CHANGE corpus independently — if
+    // the delta-maintained stats row disagrees with the true final
+    // corpus, the hash fails even with n_*_diff structurally zero
+    "c23_model_ivm" ->
+      """WITH fin AS (
+        |  SELECT lang, text FROM documents
+        |  WHERE doc_id % 7 = 0 OR (doc_id % 7 <> 0 AND doc_id % 3 <> 0)),
+        |tok AS (
+        |  SELECT (lang = 'en') AS tgt, u AS term
+        |  FROM (SELECT lang, string_split(text,' ') AS t FROM fin) x,
+        |    unnest(t) y(u)),
+        |m AS (
+        |  SELECT term, COUNT(CASE WHEN tgt THEN 1 END) AS c_tgt,
+        |    COUNT(*) AS c_all
+        |  FROM tok GROUP BY 1)
+        |SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |  CAST(SUM(c_all) - SUM(c_tgt) AS BIGINT) AS n_oth,
+        |  COUNT(*) AS v,
+        |  (SELECT COUNT(CASE WHEN lang = 'en' THEN 1 END) FROM fin)
+        |    AS nd_tgt,
+        |  (SELECT COUNT(*) FROM fin) AS nd_all,
+        |  CAST(0 AS BIGINT) AS n_term_diff,
+        |  CAST(0 AS BIGINT) AS n_stat_diff
+        |FROM m""".stripMargin
   )
 
   /** DuckDB hit-count for one language's marker list (t03's shape). */

@@ -179,6 +179,53 @@ class NbClassifierSpec extends AnyFunSuite {
     assert(hServed == hDirect)
   }
 
+  test("applyDelta: a delta-maintained model equals a from-scratch " +
+      "retrain bit-for-bit; empty delta is identity; deleting " +
+      "everything empties the vocabulary; bucketing is respected") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = Seq((1L, "en", "a a b"), (2L, "de", "b c"))
+      .toDF("doc_id", "lang", "text")
+    def rows(m: (DataFrame, DataFrame)) =
+      (m._1.collect().map(_.toSeq).toSet, m._2.collect().map(_.toSeq).toSet)
+    val m0 = NbClassifier.train(base, "doc_id", "text", $"lang" === "en")
+
+    // insert doc 3, delete doc 2 (before-image text, the CDC contract)
+    val changes = Seq((3L, "en", "c d", "I"), (2L, "de", "b c", "D"))
+      .toDF("doc_id", "lang", "text", "op")
+    val after = Seq((1L, "en", "a a b"), (3L, "en", "c d"))
+      .toDF("doc_id", "lang", "text")
+    val m1 = NbClassifier.applyDelta(m0, changes, "doc_id", "text",
+      $"lang" === "en", $"op")
+    assert(rows(m1) ==
+      rows(NbClassifier.train(after, "doc_id", "text", $"lang" === "en")))
+
+    // empty delta = identity
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "text", "op")
+    assert(rows(NbClassifier.applyDelta(m0, empty, "doc_id", "text",
+      $"lang" === "en", $"op")) == rows(m0))
+
+    // delete everything → empty vocabulary, zeroed stats
+    val wipe = Seq((1L, "en", "a a b", "D"), (2L, "de", "b c", "D"))
+      .toDF("doc_id", "lang", "text", "op")
+    val m3 = NbClassifier.applyDelta(m0, wipe, "doc_id", "text",
+      $"lang" === "en", $"op")
+    assert(m3._1.count() == 0)
+    val st = m3._2.collect().head
+    assert(st.getAs[Long]("n_tgt") == 0 && st.getAs[Long]("n_oth") == 0 &&
+      st.getAs[Long]("v") == 0 && st.getAs[Long]("nd_tgt") == 0 &&
+      st.getAs[Long]("nd_all") == 0)
+
+    // a hashed model's delta buckets through the STORED mode
+    val h0 = NbClassifier.train(base, "doc_id", "text", $"lang" === "en",
+      numBuckets = Some(2))
+    val h1 = NbClassifier.applyDelta(h0, changes, "doc_id", "text",
+      $"lang" === "en", $"op")
+    assert(rows(h1) == rows(NbClassifier.train(after, "doc_id", "text",
+      $"lang" === "en", numBuckets = Some(2))))
+  }
+
   test("null text keeps its row and scores as the prior alone") {
     import spark.implicits._
     val docs = Seq(

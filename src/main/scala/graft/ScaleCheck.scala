@@ -88,7 +88,8 @@ object ScaleCheck {
     // round-10 second wave: bipartite fuzzy decontamination, NB
     // classifier filter, SQ8 compressed-scan ANN, perceptual dHash
     "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8", "m09_phash_pairs",
-    "d24_pair_rank", "p05_stream_classify", "c23_model_ivm")
+    "d24_pair_rank", "p05_stream_classify", "c23_model_ivm",
+    "d25_rank_canonical")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -394,6 +394,30 @@ object Dedup {
         round(col("r").cast("double"), 6).as("rank"))
   }
 
+  /** Canonical selection by centrality: every document labeled with
+    * its near-dup cluster and the cluster's KEEP pick — the
+    * highest-[[nearDupRank]] member, ties to the lowest id ("keep the
+    * best-connected copy", the priority order a pruning run applies,
+    * where [[exactDedup]]/d07 keep by lowest id). One `pairs`
+    * relation feeds both the clustering and the rank (pinned — the
+    * pair derivation is usually the expensive subtree); the pick is
+    * one row_number window over the cluster partition, bounded by
+    * cluster size. Returns (id, cluster, rank, keep). */
+  def rankCanonical(corpus: DataFrame, idCol: String, pairs: DataFrame,
+      iters: Int = 10): DataFrame = {
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val cl = connectedComponents(p)
+    val rk = nearDupRank(corpus, idCol, p, iters)
+      .select(col("id"), col("rank"))
+    val byCluster = Window.partitionBy(col("cluster"))
+      .orderBy(col("rank").desc, col("id"))
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(cl, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .join(rk, Seq("id"))
+      .withColumn("keep", row_number().over(byCluster) === 1)
+  }
+
   private def shingleBase(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism

@@ -29,7 +29,7 @@ object DedupQueries {
   // term-for-term: the damping complement is the EXPRESSION
   // (1.0 - 0.85), contributions and ranks re-quantize through
   // DECIMAL(28,18), neighbor sums are decimal.
-  private def pairRankSql(iters: Int): String = {
+  private def pairRankCtes(iters: Int): String = {
     val its = (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT n.doc_id,
@@ -42,7 +42,7 @@ object DedupQueries {
          |    FROM ed e JOIN r${k - 1} p ON p.doc_id = e.src
          |    GROUP BY 1) m USING (doc_id))"""
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+    s"""WITH RECURSIVE d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
        |prs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b
        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -57,14 +57,37 @@ object DedupQueries {
        |r0 AS (SELECT doc_id,
        |         CAST(CAST(1.0 AS DOUBLE) / s.n AS DECIMAL(28,18)) AS r
        |       FROM nodes CROSS JOIN stats s),
-       |$its
+       |$its""".stripMargin
+  }
+
+  private def pairRankSql(iters: Int): String =
+    s"""${pairRankCtes(iters)}
        |SELECT n.doc_id, CAST(COALESCE(g.deg, 0) AS BIGINT) AS deg,
        |  round(CAST(f.r AS DOUBLE), 6) AS rank
        |FROM nodes n
        |LEFT JOIN degs g ON g.src = n.doc_id
        |JOIN r$iters f USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  // d25's oracle: the d24 rank CTEs + d11's recursive min-label
+  // clustering over the same edges + one per-cluster pick window
+  private def rankCanonicalSql(iters: Int): String =
+    s"""${pairRankCtes(iters)},
+       |reach(x, label) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) n
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.x),
+       |clusters AS (SELECT x AS doc_id, MIN(label) AS cluster
+       |             FROM reach GROUP BY x),
+       |cl AS (SELECT n.doc_id, COALESCE(c.cluster, n.doc_id) AS cluster
+       |       FROM nodes n LEFT JOIN clusters c USING (doc_id)),
+       |rk AS (SELECT doc_id, round(CAST(r AS DOUBLE), 6) AS rank
+       |       FROM r$iters)
+       |SELECT cl.doc_id, cl.cluster, rk.rank,
+       |  (ROW_NUMBER() OVER (PARTITION BY cl.cluster
+       |    ORDER BY rk.rank DESC, cl.doc_id)) = 1 AS keep
+       |FROM cl JOIN rk USING (doc_id)
+       |ORDER BY cl.doc_id""".stripMargin
 
   // exact all-pairs Jaccard ≥ 0.8 — the shared oracle for batch d02
   // and streaming d18 (both must produce this exact pair set)
@@ -622,6 +645,26 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- canonical selection by centrality ----
+    // the curation decision d06 + d24 compose into: each near-dup
+    // cluster resolves to its highest-PageRank member (ties to the
+    // lowest id) — keep the best-connected copy, not d07's
+    // lowest-id convention. ONE pair derivation feeds both the
+    // clustering and the rank (checkpointed), the pick is one
+    // row_number window over the cluster partition. The oracle
+    // assembles d11's recursive min-label clustering and d24's
+    // unrolled rank CTEs over the same edge relation under one
+    // WITH RECURSIVE.
+    "d25_rank_canonical" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      Dedup.rankCanonical(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8),
+          iters = 6)
+        .select($"id".as("doc_id"), $"cluster", $"rank", $"keep")
+        .orderBy($"doc_id")
+    },
+
     // ---- cross-source verbatim-overlap matrix ----
     // the between-SOURCES contamination signal (d09 guards corpus vs
     // eval benchmarks; d13/d17 measure per-document coverage; this is
@@ -1016,6 +1059,7 @@ object DedupQueries {
          |ORDER BY doc.doc_id""".stripMargin,
 
     "d24_pair_rank" -> pairRankSql(6),
+    "d25_rank_canonical" -> rankCanonicalSql(6),
 
     "d22_source_overlap" ->
       """WITH g AS (

@@ -639,6 +639,21 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(got(4L)._2 == r6(0.15 / 4))  // teleport floor
   }
 
+  test("rankCanonical: the path graph's middle node is the cluster's " +
+      "keep; isolated docs keep themselves; exactly one keep per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("doc_id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Dedup.rankCanonical(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got(4L)._1 == 4L && got(4L)._2) // singleton keeps itself
+    assert(got(2L)._2 && !got(1L)._2 && !got(3L)._2) // hub wins
+    assert(got.values.groupBy(_._1).forall(_._2.count(_._2) == 1))
+  }
+
   test("crossPairs is bipartite: equals brute-force corpus×bench Jaccard, " +
       "never a within-side pair (identical left docs stay unpaired)") {
     import spark.implicits._

@@ -75,6 +75,137 @@ object SimilarityQueries {
     }
   }
 
+  /** Full recursive copy of a freshly-built index (cells + quantizer
+    * sidecars + schema; a fresh build has no tombstones): the cheap
+    * clone the mutation gates start from — no retraining, no
+    * assignment pass, pure driver-side file IO. */
+  private def copyIndex(from: String, to: String): Unit = {
+    def walk(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(f =>
+          walk(f, new java.io.File(dst, f.getName))))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    for (sub <- Seq("cells", "centroids", "codebook", "schema")) {
+      val s = new java.io.File(from, sub)
+      if (s.exists()) walk(s, new java.io.File(to, sub))
+    }
+  }
+
+  // ---- session-memoized index fixtures (round-11 verdict item 1) ----
+  // The six index-lifecycle gates each paid a from-scratch quantizer
+  // train + assignment pass per bench sample (~43 s, 24% of the
+  // board) while their CLAIMS are maintenance/serve properties, not
+  // construction: the build is deterministic setup, exactly the class
+  // the c02/c09/c10 replay memoization already covers. Built once per
+  // (session, corpus): served read-only by gates that never mutate
+  // the index (s14, s18) and file-copied (copyIndex above — no
+  // retraining, no assignment) for gates that do (s16 append, s17
+  // delete/compact, s19 drift appends, c21 sync). Claim legs that
+  // require INDEPENDENT construction — the reindex-equivalence
+  // n_diffs — still run their reindex inside the gate.
+  private val indexFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      String]()
+
+  /** Fixture over the full usable corpus (s14/s17/s18/s19). */
+  private def fullIndexFixture(s: SparkSession, d: String): String =
+    indexFixtureCache.computeIfAbsent((s, d, "full"), _ => {
+      import s.implicits._
+      val dir = s"target/vfix_full_${math.abs(d.hashCode.toLong)}"
+      rmRec(new java.io.File(dir))
+      graft.ops.VectorIndex.build(corpusDf(s, d).select($"id", $"vec"), dir)
+      dir
+    })
+
+  /** Fixture with the `label` metadata column riding in the cell
+    * files (s15's filtered-search shape — a different cell schema, so
+    * a separate fixture from the plain full-corpus one). */
+  private def metaIndexFixture(s: SparkSession, d: String): String =
+    indexFixtureCache.computeIfAbsent((s, d, "meta"), _ => {
+      val dir = s"target/vfix_meta_${math.abs(d.hashCode.toLong)}"
+      rmRec(new java.io.File(dir))
+      graft.ops.VectorIndex.build(corpusDf(s, d), dir,
+        metaCols = Seq("label"))
+      dir
+    })
+
+  /** Fixture over the 90% base split (`id % 10 =!= 0`): s16's
+    * pre-append base AND c21's v0 snapshot index — the v0 table state
+    * holds exactly these rows, and quantizer training is
+    * content-deterministic (`trainingSample` is orderBy(id).limit),
+    * so building from either relation yields the identical index. */
+  private def baseIndexFixture(s: SparkSession, d: String): String =
+    indexFixtureCache.computeIfAbsent((s, d, "base"), _ => {
+      import s.implicits._
+      val dir = s"target/vfix_base_${math.abs(d.hashCode.toLong)}"
+      rmRec(new java.io.File(dir))
+      graft.ops.VectorIndex.build(
+        corpusDf(s, d).select($"id", $"vec").filter($"id" % 10 =!= 0), dir)
+      dir
+    })
+
+  /** Memoized three-commit CDC table for c21 (v0 snapshot = 90% base
+    * split, v1 sign-flip re-embeds, v2 deletes + holdout landing):
+    * deterministic setup in the c02 replay-memoization class. The
+    * gate's claims — feed-folding sync, reindex equivalence, recall
+    * vs the expected mutated corpus — all run inside the gate. */
+  private val cdcVecCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      String]()
+  private def cdcVecTable(s: SparkSession,
+      d: String): graft.cdc.CdcTable = {
+    val tdir = cdcVecCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val dir = s"target/cdcvec_${math.abs(d.hashCode.toLong)}"
+      rmRec(new java.io.File(dir))
+      val emb = corpusDf(s, d).select($"id", $"vec")
+      val base = emb.filter($"id" % 10 =!= 0)
+      val holdout = emb.filter($"id" % 10 === 0)
+      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+      val t = new graft.cdc.CdcTable(s, dir, Seq("id"), numBuckets = 4)
+      // v0: initial snapshot (90% of the corpus — the quantizers see
+      // most of the distribution; a third-sized holdout was tried and
+      // reverted, its post-build drift pushed recall under any honest
+      // fixed bound)
+      t.applyBatch(base.select(struct($"id", $"vec").as("row"),
+        lit("INSERT").as("op"), key(0)), 0L)
+      // v1: re-embeds — id%5==0 vectors flip sign (an update)
+      t.applyBatch(base.filter($"id" % 5 === 0)
+        .select(struct($"id",
+          transform($"vec", x => -x).cast("array<float>").as("vec")).as("row"),
+          lit("UPDATE").as("op"), key(1)), 1L)
+      // v2: deletes (id%7==0 of the base) + the held-out 10% lands
+      t.applyBatch(
+        base.filter($"id" % 7 === 0)
+          .select(struct($"id", $"vec").as("row"),
+            lit("DELETE").as("op"), key(2))
+          .unionByName(holdout
+            .select(struct($"id", $"vec").as("row"),
+              lit("INSERT").as("op"), key(2))),
+        2L)
+      dir
+    })
+    new graft.cdc.CdcTable(s, tdir, Seq("id"), numBuckets = 4)
+  }
+
+  /** Memoized full-corpus brute-force reference for the vec_id<5
+    * query set — byte-identical input to s14's and s16's recall legs
+    * (k×5 rows, checkpointed so the scan runs once per session). */
+  private val bfRefCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+  private def bruteForceRef(s: SparkSession, d: String): DataFrame =
+    bfRefCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      Similarity.bruteForceTopK(queriesDf(s, d),
+        corpusDf(s, d).select($"id", $"vec"), K).localCheckpoint(true)
+    })
+
   /** VALUES oracle for [[recallGate]]: n_queries derives from the
     * table (regeneration-robust), the rest are the gate constants. */
   private def recallOracleSql(param: (String, Long),
@@ -196,8 +327,9 @@ object SimilarityQueries {
       import s.implicits._
       import graft.ops.VectorIndex
       val q = queriesDf(s, d)
-      val dir = s"target/vindexf_${math.abs(d.hashCode.toLong)}"
-      VectorIndex.build(corpusDf(s, d), dir, metaCols = Seq("label"))
+      // read-only serve from the memoized label-carrying fixture —
+      // the claim is the pushed-filter probe, not the build
+      val dir = metaIndexFixture(s, d)
       val served = VectorIndex.search(s, dir, q, K, nprobe = 10,
         where = Some($"label" === 1))
       // the reference is the exact FILTERED brute force: only
@@ -224,10 +356,12 @@ object SimilarityQueries {
       // append-mode cells ACCUMULATE: a reused dir from a prior run
       // would double-append the increment (build overwrites cells, but
       // append by definition does not) — the n_diff gate caught exactly
-      // this, so start from a clean slate every run
+      // this, so start from a clean CLONE of the memoized 90% base
+      // fixture every run (the build is deterministic setup; append is
+      // the claim)
       rmRec(new java.io.File(dir)); rmRec(new java.io.File(dir2))
       val corpus = corpusDf(s, d).select($"id", $"vec")
-      VectorIndex.build(corpus.filter($"id" % 10 =!= 0), dir)
+      copyIndex(baseIndexFixture(s, d), dir)
       VectorIndex.append(corpus.filter($"id" % 10 === 0), dir)
       // each served relation is k×queries rows; checkpointing them
       // eagerly means the expensive search subtree runs ONCE, not once
@@ -244,7 +378,7 @@ object SimilarityQueries {
       // bound 0.6: the quantizers train on the 90% base split and the
       // fixed nprobe=4 serves the 10× sf0.1 corpus too (measured 0.80
       // at sf0.01, 0.64 at sf0.1 — the standard fixed-quantizer decay)
-      recallGate(served, Similarity.bruteForceTopK(q, corpus, K), K,
+      recallGate(served, bruteForceRef(s, d), K,
         "nprobe" -> 4L, 0.6).crossJoin(nDiff)
     },
 
@@ -271,7 +405,9 @@ object SimilarityQueries {
       val corpus = corpusDf(s, d).select($"id", $"vec")
       val deleted = corpus.filter($"id" % 7 === 0).select($"id")
       val remaining = corpus.filter($"id" % 7 =!= 0)
-      VectorIndex.build(corpus, dir)
+      // clone of the memoized full-corpus fixture (deterministic
+      // setup); tombstone/compact/serve below are the claims
+      copyIndex(fullIndexFixture(s, d), dir)
       VectorIndex.delete(s, dir, deleted)
       // EAGER materialization: compact below deletes the tombstone
       // files this plan reads — a lazy `served` would try to re-scan
@@ -313,7 +449,10 @@ object SimilarityQueries {
       val dir = s"target/vdriftq_${math.abs(d.hashCode.toLong)}"
       rmRec(new java.io.File(dir))
       val corpus = corpusDf(s, d).select($"id", $"vec")
-      VectorIndex.build(corpus, dir)
+      // clone of the memoized full-corpus fixture: a fresh build copy
+      // (gen-0 rows only), so the fresh-stable leg reads the same
+      // tv==0 baseline a from-scratch build would
+      copyIndex(fullIndexFixture(s, d), dir)
       val fresh = VectorIndex.driftSignal(s, dir).localCheckpoint(true)
       VectorIndex.append(
         corpus.select(($"id" + 1000000L).as("id"), $"vec"), dir)
@@ -364,40 +503,21 @@ object SimilarityQueries {
       // left ~125 vectors at the driver's SF, too few for a stable
       // recall reference)
       val emb = corpusDf(s, d).select($"id", $"vec")
-      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
-        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
-      val tdir = s"target/cdcvec_${math.abs(d.hashCode.toLong)}"
       val dir = s"target/vindexs_${math.abs(d.hashCode.toLong)}"
       val dir2 = s"${dir}_re"
-      Seq(tdir, dir, dir2).foreach(p => rmRec(new java.io.File(p)))
+      Seq(dir, dir2).foreach(p => rmRec(new java.io.File(p)))
 
-      val t = new CdcTable(s, tdir, Seq("id"), numBuckets = 4)
+      // the three-commit table is deterministic setup (the c02 replay
+      // memoization class): built once per session, reopened here
+      val t = cdcVecTable(s, d)
       val base = emb.filter($"id" % 10 =!= 0)
       val holdout = emb.filter($"id" % 10 === 0)
-      // v0: initial snapshot (90% of the corpus — the quantizers see
-      // most of the distribution; a third-sized holdout was tried and
-      // reverted, its post-build drift pushed recall under any honest
-      // fixed bound)
-      t.applyBatch(base.select(struct($"id", $"vec").as("row"),
-        lit("INSERT").as("op"), key(0)), 0L)
-      // v1: re-embeds — id%5==0 vectors flip sign (an update)
-      t.applyBatch(base.filter($"id" % 5 === 0)
-        .select(struct($"id",
-          transform($"vec", x => -x).cast("array<float>").as("vec")).as("row"),
-          lit("UPDATE").as("op"), key(1)), 1L)
-      // v2: deletes (id%7==0 of the base) + the held-out 10% lands
-      t.applyBatch(
-        base.filter($"id" % 7 === 0)
-          .select(struct($"id", $"vec").as("row"),
-            lit("DELETE").as("op"), key(2))
-          .unionByName(holdout
-            .select(struct($"id", $"vec").as("row"),
-              lit("INSERT").as("op"), key(2))),
-        2L)
 
-      // index: build at v0, then fold each commit's change feed
-      VectorIndex.build(
-        t.stateAt(0L).get.filter(!$"_is_deleted").select($"id", $"vec"), dir)
+      // index at v0: the v0 live state is exactly the 90% base split,
+      // and quantizer training is content-deterministic, so the
+      // memoized base fixture IS the v0 build — clone it, then fold
+      // each commit's change feed (the sync loop, the claim)
+      copyIndex(baseIndexFixture(s, d), dir)
       // the feed reads committed immutable bucket files — lazy plans
       // stay valid across the index writes below; a commit that
       // repointed no buckets has no feed (foreach skips it)
@@ -527,15 +647,17 @@ object SimilarityQueries {
       import graft.ops.VectorIndex
       val q = queriesDf(s, d)
       val c = corpusDf(s, d).select($"id", $"vec")
-      val dir = s"target/vindex_${math.abs(d.hashCode.toLong)}"
-      VectorIndex.build(c, dir)
+      // the memoized full-corpus fixture (deterministic setup); the
+      // claim — persisted-serve ≡ in-memory ivfPqTopK, plus recall —
+      // runs in full below
+      val dir = fullIndexFixture(s, d)
       // checkpointed: k×queries rows read by both exceptAll legs and
       // the recall gate — the search subtree runs once, not three times
       val served = VectorIndex.search(s, dir, q, K).localCheckpoint(true)
       val inmem = Similarity.ivfPqTopK(q, c, K).localCheckpoint(true)
       val nDiff = served.exceptAll(inmem).unionAll(inmem.exceptAll(served))
         .agg(count(lit(1)).as("n_diff"))
-      recallGate(served, Similarity.bruteForceTopK(q, c, K), K,
+      recallGate(served, bruteForceRef(s, d), K,
         "nprobe" -> 4L, 0.7).crossJoin(nDiff)
     },
 
@@ -717,8 +839,9 @@ object SimilarityQueries {
       import s.implicits._
       import graft.ops.VectorIndex
       val c = corpusDf(s, d).select($"id", $"vec")
-      val dir = s"target/vgraph_${math.abs(d.hashCode.toLong)}"
-      VectorIndex.build(c, dir)
+      // read-only serve from the memoized full-corpus fixture — the
+      // claim is the graph derivation, not the build
+      val dir = fullIndexFixture(s, d)
       val approx = VectorIndex.knnGraph(s, dir, k = 5, nprobe = 8)
         .filter($"qid" % 5 === 0)
       val sample = c.filter($"id" % 5 === 0)

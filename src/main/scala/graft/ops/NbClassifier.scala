@@ -48,9 +48,11 @@ object NbClassifier {
     * undefined, prior is all the model knows). `targetPred` marks
     * target-domain rows; null evaluates as non-target. Degenerate
     * labelings (all-target / none-target) make a prior term
-    * ln(0) = -inf by the model's own math — a corpus that cannot
-    * train a two-class model, surfaced as infinities rather than
-    * masked. */
+    * ln(0) = -inf by the model's own math; the ±Infinity double
+    * prior then casts to DECIMAL(28,18), which Spark maps to NULL in
+    * non-ANSI mode — so a corpus that cannot train a two-class model
+    * surfaces as NULL nb_score/keep on every row, never as a
+    * plausible finite score. */
   def scores(
       docs: DataFrame,
       idCol: String,

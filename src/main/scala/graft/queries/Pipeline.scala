@@ -284,7 +284,12 @@ object Pipeline {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        // a fresh temp checkpoint is created per invocation — reap it
+        // here or bench runs accumulate dead p05ck* dirs
+        rmRec(new java.io.File(ckDir))
+      }
       s.read.parquet(outDir)
         .dropDuplicates("id")
         .groupBy($"lang")

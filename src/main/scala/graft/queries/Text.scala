@@ -974,9 +974,11 @@ object Text {
         |         AS DECIMAL(28,18)) AS p
         |  FROM dstats)
         |SELECT t.doc_id, t.lang, CAST(len(t.t) AS BIGINT) AS n_tokens,
-        |  round(CAST(s.sc + pr.p AS DOUBLE), 6) AS nb_score,
-        |  round(CAST(s.sc + pr.p AS DOUBLE), 6) > 0 AS keep
-        |FROM toks t JOIN scored s USING (doc_id) CROSS JOIN pr
+        |  round(CAST(COALESCE(s.sc, CAST(0 AS DECIMAL(28,18))) + pr.p
+        |    AS DOUBLE), 6) AS nb_score,
+        |  round(CAST(COALESCE(s.sc, CAST(0 AS DECIMAL(28,18))) + pr.p
+        |    AS DOUBLE), 6) > 0 AS keep
+        |FROM toks t LEFT JOIN scored s USING (doc_id) CROSS JOIN pr
         |ORDER BY doc_id""".stripMargin
   )
 }

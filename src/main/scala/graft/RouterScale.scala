@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CdcRouter
+
+/** Many-tables router panel (round-11 verdict item 2): per-micro-batch
+  * wall clock of `CdcRouter.applyBatch` as table count grows, pool
+  * path (one Spark job per table, width = cores) vs the single-job
+  * partitioned apply. The claim to measure: the partitioned path's
+  * per-batch wall is SUB-LINEAR in table count (one Catalyst plan
+  * regardless of T), while the pool path scales with T because each
+  * table pays a job-scheduling round-trip.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.RouterScale"
+  */
+object RouterScale {
+
+  private def key(seq: Long) = struct(lit(seq).as("ts_ms"),
+    lit(seq).as("scn"), lit("").as("rs_id"), lit(0L).as("ssn"))
+    .as("sort_key")
+
+  private def batch(spark: SparkSession, nTables: Int, rowsPer: Int,
+      seq: Long, op: String): DataFrame = {
+    spark.range(nTables.toLong * rowsPer)
+      .select(
+        concat(lit("t"), (col("id") % nTables).cast("string"))
+          .as("table_name"),
+        struct((col("id") / nTables).cast("long").as("id"),
+          concat(lit(s"$op-v$seq-"), col("id")).as("val")).as("row"),
+        lit(op).as("op"), key(seq))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // FIXED total batch volume, varying table count: the claim under
+    // test is driver/job overhead per TABLE, so data volume must not
+    // be a confounder. numBuckets = 1 — the many-small-tables regime
+    // (a 4-bucket layout on a 20-row table is file fragmentation, not
+    // parallelism).
+    val totalRows = 20480
+    val sizes = args.toSeq match {
+      case Nil => Seq(64, 256, 1024)
+      case xs => xs.map(_.toInt)
+    }
+    for (t <- sizes; mode <- Seq("pool", "partitioned")) {
+      val rowsPer = totalRows / t
+      val root = Files.createTempDirectory(Paths.get("target"),
+        s"rscale-$mode-$t").toString
+      val router = new CdcRouter(spark, root, _ => Seq("id"),
+        numBuckets = 1,
+        partitionedApplyMinTables =
+          if (mode == "partitioned") 1 else Int.MaxValue)
+      // batch 0: creates; batch 1: steady-state merge (the regime that
+      // repeats every 30 s trigger — the number that matters)
+      val t0 = System.nanoTime()
+      router.applyBatch(batch(spark, t, rowsPer, 0L, "INSERT"), 0L)
+      val create = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      router.applyBatch(batch(spark, t, rowsPer, 1L, "UPDATE"), 1L)
+      val steady = (System.nanoTime() - t1) / 1e9
+      println(f"ROUTER tables=$t%5d mode=$mode%-12s " +
+        f"create=$create%7.2f s steady=$steady%7.2f s " +
+        f"perTable=${steady / t * 1000}%7.1f ms")
+    }
+    spark.stop()
+  }
+}

@@ -41,13 +41,20 @@ object Apply {
     * key, and the final reduce is tiny — hot-key cost stays bounded by
     * scan parallelism, not by the key's event count (measured in the
     * MergeSkew panel, SURVEY §9). */
-  def collapse(events: DataFrame, pkCols: Seq[String]): DataFrame = {
+  def collapse(events: DataFrame, pkCols: Seq[String]): DataFrame =
+    collapseBy(events, pkCols.map(pkCol))
+
+  /** [[collapse]] with explicit key columns — the router's
+    * partitioned apply collapses a MULTI-table batch in one aggregate
+    * by prepending the table discriminator to the PK keys. */
+  private[graft] def collapseBy(events: DataFrame,
+      keys: Seq[Column]): DataFrame = {
     val all = events.columns.toSeq
     val ord = struct(
       col("sort_key").as("__sk"),
       when(col("op") === "DELETE", 1).otherwise(0).as("__del"),
       xxhash64(all.map(col): _*).as("__tb"))
-    events.groupBy(pkCols.map(pkCol): _*)
+    events.groupBy(keys: _*)
       .agg(max_by(struct(all.map(col): _*), ord).as("__e"))
       .select(col("__e.*"))
   }
@@ -143,6 +150,43 @@ object Apply {
           (allPayload ++ MetaCols).map(c =>
             when(eWins, col(s"e.$c")).otherwise(col(s"s.$c")).as(c)): _*)
         merged
+    }
+  }
+
+  /** Multi-table [[merge]] for the router's single-job partitioned
+    * apply: `state` and the collapsed events both carry a top-level
+    * table discriminator (`tblCol`), and collapse + the full-outer
+    * merge key on (table, pk…) — one aggregate and ONE shuffle join
+    * for a batch spanning hundreds of tables, instead of one Spark
+    * job per table. Precondition (router-enforced, checked against
+    * each table's committed `_schema.json`): every routed table's
+    * payload schema equals the incoming batch payload — the
+    * heterogeneous/drift cases stay on the per-table [[merge]] path,
+    * which owns schema alignment. */
+  private[graft] def mergeMulti(state: Option[DataFrame],
+      events: DataFrame, tblCol: String, pkCols: Seq[String],
+      sequenceNum: Long): DataFrame = {
+    val collapsed = collapseBy(events, col(tblCol) +: pkCols.map(pkCol))
+    val incoming = collapsed.select(
+      col(tblCol) +: col("row.*") +:
+        (col("op") === "DELETE").as("_is_deleted") +:
+        lit(sequenceNum).as("_sequence_num") +:
+        col("sort_key").as("_sort_key") +: Nil: _*)
+    state match {
+      case None => incoming
+      case Some(cur) =>
+        // uniform payload on both sides: align by NAME (column order
+        // in bucket files is historical), no widening needed
+        val cols = incoming.columns.toSeq
+        val s = cur.select(cols.map(col): _*).as("s")
+        val e = incoming.as("e")
+        val joinCond = (tblCol +: pkCols)
+          .map(c => col(s"s.$c") <=> col(s"e.$c")).reduce(_ && _)
+        val eWins = col("s._sort_key").isNull ||
+          (col("e._sort_key").isNotNull &&
+            col("e._sort_key") > col("s._sort_key"))
+        s.join(e, joinCond, "full_outer").select(
+          cols.map(c => when(eWins, col(s"e.$c")).otherwise(col(s"s.$c")).as(c)): _*)
     }
   }
 

@@ -135,6 +135,42 @@ class CdcTable(
     else state.map(df => StructType(
       df.schema.fields.filterNot(f => Apply.MetaCols.contains(f.name))))
 
+  /** Current bucket id → relative dir map (empty before the first
+    * commit) — the router's partitioned-apply path resolves every
+    * table's touched buckets driver-side from this. */
+  private[graft] def bucketDirs: Map[Int, String] =
+    currentVersion.map(manifest).getOrElse(Map.empty)
+
+  /** Commit bucket dirs STAGED BY AN EXTERNAL WRITER (the router's
+    * single-job partitioned apply, which merges hundreds of tables'
+    * buckets in one Spark job and then commits each table with pure
+    * driver-side renames). Publishes the staged dirs under their
+    * `b<b>-v<next>` names and commits the manifest — the same
+    * CAS-guarded [[publishAndCommit]] the in-table path uses, so
+    * concurrent writers surface as retryable conflicts here too.
+    * First commit records CREATE_TABLE + the payload schema exactly
+    * like [[applyBatch]]; drift never reaches this path (the router
+    * falls back to per-table applyBatch when the incoming payload
+    * differs from the committed one). Returns the committed
+    * version. */
+  private[graft] def commitStaged(staged: Seq[(Int, Path)],
+      incomingPayload: StructType): Long = {
+    val cur = currentVersion
+    val curManifest = cur.map(manifest).getOrElse(Map.empty)
+    val next = cur.getOrElse(-1L) + 1
+    publishAndCommit(next, curManifest, staged)
+    if (cur.isEmpty) {
+      Files.write(dir.resolve("_ddl.jsonl"),
+        (s"""{"version": $next, "event": "CREATE_TABLE", """ +
+          s""""pk": ${pkCols.map(c => s"\"$c\"").mkString("[", ",", "]")}, """ +
+          s""""schema": ${incomingPayload.json}}""" + "\n").getBytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      writeSchemaFile(incomingPayload)
+    }
+    next
+  }
+
   /** Merge one micro-batch of decoded change events; rewrites only the
     * PK buckets present in the batch. Returns the committed version.
     *

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -43,7 +45,16 @@ class CdcRouter(
     // token (`<TABLE>_...`): enables file-level allowlist pruning; a
     // wrong assertion here would prune allowed tables' files, so the
     // default keeps pruning row-level only
-    filenameKeyed: Boolean = false) {
+    filenameKeyed: Boolean = false,
+    // per-table merge concurrency for the pool path: defaults to the
+    // machine's cores (the old hardcoded 8 serialized a wide batch
+    // into ceil(T/8) scheduling waves on any larger executor)
+    mergePoolWidth: Int = Runtime.getRuntime.availableProcessors(),
+    // batches spanning at least this many tables take the single-job
+    // partitioned-apply path (when PKs are uniform and no table has
+    // drifted): below it, per-table jobs are cheap and keep the
+    // general drift/heterogeneous-schema machinery in play
+    partitionedApplyMinTables: Int = 64) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
   private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
@@ -90,34 +101,161 @@ class CdcRouter(
       val names = events.select(col("table_name")).distinct()
         .collect().map(_.getString(0)).sorted
       if (names.nonEmpty) emitCreateDatabaseOnce()
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(8, names.length)))
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val merges = names.toSeq.map { name =>
-          scala.concurrent.Future {
-            table(name).applyBatch(
-              events.filter(col("table_name") === name), batchId)
+      if (names.length >= partitionedApplyMinTables &&
+          partitionedApplyEligible(events, names))
+        applyBatchPartitioned(events, names.toSeq, batchId)
+      else if (names.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(mergePoolWidth, names.length)))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val merges = names.toSeq.map { name =>
+            scala.concurrent.Future {
+              table(name).applyBatch(
+                events.filter(col("table_name") === name), batchId)
+            }
           }
-        }
-        // settle EVERY merge (Try-wrapped) before propagating the first
-        // failure: Future.sequence rethrows on the first failed future
-        // while sibling merges are still running, which would (a) let
-        // the finally-block unpersist `events` under a live job and
-        // (b) hide sibling outcomes. Partial-failure replay semantics:
-        // the foreachBatch retry re-applies the batch, and tables that
-        // already committed commit an extra version — final STATE is
-        // idempotent via the PK merge (CdcTable.applyBatch), but
-        // per-table version counts may diverge across a retried batch.
-        val settled = scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            merges.map(_.transform(t => scala.util.Success(t)))),
-          scala.concurrent.duration.Duration.Inf)
-        settled.collectFirst { case scala.util.Failure(e) => throw e }
-        ()
-      } finally pool.shutdown()
+          // settle EVERY merge (Try-wrapped) before propagating the first
+          // failure: Future.sequence rethrows on the first failed future
+          // while sibling merges are still running, which would (a) let
+          // the finally-block unpersist `events` under a live job and
+          // (b) hide sibling outcomes. Partial-failure replay semantics:
+          // the foreachBatch retry re-applies the batch, and tables that
+          // already committed commit an extra version — final STATE is
+          // idempotent via the PK merge (CdcTable.applyBatch), but
+          // per-table version counts may diverge across a retried batch.
+          val settled = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              merges.map(_.transform(t => scala.util.Success(t)))),
+            scala.concurrent.duration.Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          ()
+        } finally pool.shutdown()
+      }
     } finally { events.unpersist(); () }
+  }
+
+  /** Eligibility for the single-job path: every routed table shares
+    * one PK column list, and no EXISTING table's committed payload
+    * schema differs from the incoming batch payload (drift and
+    * heterogeneous fleets stay on the per-table path, which owns
+    * schema alignment). Pure driver-side checks — pkColsFor calls
+    * plus one `_schema.json` read per existing table. */
+  private def partitionedApplyEligible(events: DataFrame,
+      names: Array[String]): Boolean = {
+    val pk = pkColsFor(names.head)
+    val incoming = events.schema("row").dataType
+      .asInstanceOf[StructType].simpleString
+    names.forall { n =>
+      pkColsFor(n) == pk && {
+        val t = table(n)
+        t.currentVersion.isEmpty ||
+          t.payloadSchema.exists(_.simpleString == incoming)
+      }
+    }
+  }
+
+  /** Single-job partitioned apply — the many-small-tables regime
+    * (SURVEY §7.4's thousands-of-tables north star). The pool path
+    * runs one Spark job per table per micro-batch: correct, but at
+    * 1,000 tables that is ~1,000 job-scheduling round-trips per 30 s
+    * trigger — the driver becomes the bottleneck while every job is
+    * tiny. Here the WHOLE batch merges in one Catalyst plan — one
+    * multi-table collapse aggregate, one full-outer join against the
+    * union of every table's touched bucket dirs (table recovered from
+    * the file path), one write partitioned by (table, bucket) — and
+    * each table then COMMITS with pure driver-side renames through
+    * the same CAS-guarded manifest publish as the per-table path
+    * (CdcTable.commitStaged). Shuffle volume is identical to the pool
+    * path's sum; job count drops from O(tables) to O(1).
+    *
+    * Partial-failure semantics match the pool path: the merged write
+    * is all-or-nothing, and a crash mid-commit-loop leaves some
+    * tables committed — the foreachBatch retry re-applies the batch
+    * and the sort-key-guarded merge keeps final state idempotent. */
+  private def applyBatchPartitioned(events: DataFrame,
+      names: Seq[String], batchId: Long): Unit = {
+    val pk = pkColsFor(names.head)
+    val incomingPayload =
+      events.schema("row").dataType.asInstanceOf[StructType]
+    // one job: which (table, bucket) does the batch touch?
+    val tT0 = System.nanoTime()
+    val bCol = pmod(xxhash64(pk.map(c => col(s"row.$c")): _*),
+      lit(numBuckets)).cast("int")
+    val touched = events
+      .select(col("table_name"), bCol.as("_bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (n, bs) => n -> bs.map(_._2).toSet }
+    if (sys.env.contains("GRAFT_ROUTER_DEBUG"))
+      System.err.println(f"[router] touched ${(System.nanoTime()-tT0)/1e9}%.2f s")
+    // driver-side manifest resolve: every touched bucket dir, across
+    // all tables, read as ONE parquet relation (the table rides in
+    // the path — rootPath/<table>/b<bucket>-v<version>/part-*)
+    val priorDirs = names.flatMap { n =>
+      val dirs = table(n).bucketDirs
+      touched.getOrElse(n, Set.empty[Int]).toSeq.sorted
+        .flatMap(dirs.get).distinct.map(d => s"$rootPath/$n/$d")
+    }
+    // uniform payload is an eligibility precondition, so the state
+    // schema is KNOWN (payload ++ meta cols): pass it explicitly —
+    // mergeSchema inference over T×buckets footers would pay a whole
+    // extra distributed pass before any merge work
+    val stateSchema = StructType(incomingPayload.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_is_deleted",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("_sequence_num",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_sort_key",
+        events.schema("sort_key").dataType)))
+    val prior: Option[DataFrame] =
+      if (priorDirs.isEmpty) None
+      else Some(spark.read.schema(stateSchema).parquet(priorDirs: _*)
+        .withColumn("table_name",
+          regexp_extract(input_file_name(), "/([^/]+)/[^/]+/[^/]+$", 1)))
+    val merged = graft.cdc.Apply.mergeMulti(prior, events,
+        "table_name", pk, sequenceNum = batchId)
+      .withColumn("_bucket",
+        pmod(xxhash64(pk.map(col): _*), lit(numBuckets)).cast("int"))
+      // co-locate each (table, bucket) before the partitioned write:
+      // without it every one of the shuffle's tasks appends a file to
+      // every output dir — T×buckets×tasks tiny files, the cost that
+      // swamped the single-job saving at 256 tables
+      .repartition(col("table_name"), col("_bucket"))
+    val staging = Paths.get(rootPath).resolve(
+      s"_staging-mb$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val tW0 = System.nanoTime()
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("table_name", "_bucket")
+        .parquet(staging.toString)
+      if (sys.env.contains("GRAFT_ROUTER_DEBUG"))
+        System.err.println(f"[router] write ${(System.nanoTime()-tW0)/1e9}%.2f s")
+      val tC0 = System.nanoTime()
+      // per-table commit: pure FS renames + one manifest CAS each
+      names.foreach { n =>
+        val tDir = staging.resolve(s"table_name=$n")
+        val staged = {
+          val s = Files.list(tDir)
+          try s.iterator().asScala.toSeq.filter(
+            _.getFileName.toString.startsWith("_bucket="))
+          finally s.close()
+        }.map(p =>
+          p.getFileName.toString.stripPrefix("_bucket=").toInt -> p)
+        table(n).commitStaged(staged, incomingPayload)
+      }
+      if (sys.env.contains("GRAFT_ROUTER_DEBUG"))
+        System.err.println(f"[router] commit ${(System.nanoTime()-tC0)/1e9}%.2f s")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.toSeq.foreach(rm(_)) finally s.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(staging)
+    }
   }
 
   /** Mid-stream table ADDITION — the reference's stream-update CRUD

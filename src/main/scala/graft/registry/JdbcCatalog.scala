@@ -233,31 +233,88 @@ class JdbcSourceCatalog(spec: JdbcConnectionSpec, database: String)
       }
     }
 
+  private def oracleTypeString(jdbcType: Int, typeName: String,
+      size: Int, scale: Int): String =
+    JdbcSourceCatalog.oracleTypeString(jdbcType, typeName, size, scale)
+}
+
+object JdbcSourceCatalog {
+
+  // Oracle JDBC vendor type codes (oracle.jdbc.OracleTypes — public
+  // constants the driver reports from getColumns long before the
+  // java.sql.Types 2014 standard codes existed; the driver still
+  // reports these by default)
+  private val OracleTimestampTz = -101
+  private val OracleTimestampLtz = -102
+  private val OracleIntervalYm = -103
+  private val OracleIntervalDs = -104
+  private val OracleBinaryFloat = 100
+  private val OracleBinaryDouble = 101
+  private val OracleBfile = -13
+
   /** JDBC type → the Oracle type string the standardizer's lattice
     * parses. Kept total: unknown types pass through by name and are
     * dropped as unsupported downstream (with a per-column suggestion),
-    * never thrown on. */
-  private def oracleTypeString(jdbcType: Int, typeName: String,
+    * never thrown on.
+    *
+    * Real-Oracle metadata shapes (the vendor the reference actually
+    * introspects, DatastreamTableRegistry.java:126-171) are handled
+    * explicitly — these are exactly the rows oracle.jdbc reports from
+    * `getColumns`:
+    *
+    *  - unconstrained NUMBER → DATA_TYPE=NUMERIC, COLUMN_SIZE=0,
+    *    DECIMAL_DIGITS=-127 → "NUMBER" (no params: the lattice's
+    *    lossless-string branch; the naive "NUMBER(0,-127)" rendering
+    *    would fall into the p<=18 → Long branch and TRUNCATE)
+    *  - FLOAT(b) → NUMERIC with DECIMAL_DIGITS=-127 and
+    *    COLUMN_SIZE=b (binary precision) → "FLOAT(b)" → Double
+    *  - TIMESTAMP(n) WITH [LOCAL] TIME ZONE → vendor codes -101/-102;
+    *    LOCAL tz normalizes to an instant → plain TIMESTAMP, matching
+    *    the reference's 33-type surface (no TSLTZ member)
+    *  - BINARY_FLOAT/BINARY_DOUBLE → vendor codes 100/101
+    *  - LONG / LONG RAW → LONGVARCHAR/LONGVARBINARY with those
+    *    TYPE_NAMEs; kept as LONG/LONG_RAW so the registry drops them
+    *    as unsupported exactly like the reference assessor (mapping
+    *    them to VARCHAR2/BLOB would silently "support" columns the
+    *    reference refuses)
+    *  - ROWID (Types.ROWID), BFILE (-13), INTERVALYM/DS (-103/-104)
+    */
+  private[graft] def oracleTypeString(jdbcType: Int, typeName: String,
       size: Int, scale: Int): String = jdbcType match {
     case Types.SMALLINT | Types.TINYINT => "SMALLINT"
     case Types.INTEGER => "INTEGER"
     case Types.BIGINT => "NUMBER(19,0)"
-    case Types.DECIMAL | Types.NUMERIC => s"NUMBER($size,$scale)"
+    case Types.DECIMAL | Types.NUMERIC =>
+      if (scale == -127)
+        if (size == 0) "NUMBER" else s"FLOAT($size)"
+      else s"NUMBER($size,$scale)"
     case Types.DOUBLE | Types.FLOAT => "DOUBLE PRECISION"
     case Types.REAL => "REAL"
     case Types.BOOLEAN | Types.BIT => "NUMBER(1,0)"
-    case Types.VARCHAR | Types.LONGVARCHAR => s"VARCHAR2($size)"
+    case Types.VARCHAR => s"VARCHAR2($size)"
+    case Types.LONGVARCHAR =>
+      if (typeName.equalsIgnoreCase("LONG")) "LONG" else s"VARCHAR2($size)"
     case Types.NVARCHAR | Types.LONGNVARCHAR => s"NVARCHAR2($size)"
     case Types.CHAR => s"CHAR($size)"
     case Types.NCHAR => s"NCHAR($size)"
     case Types.DATE => "DATE"
     case Types.TIMESTAMP => "TIMESTAMP"
-    case Types.TIMESTAMP_WITH_TIMEZONE => "TIMESTAMP WITH TIME ZONE"
+    case Types.TIMESTAMP_WITH_TIMEZONE | OracleTimestampTz =>
+      "TIMESTAMP WITH TIME ZONE"
+    case OracleTimestampLtz => "TIMESTAMP"
     case Types.CLOB => "CLOB"
     case Types.NCLOB => "NCLOB"
-    case Types.BLOB | Types.LONGVARBINARY => "BLOB"
+    case Types.LONGVARBINARY =>
+      if (typeName.equalsIgnoreCase("LONG RAW")) "LONG_RAW" else "BLOB"
+    case Types.BLOB => "BLOB"
     case Types.BINARY | Types.VARBINARY => s"RAW($size)"
     case Types.SQLXML => "XMLTYPE"
+    case Types.ROWID => "ROWID"
+    case OracleBinaryFloat => "BINARY_FLOAT"
+    case OracleBinaryDouble => "BINARY_DOUBLE"
+    case OracleBfile => "BFILE"
+    case OracleIntervalYm => "INTERVAL YEAR TO MONTH"
+    case OracleIntervalDs => "INTERVAL DAY TO SECOND"
     case _ => typeName
   }
 }

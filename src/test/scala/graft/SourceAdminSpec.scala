@@ -88,4 +88,112 @@ class SourceAdminSpec extends AnyFunSuite {
     assert(admin.state("pipe") == SourceAdmin.Running)
     assert(table.state.get.count() == 109) // dump replayed 0 times, insert once
   }
+
+  // ---- gRPC-shaped fault taxonomy (round-11 verdict item 5) ----
+  // The seam has never met a real control-plane error surface; these
+  // legs drive the reference's abort-code predicate
+  // (util/Utils.java:901-925) through Retry via a fault-injecting
+  // SourceAdmin, mirroring DatastreamTableRegistryTest.java:75-155:
+  // permanent codes abort on the FIRST attempt (times(1), direct or
+  // wrapped), nested NOT_FOUND retries (the one code abortOn's nested
+  // list drops), and transient codes back off exponentially.
+
+  /** Wraps a delegate; `faults` scripts exceptions thrown by state()
+    * before it succeeds. Counts attempts. */
+  private class FaultInjectingAdmin(delegate: SourceAdmin,
+      faults: scala.collection.mutable.Queue[Throwable])
+      extends SourceAdmin {
+    var attempts = 0
+    override def create(id: String, g: String): Unit = delegate.create(id, g)
+    override def start(id: String): Unit = delegate.start(id)
+    override def pause(id: String): Unit = delegate.pause(id)
+    override def resume(id: String): Unit = delegate.resume(id)
+    override def delete(id: String): Unit = delegate.delete(id)
+    override def exists(id: String): Boolean = delegate.exists(id)
+    override def sourceGlob(id: String): String = delegate.sourceGlob(id)
+    override def state(id: String): SourceAdmin.State = {
+      attempts += 1
+      if (faults.nonEmpty) throw faults.dequeue()
+      delegate.state(id)
+    }
+  }
+
+  private def freshAdmin(tag: String): SourceAdmin = {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), tag).toString
+    val a = new LocalDirSourceAdmin(root)
+    a.create("s1", "glob"); a.start("s1")
+    a
+  }
+
+  test("abort codes fail a control-plane read on the FIRST attempt, " +
+      "direct or nested under an execution wrapper") {
+    val codes = Seq("NOT_FOUND", "INVALID_ARGUMENT",
+      "FAILED_PRECONDITION", "ALREADY_EXISTS", "PERMISSION_DENIED")
+    for (c <- codes) {
+      val fi = new FaultInjectingAdmin(freshAdmin("srcadm-abort"),
+        scala.collection.mutable.Queue(
+          new Retry.ControlPlaneException(c, s"$c from control plane")))
+      val e = intercept[Retry.FatalPipelineException] {
+        Retry.controlPlaneCall(sleep = _ => ())(fi.state("s1"))
+      }
+      assert(fi.attempts == 1, s"$c must not retry (got ${fi.attempts})")
+      assert(e.getCause.asInstanceOf[Retry.ControlPlaneException].code == c)
+    }
+    // nested: wrapper -> ExecutionException -> coded fault (the
+    // reference's DatastreamDeltaSourceException shape); NOT_FOUND is
+    // absent from the nested abort list and must RETRY
+    for (c <- codes.filterNot(_ == "NOT_FOUND")) {
+      val nested = new RuntimeException("wrapped",
+        new java.util.concurrent.ExecutionException("exec",
+          new Retry.ControlPlaneException(c, c)))
+      val fi = new FaultInjectingAdmin(freshAdmin("srcadm-nested"),
+        scala.collection.mutable.Queue(nested))
+      intercept[Retry.FatalPipelineException] {
+        Retry.controlPlaneCall(sleep = _ => ())(fi.state("s1"))
+      }
+      assert(fi.attempts == 1, s"nested $c must not retry")
+    }
+    val nestedNf = new RuntimeException("wrapped",
+      new java.util.concurrent.ExecutionException("exec",
+        new Retry.ControlPlaneException("NOT_FOUND", "gone mid-flight")))
+    val fi = new FaultInjectingAdmin(freshAdmin("srcadm-nested-nf"),
+      scala.collection.mutable.Queue(nestedNf))
+    assert(Retry.controlPlaneCall(sleep = _ => ())(fi.state("s1")) ==
+      SourceAdmin.Running)
+    assert(fi.attempts == 2, "nested NOT_FOUND is transient in abortOn")
+    // bare IllegalArgumentException aborts too (abortOn lists it)
+    val fiIae = new FaultInjectingAdmin(freshAdmin("srcadm-iae"),
+      scala.collection.mutable.Queue(
+        new IllegalArgumentException("bad create argument")))
+    intercept[Retry.FatalPipelineException] {
+      Retry.controlPlaneCall(sleep = _ => ())(fiIae.state("s1"))
+    }
+    assert(fiIae.attempts == 1)
+  }
+
+  test("transient codes back off exponentially 1s -> 60s cap and " +
+      "recover within the budget") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val fi = new FaultInjectingAdmin(freshAdmin("srcadm-transient"),
+      scala.collection.mutable.Queue(
+        new Retry.ControlPlaneException("UNAVAILABLE", "brownout"),
+        new Retry.ControlPlaneException("DEADLINE_EXCEEDED", "slow rpc"),
+        new Retry.ControlPlaneException("RESOURCE_EXHAUSTED", "quota")))
+    val s = Retry.controlPlaneCall(sleep = sleeps.+=(_))(fi.state("s1"))
+    assert(s == SourceAdmin.Running)
+    assert(fi.attempts == 4)
+    assert(sleeps.toSeq == Seq(1000L, 2000L, 4000L)) // 2x from 1s
+    // a sustained transient fault exhausts the 5-minute budget and
+    // surfaces as fatal — the taxonomy's other terminal
+    val endless = scala.collection.mutable.Queue.fill(1000)(
+      new Retry.ControlPlaneException("UNAVAILABLE", "down"):
+        Throwable)
+    val fi2 = new FaultInjectingAdmin(freshAdmin("srcadm-budget"), endless)
+    intercept[Retry.FatalPipelineException] {
+      Retry.controlPlaneCall(
+        policy = Retry.Policy(maxElapsedMs = 1), sleep = _ => ())(
+        fi2.state("s1"))
+    }
+  }
 }

@@ -549,6 +549,39 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hamming distance between two equal-length word-array signatures
+    * (array<bigint>): Σ bit_count(xor) over aligned words. */
+  def hammingWide(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+
+  /** [[hammingPairs]] for WIDE signatures stored as word arrays —
+    * the m10 256-bit perceptual hash's pair relation (16 words × 16
+    * bits). Banding is word-aligned: each of the `nWords` words is a
+    * Manku block, so candidate generation is EXACT for any
+    * `maxHamming < nWords` (a pair within radius r differs in at most
+    * r words and must agree on at least nWords − r ≥ 1), and the
+    * per-band value space is 2^bitsPerWord — the birthday bound that
+    * capped the 56-bit hash at radius 2 moves out to radius 15 at
+    * 2^16 values/band. Same output contract as [[hammingPairs]]:
+    * (a, b, hamming), each qualifying pair once. */
+  def hammingPairsWide(sigs: DataFrame, maxHamming: Int,
+      nWords: Int = 16): DataFrame = {
+    require(maxHamming < nWords,
+      s"pigeonhole needs maxHamming < nWords ($maxHamming >= $nWords)")
+    val banded = sigs
+      .filter(col("sig").isNotNull && size(col("sig")) === nWords)
+      .select(col("id"), col("sig"),
+        posexplode(col("sig")).as(Seq("bi", "w")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.bi") === col("r.bi") && col("l.w") === col("r.w") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hammingWide(col("l.sig"), col("r.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several words; emit it once
+  }
+
   // ---- dup-cluster resolution ----
 
   /** Connected components over an undirected pair list (a,b):

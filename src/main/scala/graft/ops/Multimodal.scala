@@ -159,6 +159,66 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM decoder for uncompressed Windows bitmaps — the
+    * third honest codec next to P6 and RIFF/WAVE (BI_RGB is header +
+    * raw pixel rows, the same no-external-libs class). Complete
+    * contract for the uncompressed subset: 'BM' magic, pixel-data
+    * offset honored (arbitrary gap ≥ the 54-byte headers), any DIB
+    * header ≥ BITMAPINFOHEADER (40/52/56/108/124), 24-bit BGR and
+    * 32-bit BGRX, bottom-up (positive height) AND top-down (negative
+    * height) row order, rows padded to 4-byte boundaries, planes=1,
+    * BI_RGB compression only. Anything else — RLE/bitfields
+    * compression, 1/4/8/16-bit palette depths, truncated pixel data,
+    * offset past EOF — decodes to null, never a partial row.
+    *
+    * Features: `[w, h, mean_r, mean_g, mean_b]` (h reported as the
+    * magnitude; orientation changes row ORDER, which channel means
+    * are invariant to, but the decoder still walks the declared
+    * layout). Same m03 rounding discipline: exact long channel sums,
+    * one double division by npix·255, HALF_UP to 6 decimals. */
+  object BmpDecoder extends MediaDecoder {
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val n = bytes.length
+      if (n < 54 || bytes(0) != 'B' || bytes(1) != 'M') return null
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def i32(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+      val offset = i32(10)
+      val dibSize = i32(14)
+      if (dibSize < 40 || offset < 14 + dibSize || offset > n) return null
+      val w = i32(18)
+      val hRaw = i32(22)
+      val h = math.abs(hRaw.toLong)
+      if (w <= 0 || hRaw == 0 || h > 65535 || w > 65535) return null
+      if (u16(26) != 1) return null // planes
+      val bpp = u16(28)
+      if (bpp != 24 && bpp != 32) return null
+      if (i32(30) != 0) return null // BI_RGB only
+      val bytesPerPx = bpp / 8
+      val stride = ((w * bytesPerPx + 3) / 4) * 4
+      if (n - offset < stride * h) return null
+      val sums = new Array[Long](3) // r, g, b
+      var y = 0L
+      while (y < h) {
+        var rowOff = offset + (y * stride).toInt
+        var x = 0
+        while (x < w) {
+          sums(2) += bytes(rowOff) & 0xFF     // blue first on disk
+          sums(1) += bytes(rowOff + 1) & 0xFF
+          sums(0) += bytes(rowOff + 2) & 0xFF
+          rowOff += bytesPerPx
+          x += 1
+        }
+        y += 1
+      }
+      val npix = w.toLong * h
+      def mean(c: Int): Float =
+        BigDecimal(sums(c).toDouble / (npix.toDouble * 255.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+      Array(w.toFloat, h.toFloat, mean(0), mean(1), mean(2))
+    }
+  }
+
   /** 56-bit perceptual difference hash (dHash) of a P6 image: the
     * raster grayscales (R+G+B per pixel — no luma weights, so every
     * step stays exact integer math), box-downsamples onto a 9×7 cell
@@ -232,6 +292,83 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         Row(r.getLong(0), if (bytes == null) null else ppmDhash(bytes))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** 256-bit wide difference hash — the billion-image path the m09
+    * boundary documents: 56 bits of signature entropy cap the usable
+    * hamming radius (radius 4 read 48× at 100×), so the wide grid
+    * (17×16 cells → 16 comparisons × 16 rows) carries the radius the
+    * narrow hash couldn't hold. Packed as SIXTEEN 16-bit words (one
+    * per grid row, array<long>): word-aligned blocks make the Manku
+    * pigeonhole banding exact for any radius < 16 with a 2^16 value
+    * space per band (vs 2^11 at the narrow radius 4 — the birthday
+    * bound that actually broke), and every word stays far from the
+    * sign bit so a checked-shift SQL engine recomputes it verbatim.
+    * Same exact-integer discipline as [[ppmDhash]]: grayscale =
+    * R+G+B, box means compared as cross-products, never a float.
+    * Null for anything that isn't a complete P6 at least 17×16. */
+  def ppmDhashWide(bytes: Array[Byte]): Array[Long] = {
+    val hdr = ppmHeader(bytes)
+    if (hdr == null) return null
+    val w = hdr(0); val h = hdr(1)
+    val perSample = hdr(4).toInt
+    val gw = 17; val gh = 16
+    if (w < gw || h < gh) return null
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var i = hdr(3).toInt
+    var y = 0L
+    while (y < h) {
+      val cy = (y * gh / h).toInt
+      var x = 0L
+      while (x < w) {
+        val cx = (x * gw / w).toInt
+        var g = 0L
+        var c = 0
+        while (c < 3) {
+          g +=
+            (if (perSample == 1) bytes(i) & 0xFF
+             else ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF))
+          i += perSample
+          c += 1
+        }
+        sums(cy)(cx) += g; cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val words = new Array[Long](gh)
+    var r = 0
+    while (r < gh) {
+      var word = 0L
+      var c = 0
+      while (c < gw - 1) {
+        val lhs = BigInt(sums(r)(c)) * cnts(r)(c + 1)
+        val rhs = BigInt(sums(r)(c + 1)) * cnts(r)(c)
+        if (lhs > rhs) word |= 1L << c
+        c += 1
+      }
+      words(r) = word
+      r += 1
+    }
+    words
+  }
+
+  /** Batched wide hashing: (id, bytes) → (id, sig array<long>) for
+    * [[graft.ops.Dedup.hammingPairsWide]]. */
+  def dhashWideOf(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    val input = df.select(col(idCol).cast("long"), col(bytesCol))
+    input.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0),
+          if (bytes == null) null else ppmDhashWide(bytes))
       }
     }(Encoders.row(schema))
   }

@@ -160,6 +160,51 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- REAL image decode #2: uncompressed BMP (round-11 verdict
+    //      item 8 — BI_RGB is header + raw rows, the same honest
+    //      codec class as P6/WAV; shrinks FakeDecoder's remit) ----
+    // payloads are complete bottom-up 24-bit BI_RGB files built
+    // in-plan: the little-endian header fields (file size, height,
+    // image size) are computed per document, the raster is the
+    // document's chars at 16 px/row (48 bytes — already 4-byte
+    // aligned, so the writer needs no padding; the DECODER still
+    // handles padded strides, spec-gated). On-disk pixel order is
+    // BGR, so the char at 3j is the BLUE sample — the oracle swaps
+    // channels accordingly. m03's rounding discipline throughout.
+    "m11_bmp_features" -> { (s, d) =>
+      import s.implicits._
+      def le32(c: org.apache.spark.sql.Column) =
+        unhex(format_string("%02x%02x0000",
+          pmod(c, lit(256)).cast("int"), (c / 256).cast("int")))
+      val docs = load(s, d, "documents")
+        .select($"doc_id", $"text",
+          greatest(lit(1L), floor(length($"text") / lit(48)).cast("long"))
+            .as("h"))
+      val media = docs.select($"doc_id",
+        concat(
+          lit("BM".getBytes("US-ASCII")),
+          le32($"h" * 48 + 54),              // file size
+          lit(Array.fill[Byte](4)(0)),       // reserved
+          le32(lit(54)),                     // pixel-data offset
+          le32(lit(40)),                     // BITMAPINFOHEADER
+          le32(lit(16)),                     // width
+          le32($"h"),                        // height (bottom-up)
+          unhex(lit("01001800")),            // planes=1, bpp=24 (LE)
+          le32(lit(0)),                      // BI_RGB
+          le32($"h" * 48),                   // image size
+          lit(Array.fill[Byte](16)(0)),      // resolutions + palette
+          encode(expr("rpad(text, h * 48, ' ')"), "UTF-8")).as("payload"))
+      Multimodal.extractFeatures(media, "doc_id", "payload",
+          Multimodal.BmpDecoder)
+        .select($"id".as("doc_id"),
+          element_at($"features", 1).cast("long").as("w"),
+          element_at($"features", 2).cast("long").as("h"),
+          round(element_at($"features", 3).cast("double"), 6).as("mean_r"),
+          round(element_at($"features", 4).cast("double"), 6).as("mean_g"),
+          round(element_at($"features", 5).cast("double"), 6).as("mean_b"))
+        .orderBy($"doc_id")
+    },
+
     // ---- REAL audio decode: RIFF/WAVE PCM (m03's audio counterpart) ----
     // payloads are complete 8-bit mono PCM WAVE files built in-plan
     // (256 samples of the document's chars — fixed frame count keeps
@@ -233,6 +278,34 @@ object MultimodalQueries {
       graft.ops.Dedup.hammingPairs(sigs, maxHamming = 2, sigBits = 56)
         .select($"a", $"b", $"hamming".cast("int").as("hamming"))
         .orderBy($"a", $"b")
+    },
+
+    // ---- WIDE perceptual near-dup: the 256-bit grid m09's boundary
+    //      names (round-11 verdict item 6) ----
+    // m09's 56-bit hash is information-limited: radius 4 banding has
+    // a 2^11 per-band value space and read 48× on a 100× corpus. The
+    // wide hash (17×16 cells → 16 comparisons × 16 rows) packs into
+    // SIXTEEN 16-bit words; word-aligned Manku blocks give a 2^16
+    // value space per band, so radius 4 — the radius the narrow hash
+    // couldn't hold — is serviceable at scale. Payload: a complete
+    // 17×16 P6 built in-plan (sanitized text space-padded to the
+    // 816-char raster, one char triplet per pixel, one pixel per
+    // cell), decoded by the real parser; pairs from
+    // Dedup.hammingPairsWide. Oracle recomputes the 16 words
+    // character-wise and brute-force joins — SQL states the
+    // semantics, the engine answers through banding.
+    "m10_phash_wide" -> { (s, d) =>
+      import s.implicits._
+      val media = load(s, d, "documents")
+        .filter(length($"text") >= 189)
+        .select($"doc_id",
+          concat(lit("P6\n17 16\n255\n".getBytes("US-ASCII")),
+            encode(rpad(regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+              816, " "), "UTF-8")).as("payload"))
+      val sigs = Multimodal.dhashWideOf(media, "doc_id", "payload")
+      graft.ops.Dedup.hammingPairsWide(sigs, maxHamming = 4, nWords = 16)
+        .select($"a", $"b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"a", $"b")
     }
   )
 
@@ -282,6 +355,27 @@ object MultimodalQueries {
         |    / (256 * 128.0), 6) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // m11: like m03 but the on-disk order is BGR — the char at raster
+    // position 3j+1 (1-indexed) is the BLUE sample, 3j+3 the RED
+    "m11_bmp_features" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, CAST(FLOOR(length(text) / 48) AS BIGINT)) AS h,
+        |    rpad(text, CAST(GREATEST(1, FLOOR(length(text) / 48)) * 48
+        |      AS INT), ' ') AS raster
+        |  FROM documents)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS w, h,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 3 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_r,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 2 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_g,
+        |  round(list_sum(list_transform(range(0, CAST(16 * h AS INT)),
+        |    j -> ascii(substring(raster, CAST(3 * j + 1 AS INT), 1))))
+        |    / (16 * h * 255.0), 6) AS mean_b
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // m09: the 9×7 raster is the sanitized document's first 189
     // chars, so each grid cell is exactly one pixel — gray = sum of
     // the 3 ascii codes, bit b compares cell (b div 8, b mod 8) to
@@ -313,6 +407,42 @@ object MultimodalQueries {
         |FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.sig, r.sig)) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    // m10: the 17×16 raster is the sanitized document space-padded to
+    // 816 chars, one pixel per cell — word r packs the 16
+    // right-neighbor comparisons of grid row r (stride 17) at 1<<c;
+    // hamming sums bit_count(xor) over the 16 aligned words
+    "m10_phash_wide" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |      816, ' ') AS raster
+        |  FROM documents WHERE length(text) >= 189),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 272),
+        |      k -> ascii(substring(raster, CAST(3*k+1 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+2 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+3 AS INT), 1))) AS gray
+        |  FROM p),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), r ->
+        |      CAST(list_sum(list_transform(range(0, 16),
+        |        c -> CASE WHEN gray[CAST(r*17 + c + 1 AS INT)]
+        |                     > gray[CAST(r*17 + c + 2 AS INT)]
+        |             THEN (1::BIGINT << CAST(c AS INT)) ELSE 0 END))
+        |        AS BIGINT)) AS sig
+        |  FROM g),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> bit_count(xor(l.sig[CAST(i AS INT)],
+        |                         r.sig[CAST(i AS INT)]))))
+        |      AS INT) AS hamming
+        |  FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id)
+        |SELECT a, b, hamming FROM pairs
+        |WHERE hamming <= 4 ORDER BY a, b""".stripMargin,
 
     "m07_media_shards" ->
       """WITH c AS (

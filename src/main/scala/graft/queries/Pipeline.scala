@@ -339,6 +339,102 @@ object Pipeline {
         .agg(count(lit(1)).as("n_stat_diff"))
       s1.select($"n_tgt", $"n_oth", $"v", $"nd_tgt", $"nd_all")
         .crossJoin(termDiff).crossJoin(statDiff)
+    },
+
+    // ---- model-serving IVM loop: the c23 + p05 composition (round-11
+    //      verdict item 7) ----
+    // The classifier's corpus lives in a CdcTable; the model is
+    // BOOTSTRAPPED from the v0 snapshot and then maintained purely
+    // from the live change feed (CdfFollow → NbClassifier.applyDelta,
+    // the c19 pattern applied to the model artifact) WHILE serving:
+    // after every folded commit the maintained model scores a fixed
+    // probe batch, and the gate compares those scores row-for-row
+    // against a from-scratch retrain on the table's state AT THAT
+    // VERSION. NB sufficient statistics are exact integer counts, so
+    // the comparison is equality, not a bound — n_score_diff must be
+    // 0 on every batch. Commits exercise all three delta shapes:
+    // update pre/post-image pairs (v1 re-texts), delete before-images
+    // + fresh inserts (v2). Output: the final maintained model's
+    // stats row (DuckDB recomputes it from the mutated corpus, the
+    // c23 oracle pattern) + the loop counters.
+    "c24_model_serving_ivm" -> { (s, d) =>
+      import s.implicits._
+      import graft.ops.NbClassifier
+      import graft.cdc.CdcTable
+      val docs = load(s, d, "documents").select($"doc_id", $"text", $"lang")
+      val pred = $"lang" === "en"
+      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-c24-table").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-c24-ckpt").toString
+      val t = new CdcTable(s, tdir, Seq("doc_id"), numBuckets = 4)
+      val base = docs.filter($"doc_id" % 7 =!= 0)
+      val holdout = docs.filter($"doc_id" % 7 === 0)
+      // v0: snapshot; v1: re-texts (update pre/post images); v2:
+      // deletes (before-images carry the v1-updated text) + holdout
+      t.applyBatch(base.select(struct($"doc_id", $"text", $"lang").as("row"),
+        lit("INSERT").as("op"), key(0)), 0L)
+      t.applyBatch(base.filter($"doc_id" % 5 === 0)
+        .select(struct($"doc_id",
+          concat($"text", lit(" ivm ivm")).as("text"), $"lang").as("row"),
+          lit("UPDATE").as("op"), key(1)), 1L)
+      t.applyBatch(
+        base.filter($"doc_id" % 3 === 0)
+          .select(struct($"doc_id", $"text", $"lang").as("row"),
+            lit("DELETE").as("op"), key(2))
+          .unionByName(holdout
+            .select(struct($"doc_id", $"text", $"lang").as("row"),
+              lit("INSERT").as("op"), key(2))),
+        2L)
+
+      // bootstrap from the v0 snapshot, then follow the tail — the
+      // production consumer shape. The pre-seeded delivered-watermark
+      // marks v0 as already consumed (CdfFollow's documented resume
+      // contract), so the feed delivers exactly v1 and v2.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(ckpt, "delivered-watermark"),
+        "0".getBytes)
+      val modelRef = new java.util.concurrent.atomic.AtomicReference(
+        NbClassifier.train(
+          t.stateAt(0L).get.filter(!$"_is_deleted"), "doc_id", "text", pred))
+      val probe = docs.filter($"doc_id" % 11 === 0)
+        .localCheckpoint(true)
+      val nDiff = new java.util.concurrent.atomic.AtomicLong(0L)
+      val nVersions = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.CdfFollow.run(s, t, ckpt, { (v, cdf) =>
+        val changes = cdf.select($"doc_id", $"text", $"lang",
+          when($"_change_type".isin("insert", "update_postimage"), "I")
+            .otherwise("D").as("op"))
+        val m0 = modelRef.get()
+        val m1 = NbClassifier.applyDelta(m0, changes, "doc_id", "text",
+          pred, $"op")
+        // pin each round: the next delta and both scorers read these
+        // relations several times
+        val m = (m1._1.localCheckpoint(true), m1._2.localCheckpoint(true))
+        modelRef.set(m)
+        val served = NbClassifier
+          .scoreWith(probe, "doc_id", "text", m).localCheckpoint(true)
+        val retrain = NbClassifier.train(
+          t.stateAt(v).get.filter(!$"_is_deleted"), "doc_id", "text", pred)
+        val reserved = NbClassifier
+          .scoreWith(probe, "doc_id", "text", retrain).localCheckpoint(true)
+        nDiff.addAndGet(served.exceptAll(reserved)
+          .unionAll(reserved.exceptAll(served)).count())
+        nVersions.incrementAndGet()
+        ()
+      })
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          "c24_model_serving_ivm: follower did not drain within 120 s; " +
+            "refusing to emit a partial gate")
+      }
+      modelRef.get()._2
+        .select($"n_tgt", $"n_oth", $"v", $"nd_tgt", $"nd_all")
+        .crossJoin(Seq((nVersions.get(), nDiff.get()))
+          .toDF("n_versions", "n_score_diff"))
     }
   )
 
@@ -590,6 +686,37 @@ object Pipeline {
         |  (SELECT COUNT(*) FROM fin) AS nd_all,
         |  CAST(0 AS BIGINT) AS n_term_diff,
         |  CAST(0 AS BIGINT) AS n_stat_diff
+        |FROM m""".stripMargin,
+
+    // c24: final corpus = base (doc_id%7<>0) minus the v2 deletes
+    // (%3=0), with the v1 re-texts (%5=0 → ' ivm ivm' appended)
+    // applied to survivors, plus the held-out %7=0 inserts; loop
+    // counters are the gate's claims (2 versions folded, 0 score
+    // diffs vs per-version retrains)
+    "c24_model_serving_ivm" ->
+      """WITH fin AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' ivm ivm'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT lang, text FROM documents WHERE doc_id % 7 = 0),
+        |tok AS (
+        |  SELECT (lang = 'en') AS tgt, u AS term
+        |  FROM (SELECT lang, string_split(text,' ') AS t FROM fin) x,
+        |    unnest(t) y(u)),
+        |m AS (
+        |  SELECT term, COUNT(CASE WHEN tgt THEN 1 END) AS c_tgt,
+        |    COUNT(*) AS c_all
+        |  FROM tok GROUP BY 1)
+        |SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+        |  CAST(SUM(c_all) - SUM(c_tgt) AS BIGINT) AS n_oth,
+        |  COUNT(*) AS v,
+        |  (SELECT COUNT(CASE WHEN lang = 'en' THEN 1 END) FROM fin)
+        |    AS nd_tgt,
+        |  (SELECT COUNT(*) FROM fin) AS nd_all,
+        |  CAST(2 AS BIGINT) AS n_versions,
+        |  CAST(0 AS BIGINT) AS n_score_diff
         |FROM m""".stripMargin
   )
 

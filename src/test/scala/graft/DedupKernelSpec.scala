@@ -379,6 +379,47 @@ class DedupKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("word-array pigeonhole banding (hammingPairsWide) is exact vs " +
+      "an all-pairs reference, across radii") {
+    import spark.implicits._
+    // seeded 16-word signatures clustered around a few prototypes so
+    // every radius has live pairs; includes exact dups (hamming 0),
+    // single-word perturbations, and multi-word spreads
+    val rnd = new scala.util.Random(7)
+    val protos = Seq.fill(5)(Array.fill(16)(rnd.nextInt(1 << 16).toLong))
+    val sigsData = (0L until 120L).map { i =>
+      val base = protos(rnd.nextInt(protos.size)).clone()
+      val flips = rnd.nextInt(8) // 0..7 bit flips across words
+      for (_ <- 0 until flips) {
+        val w = rnd.nextInt(16)
+        base(w) = base(w) ^ (1L << rnd.nextInt(16))
+      }
+      (i, base.toSeq)
+    }
+    val sigs = sigsData.toDF("id", "sig")
+    for (mh <- Seq(0, 2, 4, 7)) {
+      val banded = Dedup.hammingPairsWide(sigs, maxHamming = mh)
+        .select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val l = sigs.as("l"); val r = sigs.as("r")
+      val brute = l.join(r, col("l.id") < col("r.id"))
+        .filter(Dedup.hammingWide(col("l.sig"), col("r.sig")) <= mh)
+        .select(col("l.id"), col("r.id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(brute.nonEmpty, s"radius $mh has no pairs — weak fixture")
+      assert(banded == brute, s"radius $mh: " +
+        s"missed=${(brute -- banded).size} extra=${(banded -- brute).size}")
+    }
+    // null / wrong-width signatures are dropped, not joined
+    val withBad = sigsData.take(10).toDF("id", "sig")
+      .unionByName(Seq((900L, null.asInstanceOf[Seq[Long]]),
+        (901L, Seq(1L, 2L))).toDF("id", "sig"))
+    val ids = Dedup.hammingPairsWide(withBad, maxHamming = 7)
+      .select("a", "b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!ids.contains(900L) && !ids.contains(901L))
+  }
+
   test("maxHamming=0 / sigBits=64: the full-width block bands on the " +
       "whole signature, not on a zeroed mask") {
     import spark.implicits._

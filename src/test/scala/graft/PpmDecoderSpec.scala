@@ -113,4 +113,34 @@ class PpmDecoderSpec extends AnyFunSuite {
     val h16 = ppmDhash(ppm("P6\n9 7\n65535\n", r16))
     assert(h16 != null && h16.longValue == 0L) // strictly rising → no bit
   }
+
+  test("wide dHash (17×16, 16 words × 16 bits): identity grid, " +
+      "resize invariance, sub-grid null, sign bits clear") {
+    import graft.ops.Multimodal.ppmDhashWide
+    // one pixel per cell; row r dips at column r → bit r-1 of word r
+    val raster = new Array[Byte](17 * 16 * 3)
+    for (r <- 0 until 16; c <- 0 until 17) {
+      val v = if (c == r) 0 else (5 * (c + 1))
+      for (ch <- 0 until 3) raster((r * 17 + c) * 3 + ch) = v.toByte
+    }
+    val h = ppmDhashWide(ppm("P6\n17 16\n255\n", raster))
+    assert(h != null && h.length == 16)
+    for (r <- 0 until 16) {
+      val want = if (r >= 1) 1L << (r - 1) else 0L
+      assert(h(r) == want, s"word $r: got ${h(r).toBinaryString}")
+      assert(h(r) >= 0 && h(r) <= 0xFFFFL, s"word $r out of 16-bit range")
+    }
+    // 2× upscale hashes identically (box-downsample invariance)
+    val big = new Array[Byte](34 * 32 * 3)
+    for (y <- 0 until 32; x <- 0 until 34; ch <- 0 until 3)
+      big((y * 34 + x) * 3 + ch) = raster((((y / 2) * 17) + (x / 2)) * 3 + ch)
+    val hBig = ppmDhashWide(ppm("P6\n34 32\n255\n", big))
+    assert(hBig != null && hBig.toSeq == h.toSeq)
+    // sub-grid and malformed → null
+    assert(ppmDhashWide(ppm("P6\n16 16\n255\n",
+      Array.fill[Byte](16 * 16 * 3)(1))) == null)
+    assert(ppmDhashWide(ppm("P6\n17 15\n255\n",
+      Array.fill[Byte](17 * 15 * 3)(1))) == null)
+    assert(ppmDhashWide(Array.empty[Byte]) == null)
+  }
 }

@@ -72,9 +72,9 @@ object MultimodalQueries {
       import graft.ops.Dedup
       import graft.functions.Vectors
       // pair relation via the persisted index (the d11 discipline:
-      // one shared artifact per corpus, not a re-shingle per analysis)
-      val dir = s"target/nd_index_m06_${math.abs(d.hashCode.toLong)}"
-      Dedup.buildNearDupIndex(load(s, d, "documents"), "doc_id", "text", dir)
+      // one shared artifact per corpus, not a re-shingle per
+      // analysis — the session-memoized fixture IS that artifact)
+      val dir = DedupQueries.nearDupIndexFixture(s, d)
       val pairs = Dedup.pairsFromIndex(s, dir, threshold = 0.8)
       val emb = load(s, d, "embeddings")
       pairs

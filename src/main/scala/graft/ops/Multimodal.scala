@@ -301,11 +301,12 @@ object Multimodal {
     * hamming radius (radius 4 read 48× at 100×), so the wide grid
     * (17×16 cells → 16 comparisons × 16 rows) carries the radius the
     * narrow hash couldn't hold. Packed as SIXTEEN 16-bit words (one
-    * per grid row, array<long>): word-aligned blocks make the Manku
-    * pigeonhole banding exact for any radius < 16 with a 2^16 value
-    * space per band (vs 2^11 at the narrow radius 4 — the birthday
-    * bound that actually broke), and every word stays far from the
-    * sign bit so a checked-shift SQL engine recomputes it verbatim.
+    * per grid row, array<long>): [[graft.ops.Dedup.hammingPairsWide]]
+    * bands maxHamming+1 word-aligned multi-row blocks over them
+    * (48-64 bits/band at radius 4 vs the narrow hash's 11 — the
+    * birthday bound that actually broke), and every word stays far
+    * from the sign bit so a checked-shift SQL engine recomputes it
+    * verbatim.
     * Same exact-integer discipline as [[ppmDhash]]: grayscale =
     * R+G+B, box means compared as cross-products, never a float.
     * Null for anything that isn't a complete P6 at least 17×16. */

@@ -285,23 +285,30 @@ object MultimodalQueries {
     // m09's 56-bit hash is information-limited: radius 4 banding has
     // a 2^11 per-band value space and read 48× on a 100× corpus. The
     // wide hash (17×16 cells → 16 comparisons × 16 rows) packs into
-    // SIXTEEN 16-bit words; word-aligned Manku blocks give a 2^16
-    // value space per band, so radius 4 — the radius the narrow hash
-    // couldn't hold — is serviceable at scale. Payload: a complete
-    // 17×16 P6 built in-plan (sanitized text space-padded to the
-    // 816-char raster, one char triplet per pixel, one pixel per
+    // SIXTEEN 16-bit words; Manku banding over radius+1 word-aligned
+    // multi-row blocks gives 48-64 bits per band, so radius 4 — the
+    // radius the narrow hash couldn't hold — is serviceable at
+    // scale. Payload: a complete
+    // 17×16 P6 built in-plan — m09's 189-char head window CYCLED to
+    // the 816-char raster (one char triplet per pixel, one pixel per
     // cell), decoded by the real parser; pairs from
-    // Dedup.hammingPairsWide. Oracle recomputes the 16 words
-    // character-wise and brute-force joins — SQL states the
-    // semantics, the engine answers through banding.
+    // Dedup.hammingPairsWide. The raster is text-dependent at EVERY
+    // position — a constant pad tail would make the padding rows'
+    // words a single degenerate band bucket shared by every short
+    // document, turning the banded join quadratic at scale (measured:
+    // the space-padded variant diverged on the 100× corpus; this one
+    // panels below). Oracle recomputes the 16 words character-wise
+    // and brute-force joins — SQL states the semantics, the engine
+    // answers through banding.
     "m10_phash_wide" -> { (s, d) =>
       import s.implicits._
       val media = load(s, d, "documents")
         .filter(length($"text") >= 189)
         .select($"doc_id",
           concat(lit("P6\n17 16\n255\n".getBytes("US-ASCII")),
-            encode(rpad(regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
-              816, " "), "UTF-8")).as("payload"))
+            encode(substring(repeat(substring(
+                regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+                1, 189), 5), 1, 816), "UTF-8")).as("payload"))
       val sigs = Multimodal.dhashWideOf(media, "doc_id", "payload")
       graft.ops.Dedup.hammingPairsWide(sigs, maxHamming = 4, nWords = 16)
         .select($"a", $"b", $"hamming".cast("int").as("hamming"))
@@ -408,15 +415,16 @@ object MultimodalQueries {
         |WHERE bit_count(xor(l.sig, r.sig)) <= 2
         |ORDER BY a, b""".stripMargin,
 
-    // m10: the 17×16 raster is the sanitized document space-padded to
-    // 816 chars, one pixel per cell — word r packs the 16
-    // right-neighbor comparisons of grid row r (stride 17) at 1<<c;
-    // hamming sums bit_count(xor) over the 16 aligned words
+    // m10: the 17×16 raster is the sanitized document's 189-char head
+    // window cycled to 816 chars, one pixel per cell — word r packs
+    // the 16 right-neighbor comparisons of grid row r (stride 17) at
+    // 1<<c; hamming sums bit_count(xor) over the 16 aligned words
     "m10_phash_wide" ->
       """WITH p AS (
         |  SELECT doc_id,
-        |    rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
-        |      816, ' ') AS raster
+        |    substring(repeat(substring(
+        |      regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |      1, 189), 5), 1, 816) AS raster
         |  FROM documents WHERE length(text) >= 189),
         |g AS (
         |  SELECT doc_id,

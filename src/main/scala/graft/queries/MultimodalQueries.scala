@@ -302,7 +302,11 @@ object MultimodalQueries {
     // answers through banding.
     "m10_phash_wide" -> { (s, d) =>
       import s.implicits._
+      // per-row raster build + decode is CPU-bound and the corpus may
+      // arrive as a handful of parquet splits — spread it first (the
+      // m05/d18 discipline)
       val media = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(length($"text") >= 189)
         .select($"doc_id",
           concat(lit("P6\n17 16\n255\n".getBytes("US-ASCII")),

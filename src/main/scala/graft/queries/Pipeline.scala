@@ -26,6 +26,47 @@ import graft.util.Tables.load
   */
 object Pipeline {
 
+  /** Memoized three-commit CDC documents table for c24 (v0 snapshot =
+    * the 90% base split, v1 re-texts as update pre/post images, v2
+    * deletes + held-out inserts): deterministic setup in the c21
+    * memoization class — the gate's claims (feed folding, per-version
+    * retrain equivalence) run inside the gate. */
+  private val c24Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      String]()
+  private def c24Table(s: SparkSession, d: String): graft.cdc.CdcTable = {
+    val tdir = c24Cache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val dir = s"target/cdcdocs_${math.abs(d.hashCode.toLong)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      val docs = load(s, d, "documents").select($"doc_id", $"text", $"lang")
+      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
+        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
+      val t = new graft.cdc.CdcTable(s, dir, Seq("doc_id"), numBuckets = 4)
+      val base = docs.filter($"doc_id" % 7 =!= 0)
+      val holdout = docs.filter($"doc_id" % 7 === 0)
+      t.applyBatch(base.select(struct($"doc_id", $"text", $"lang").as("row"),
+        lit("INSERT").as("op"), key(0)), 0L)
+      t.applyBatch(base.filter($"doc_id" % 5 === 0)
+        .select(struct($"doc_id",
+          concat($"text", lit(" ivm ivm")).as("text"), $"lang").as("row"),
+          lit("UPDATE").as("op"), key(1)), 1L)
+      t.applyBatch(
+        base.filter($"doc_id" % 3 === 0)
+          .select(struct($"doc_id", $"text", $"lang").as("row"),
+            lit("DELETE").as("op"), key(2))
+          .unionByName(holdout
+            .select(struct($"doc_id", $"text", $"lang").as("row"),
+              lit("INSERT").as("op"), key(2))),
+        2L)
+      dir
+    })
+    new graft.cdc.CdcTable(s, tdir, Seq("doc_id"), numBuckets = 4)
+  }
+
   /** Stages 1–4 (quality → dedup → decontam → sample): the shared
     * pre-packing chain; p01 packs it, p01b gates its per-stratum
     * counts so an empty packing output can never again hide a broken
@@ -360,34 +401,14 @@ object Pipeline {
     "c24_model_serving_ivm" -> { (s, d) =>
       import s.implicits._
       import graft.ops.NbClassifier
-      import graft.cdc.CdcTable
       val docs = load(s, d, "documents").select($"doc_id", $"text", $"lang")
       val pred = $"lang" === "en"
-      def key(seq: Long) = struct(lit(seq).as("ts_ms"), lit(seq).as("scn"),
-        lit("").as("rs_id"), lit(0L).as("ssn")).as("sort_key")
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft-c24-table").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-c24-ckpt").toString
-      val t = new CdcTable(s, tdir, Seq("doc_id"), numBuckets = 4)
-      val base = docs.filter($"doc_id" % 7 =!= 0)
-      val holdout = docs.filter($"doc_id" % 7 === 0)
-      // v0: snapshot; v1: re-texts (update pre/post images); v2:
-      // deletes (before-images carry the v1-updated text) + holdout
-      t.applyBatch(base.select(struct($"doc_id", $"text", $"lang").as("row"),
-        lit("INSERT").as("op"), key(0)), 0L)
-      t.applyBatch(base.filter($"doc_id" % 5 === 0)
-        .select(struct($"doc_id",
-          concat($"text", lit(" ivm ivm")).as("text"), $"lang").as("row"),
-          lit("UPDATE").as("op"), key(1)), 1L)
-      t.applyBatch(
-        base.filter($"doc_id" % 3 === 0)
-          .select(struct($"doc_id", $"text", $"lang").as("row"),
-            lit("DELETE").as("op"), key(2))
-          .unionByName(holdout
-            .select(struct($"doc_id", $"text", $"lang").as("row"),
-              lit("INSERT").as("op"), key(2))),
-        2L)
+      // the three-commit table is deterministic setup, memoized per
+      // session (the c21 precedent); the follower checkpoint is fresh
+      // per invocation — the feed-folding loop is the claim
+      val t = c24Table(s, d)
 
       // bootstrap from the v0 snapshot, then follow the tail — the
       // production consumer shape. The pre-seeded delivered-watermark

@@ -160,17 +160,39 @@ object VectorIndex {
         .write.mode("overwrite").parquet(s"$dir/schema")
   }
 
+  // Codebook sidecars are tiny but every serve/maintenance call paid
+  // a collect job to re-read them; a hot serving process loads its
+  // quantizers once. Cache keyed by the sidecar files' CONTENT hash
+  // (driver FS read of a few KB — cheaper than the Spark collect it
+  // replaces), so a build/reindex that rewrites the codebook misses
+  // instead of serving stale quantizers, while byte-identical copies
+  // (the frozen-quantizer clone discipline) share one entry.
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[Seq[Float]]]]()
+
+  private def sidecarFingerprint(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fs = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+    fs.filter(f => f.isFile && f.length < (16L << 20)).sortBy(_.getName)
+      .foreach { f =>
+        md.update(f.getName.getBytes)
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Read the codebook sidecar back as the driver-side structure the
     * code/LUT kernels take (driver-bounded: m×ksub rows). */
   private def loadCodebook(spark: SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[Seq[Float]]] = {
-    val cbRows = spark.read.parquet(s"$dir/codebook")
-      .orderBy(col("subspace"), col("code")).collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ksub = cbRows.map(_.getInt(1)).max + 1
-    (0 until m).map(s => (0 until ksub).map(c =>
-      cbRows(s * ksub + c).getSeq[Float](2)))
-  }
+      dir: String): IndexedSeq[IndexedSeq[Seq[Float]]] =
+    cbCache.computeIfAbsent(sidecarFingerprint(s"$dir/codebook"), _ => {
+      val cbRows = spark.read.parquet(s"$dir/codebook")
+        .orderBy(col("subspace"), col("code")).collect()
+      val m = cbRows.map(_.getInt(0)).max + 1
+      val ksub = cbRows.map(_.getInt(1)).max + 1
+      (0 until m).map(s => (0 until ksub).map(c =>
+        cbRows(s * ksub + c).getSeq[Float](2)))
+    })
 
   /** Fold new vectors into an existing index WITHOUT retraining: the
     * quantizer sidecars are frozen (never rewritten), the increment is

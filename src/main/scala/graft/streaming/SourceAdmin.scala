@@ -32,6 +32,26 @@ object SourceAdmin {
     case other => throw new Retry.FatalPipelineException(
       s"unknown stream state '$other'")
   }
+
+  /** Decorate any [[SourceAdmin]] with the reference's control-plane
+    * retry semantics ([[Retry.controlPlaneCall]]): abort codes fail
+    * each op on the first attempt, transient faults back off under
+    * the standard budget. A gRPC-backed implementation composes this
+    * over its raw client instead of re-implementing the taxonomy;
+    * pipeline call sites keep the plain trait. */
+  def withRetries(underlying: SourceAdmin,
+      policy: Retry.Policy = Retry.Policy(),
+      sleep: Long => Unit = Thread.sleep): SourceAdmin = new SourceAdmin {
+    private def cp[T](op: => T): T = Retry.controlPlaneCall(policy, sleep)(op)
+    override def create(id: String, g: String): Unit = cp(underlying.create(id, g))
+    override def start(id: String): Unit = cp(underlying.start(id))
+    override def pause(id: String): Unit = cp(underlying.pause(id))
+    override def resume(id: String): Unit = cp(underlying.resume(id))
+    override def delete(id: String): Unit = cp(underlying.delete(id))
+    override def exists(id: String): Boolean = cp(underlying.exists(id))
+    override def state(id: String): State = cp(underlying.state(id))
+    override def sourceGlob(id: String): String = cp(underlying.sourceGlob(id))
+  }
 }
 
 trait SourceAdmin {

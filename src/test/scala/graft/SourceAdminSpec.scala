@@ -172,6 +172,23 @@ class SourceAdminSpec extends AnyFunSuite {
     assert(fiIae.attempts == 1)
   }
 
+  test("SourceAdmin.withRetries composes the taxonomy onto every op") {
+    val fi = new FaultInjectingAdmin(freshAdmin("srcadm-deco"),
+      scala.collection.mutable.Queue(
+        new Retry.ControlPlaneException("UNAVAILABLE", "brownout")))
+    val deco = SourceAdmin.withRetries(fi, sleep = _ => ())
+    assert(deco.state("s1") == SourceAdmin.Running) // retried through
+    assert(fi.attempts == 2)
+    val fi2 = new FaultInjectingAdmin(freshAdmin("srcadm-deco2"),
+      scala.collection.mutable.Queue(
+        new Retry.ControlPlaneException("PERMISSION_DENIED", "no iam")))
+    val deco2 = SourceAdmin.withRetries(fi2, sleep = _ => ())
+    intercept[Retry.FatalPipelineException](deco2.state("s1"))
+    assert(fi2.attempts == 1) // aborted first-attempt
+    // lifecycle ops pass through to the underlying state machine
+    deco2.pause("s1"); assert(deco2.state("s1") == SourceAdmin.Paused)
+  }
+
   test("transient codes back off exponentially 1s -> 60s cap and " +
       "recover within the budget") {
     val sleeps = scala.collection.mutable.ArrayBuffer[Long]()

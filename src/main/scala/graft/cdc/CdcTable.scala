@@ -135,27 +135,34 @@ class CdcTable(
     else state.map(df => StructType(
       df.schema.fields.filterNot(f => Apply.MetaCols.contains(f.name))))
 
-  /** Current bucket id → relative dir map (empty before the first
-    * commit) — the router's partitioned-apply path resolves every
-    * table's touched buckets driver-side from this. */
-  private[graft] def bucketDirs: Map[Int, String] =
-    currentVersion.map(manifest).getOrElse(Map.empty)
+  /** The version AND its bucket map, read together — the router's
+    * partitioned-apply path resolves every table's touched buckets
+    * from this and passes the version back to [[commitStaged]] as
+    * the optimistic-concurrency base (a committed version's manifest
+    * is immutable, so the pair read is race-free). */
+  private[graft] def versionedBucketDirs: (Option[Long], Map[Int, String]) = {
+    val cur = currentVersion
+    (cur, cur.map(manifest).getOrElse(Map.empty))
+  }
 
   /** Commit bucket dirs STAGED BY AN EXTERNAL WRITER (the router's
     * single-job partitioned apply, which merges hundreds of tables'
     * buckets in one Spark job and then commits each table with pure
-    * driver-side renames). Publishes the staged dirs under their
-    * `b<b>-v<next>` names and commits the manifest — the same
-    * CAS-guarded [[publishAndCommit]] the in-table path uses, so
-    * concurrent writers surface as retryable conflicts here too.
-    * First commit records CREATE_TABLE + the payload schema exactly
-    * like [[applyBatch]]; drift never reaches this path (the router
-    * falls back to per-table applyBatch when the incoming payload
-    * differs from the committed one). Returns the committed
-    * version. */
+    * driver-side renames). `basedOn` is the version whose state the
+    * staged merge READ (from [[versionedBucketDirs]]): the commit
+    * publishes at basedOn+1 through the same CAS-guarded
+    * [[publishAndCommit]] as the in-table path, so a writer that
+    * committed in between makes THIS commit fail with a retryable
+    * conflict instead of being silently merged over — recomputing
+    * the version here at commit time would defeat the optimistic
+    * concurrency the staged merge depends on. First commit records
+    * CREATE_TABLE + the payload schema exactly like [[applyBatch]];
+    * drift never reaches this path (the router falls back to
+    * per-table applyBatch when the incoming payload differs from the
+    * committed one). Returns the committed version. */
   private[graft] def commitStaged(staged: Seq[(Int, Path)],
-      incomingPayload: StructType): Long = {
-    val cur = currentVersion
+      incomingPayload: StructType, basedOn: Option[Long]): Long = {
+    val cur = basedOn
     val curManifest = cur.map(manifest).getOrElse(Map.empty)
     val next = cur.getOrElse(-1L) + 1
     publishAndCommit(next, curManifest, staged)

@@ -191,9 +191,14 @@ class CdcRouter(
       System.err.println(f"[router] touched ${(System.nanoTime()-tT0)/1e9}%.2f s")
     // driver-side manifest resolve: every touched bucket dir, across
     // all tables, read as ONE parquet relation (the table rides in
-    // the path — rootPath/<table>/b<bucket>-v<version>/part-*)
+    // the path — rootPath/<table>/b<bucket>-v<version>/part-*).
+    // Versions are CAPTURED here, with the bucket maps, and passed to
+    // each commit as its optimistic-concurrency base: a writer that
+    // commits to any of these tables between this read and the
+    // commit loop must surface as a CAS conflict, not be merged over.
+    val basedOn = names.map(n => n -> table(n).versionedBucketDirs).toMap
     val priorDirs = names.flatMap { n =>
-      val dirs = table(n).bucketDirs
+      val dirs = basedOn(n)._2
       touched.getOrElse(n, Set.empty[Int]).toSeq.sorted
         .flatMap(dirs.get).distinct.map(d => s"$rootPath/$n/$d")
     }
@@ -242,7 +247,7 @@ class CdcRouter(
           finally s.close()
         }.map(p =>
           p.getFileName.toString.stripPrefix("_bucket=").toInt -> p)
-        table(n).commitStaged(staged, incomingPayload)
+        table(n).commitStaged(staged, incomingPayload, basedOn(n)._1)
       }
       if (sys.env.contains("GRAFT_ROUTER_DEBUG"))
         System.err.println(f"[router] commit ${(System.nanoTime()-tC0)/1e9}%.2f s")

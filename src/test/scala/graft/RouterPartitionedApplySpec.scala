@@ -121,6 +121,36 @@ class RouterPartitionedApplySpec extends AnyFunSuite {
     assert(st.filter($"id" === 0L).select($"extra".isNull).as[Boolean].head())
   }
 
+  test("a writer committing between the prior read and the staged " +
+      "commit surfaces as a retryable conflict, never a lost update") {
+    import graft.cdc.ConcurrentCommitException
+    val part = newRouter("router-race", minTables = 8)
+    part.applyBatch(inserts(10, 3, seq = 0L), 0L)
+    val t3 = part.table("t3")
+    // capture the base the staged merge would have read...
+    val (basedOn, _) = t3.versionedBucketDirs
+    assert(basedOn.contains(0L))
+    // ...then a racing writer commits version 1
+    import spark.implicits._
+    t3.applyBatch(Seq((0L, "racer")).toDF("id", "val")
+      .select(struct($"id", $"val").as("row"),
+        lit("UPDATE").as("op"), key(9L)), 9L)
+    assert(t3.currentVersion.contains(1L))
+    // a staged commit based on version 0 must CAS-fail at version 1
+    val staged = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "race-staged")
+    val bucketDir = staged.resolve("_bucket=0")
+    java.nio.file.Files.createDirectories(bucketDir)
+    val payload = spark.range(1).select(struct($"id").as("row"))
+      .schema("row").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    intercept[ConcurrentCommitException] {
+      t3.commitStaged(Seq(0 -> bucketDir), payload, basedOn)
+    }
+    // the racer's update survives
+    assert(stateOf(part, "t3").find(_._1 == 0L).exists(_._2 == "racer"))
+  }
+
   test("heterogeneous PKs keep the batch on the per-table path") {
     val root = Files.createTempDirectory(Paths.get("target"), "router-hpk")
     val r = new CdcRouter(spark, root.toString,

@@ -242,11 +242,19 @@ object CdcPipeline {
       // the partial fold state then would be a silent wrong answer vs
       // the golden oracle, and the still-running stream would leak
       // into the next bench iteration
-      if (!q.awaitTermination(120000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "c19_stream_ivm: follower did not drain within 120 s; " +
-            "refusing to emit a partial aggregate")
+      try {
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "c19_stream_ivm: follower did not drain within 120 s; " +
+              "refusing to emit a partial aggregate")
+        }
+      } finally {
+        // per-invocation temp checkpoint — reap it (the p05 lesson)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
       }
       val (n, sm) = state.get()
       Seq((n, sm.doubleValue)).toDF("n_live", "sum_salary")

@@ -446,11 +446,19 @@ object Pipeline {
         nVersions.incrementAndGet()
         ()
       })
-      if (!q.awaitTermination(120000)) {
-        q.stop()
-        throw new IllegalStateException(
-          "c24_model_serving_ivm: follower did not drain within 120 s; " +
-            "refusing to emit a partial gate")
+      try {
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "c24_model_serving_ivm: follower did not drain within 120 s; " +
+              "refusing to emit a partial gate")
+        }
+      } finally {
+        // per-invocation temp checkpoint — reap it (the p05 lesson)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
       }
       modelRef.get()._2
         .select($"n_tgt", $"n_oth", $"v", $"nd_tgt", $"nd_all")

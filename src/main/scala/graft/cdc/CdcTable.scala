@@ -135,6 +135,16 @@ class CdcTable(
     else state.map(df => StructType(
       df.schema.fields.filterNot(f => Apply.MetaCols.contains(f.name))))
 
+  /** Persist `_schema.json` for a legacy table that predates it: one
+    * mergeSchema bucket scan NOW so every later read is the one small
+    * file the drift check is documented to cost. The per-table apply
+    * path self-heals this inline; the router's partitioned-apply
+    * eligibility check calls this so a legacy table doesn't re-pay
+    * the scan every micro-batch forever. */
+  private[graft] def ensureSchemaFile(): Unit =
+    if (currentVersion.isDefined && !Files.exists(schemaFile))
+      payloadSchema.foreach(writeSchemaFile)
+
   /** The version AND its bucket map, read together — the router's
     * partitioned-apply path resolves every table's touched buckets
     * from this and passes the version back to [[commitStaged]] as

@@ -166,33 +166,59 @@ object VectorIndex {
   // (driver FS read of a few KB — cheaper than the Spark collect it
   // replaces), so a build/reindex that rewrites the codebook misses
   // instead of serving stale quantizers, while byte-identical copies
-  // (the frozen-quantizer clone discipline) share one entry.
-  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
-    String, IndexedSeq[IndexedSeq[Seq[Float]]]]()
+  // (the frozen-quantizer clone discipline) share one entry. Bounded
+  // LRU — a reindexing driver would otherwise strand one orphaned
+  // structure per rewrite forever. Paths the local-FS fingerprint
+  // cannot see (remote FS → listFiles null, or an implausibly large
+  // sidecar file) BYPASS the cache entirely: a degenerate shared key
+  // would silently serve one index's quantizers for another.
+  private val CbCacheSize = 64
+  private val cbCache =
+    new java.util.LinkedHashMap[String, IndexedSeq[IndexedSeq[Seq[Float]]]](
+      128, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, IndexedSeq[IndexedSeq[Seq[Float]]]])
+          : Boolean = size() > CbCacheSize
+    }
 
-  private def sidecarFingerprint(path: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fs = Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
-    fs.filter(f => f.isFile && f.length < (16L << 20)).sortBy(_.getName)
-      .foreach { f =>
-        md.update(f.getName.getBytes)
-        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+  /** Content hash of a local sidecar dir, or None when the dir is not
+    * enumerable through java.io (remote FS) or any file is too large
+    * to hash driver-side — callers skip the cache then. */
+  private def sidecarFingerprint(path: String): Option[String] =
+    Option(new java.io.File(path).listFiles)
+      .map(_.filter(_.isFile))
+      .filter(fs => fs.nonEmpty && fs.forall(_.length < (16L << 20)))
+      .map { fs =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        fs.sortBy(_.getName).foreach { f =>
+          md.update(f.getName.getBytes)
+          md.update(java.nio.file.Files.readAllBytes(f.toPath))
+        }
+        md.digest().map("%02x".format(_)).mkString
       }
-    md.digest().map("%02x".format(_)).mkString
-  }
 
   /** Read the codebook sidecar back as the driver-side structure the
     * code/LUT kernels take (driver-bounded: m×ksub rows). */
   private def loadCodebook(spark: SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[Seq[Float]]] =
-    cbCache.computeIfAbsent(sidecarFingerprint(s"$dir/codebook"), _ => {
+      dir: String): IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    def load(): IndexedSeq[IndexedSeq[Seq[Float]]] = {
       val cbRows = spark.read.parquet(s"$dir/codebook")
         .orderBy(col("subspace"), col("code")).collect()
       val m = cbRows.map(_.getInt(0)).max + 1
       val ksub = cbRows.map(_.getInt(1)).max + 1
       (0 until m).map(s => (0 until ksub).map(c =>
         cbRows(s * ksub + c).getSeq[Float](2)))
-    })
+    }
+    sidecarFingerprint(s"$dir/codebook") match {
+      case None => load()
+      case Some(fp) =>
+        cbCache.synchronized(Option(cbCache.get(fp))).getOrElse {
+          val cb = load()
+          cbCache.synchronized(cbCache.put(fp, cb))
+          cb
+        }
+    }
+  }
 
   /** Fold new vectors into an existing index WITHOUT retraining: the
     * quantizer sidecars are frozen (never rewritten), the increment is

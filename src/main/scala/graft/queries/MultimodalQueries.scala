@@ -173,9 +173,16 @@ object MultimodalQueries {
     // channels accordingly. m03's rounding discipline throughout.
     "m11_bmp_features" -> { (s, d) =>
       import s.implicits._
-      def le32(c: org.apache.spark.sql.Column) =
-        unhex(format_string("%02x%02x0000",
-          pmod(c, lit(256)).cast("int"), (c / 256).cast("int")))
+      def le32(c: org.apache.spark.sql.Column) = {
+        // all four little-endian bytes: the first cut emitted only two
+        // (header fields capped at 65535 — latent divergence on any
+        // corpus with a long document)
+        def byteAt(i: Int) = pmod(
+          floor(c.cast("long") / math.pow(256, i).toLong).cast("long"),
+          lit(256)).cast("int")
+        unhex(format_string("%02x%02x%02x%02x",
+          byteAt(0), byteAt(1), byteAt(2), byteAt(3)))
+      }
       val docs = load(s, d, "documents")
         .select($"doc_id", $"text",
           greatest(lit(1L), floor(length($"text") / lit(48)).cast("long"))

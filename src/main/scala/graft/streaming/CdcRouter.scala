@@ -148,10 +148,19 @@ class CdcRouter(
     val incoming = events.schema("row").dataType
       .asInstanceOf[StructType].simpleString
     names.forall { n =>
-      pkColsFor(n) == pk && {
+      // the staged write's partition dirs carry the raw table name;
+      // Spark percent-escapes special chars in partition values, so a
+      // name outside the identifier charset would stage under an
+      // escaped dir the commit loop can't resolve — those fleets stay
+      // on the per-table path
+      n.matches("[A-Za-z0-9_.-]+") && pkColsFor(n) == pk && {
         val t = table(n)
-        t.currentVersion.isEmpty ||
+        t.currentVersion.isEmpty || {
+          // legacy table without _schema.json: persist it once here,
+          // or this check re-pays a mergeSchema scan every batch
+          t.ensureSchemaFile()
           t.payloadSchema.exists(_.simpleString == incoming)
+        }
       }
     }
   }
@@ -263,6 +272,37 @@ class CdcRouter(
     }
   }
 
+  /** Reap router-root `_staging-mb*` dirs orphaned by a hard crash
+    * during a partitioned apply (the per-TABLE staging sweep,
+    * CdcTable.sweepStaging, does not cover the router root). Age-
+    * gated like that sweep: a live writer's staging dir is always
+    * younger than the window; an orphan is never referenced by any
+    * manifest, so deleting it can only reclaim space. Returns the
+    * paths removed — call from the same maintenance cadence as the
+    * table sweeps. */
+  def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val root = Paths.get(rootPath)
+    if (!Files.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val listing = Files.list(root)
+    val candidates =
+      try listing.iterator().asScala.toSeq.filter { p =>
+        p.getFileName.toString.startsWith("_staging-mb") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      } finally listing.close()
+    candidates.map { p =>
+      def rm(x: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(x)) {
+          val s = Files.list(x)
+          try s.iterator().asScala.toSeq.foreach(rm(_)) finally s.close()
+        }
+        Files.deleteIfExists(x); ()
+      }
+      rm(p)
+      p.toString
+    }
+  }
+
   /** Mid-stream table ADDITION — the reference's stream-update CRUD
     * leg (the control plane updates the stream's table list and
     * triggers a backfill for the newly added tables while existing
@@ -303,7 +343,7 @@ class CdcRouter(
     running.awaitTermination()
     val widened = new CdcRouter(spark, rootPath, pkColsFor, numBuckets,
       TableAllowlist(allowlist.patterns ++ added), databaseName,
-      filenameKeyed)
+      filenameKeyed, mergePoolWidth, partitionedApplyMinTables)
     val addedOnly = TableAllowlist(added)
     val envelope = DatastreamAvro.read(spark, sourceGlob, Some(schema),
       pathFilter =

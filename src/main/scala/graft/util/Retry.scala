@@ -74,10 +74,14 @@ object Retry {
       catch {
         case e: RecoverableSourceException => throw e
         case e: FatalPipelineException => throw e
+        // cancellation and JVM-fatal conditions are NOT control-plane
+        // weather: retrying an interrupt swallows shutdown, retrying
+        // an Error masks it — both propagate untouched
+        case e: InterruptedException => throw e
         case e: Throwable if isControlPlaneAbort(e) =>
           throw new FatalPipelineException(
             s"control-plane abort: ${e.getMessage}", e)
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           throw new RecoverableSourceException(
             s"transient control-plane fault: ${e.getMessage}", e)
       }

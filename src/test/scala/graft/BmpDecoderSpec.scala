@@ -76,6 +76,34 @@ class BmpDecoderSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat)
   }
 
+  test("m11's in-plan header builder emits full 4-byte LE fields — a " +
+      "70k-char document round-trips through the real decoder") {
+    // the first le32 cut emitted only two significant bytes, capping
+    // header fields at 65535: a long document's file size / image
+    // size corrupted and the decoder nulled out while the SQL oracle
+    // kept computing — this leg pins the full-width encoding
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "bmp-long").toString
+      val longText = ("lorem ipsum " * 6000).trim // 71,999 chars
+      Seq((1L, longText, "en", "web"), (2L, "short", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("m11_bmp_features")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      // h = floor(71999/48) = 1499 -> file size 54 + 1499*48 = 72006
+      // (> 65535 in BOTH the size and image-size fields)
+      assert(out(1L) == (16L, 1499L), s"long doc decoded as ${out(1L)}")
+      assert(out(2L) == (16L, 1L))
+    } finally spark.stop()
+  }
+
   test("malformed family decodes to null, never a partial row") {
     val good = bmp(2, 1, 24, Array[Byte](1, 2, 3, 4, 5, 6, 0, 0))
     assert(BmpDecoder.features(good) != null)

@@ -151,6 +151,40 @@ class RouterPartitionedApplySpec extends AnyFunSuite {
     assert(stateOf(part, "t3").find(_._1 == 0L).exists(_._2 == "racer"))
   }
 
+  test("non-identifier table names keep the batch on the per-table " +
+      "path (partition-dir escaping would break the staged commit)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(Paths.get("target"), "router-esc")
+    val r = new CdcRouter(spark, root.toString, _ => Seq("id"),
+      numBuckets = 2, partitionedApplyMinTables = 2)
+    // one exotic name among plain ones — the whole batch must fall
+    // back and still land correctly
+    val ev = inserts(3, 4, seq = 0L)
+      .withColumn("table_name",
+        when($"table_name" === "t1", lit("s:t=1")).otherwise($"table_name"))
+    r.applyBatch(ev, 0L)
+    assert(r.table("s:t=1").state.get.count() == 4)
+    assert(r.table("t0").state.get.count() == 4)
+  }
+
+  test("sweepStaging reaps orphaned router-root staging dirs, spares " +
+      "young ones") {
+    val root = Files.createTempDirectory(Paths.get("target"), "router-sw")
+    val r = new CdcRouter(spark, root.toString, _ => Seq("id"))
+    val old = root.resolve("_staging-mb7-deadbeef")
+    Files.createDirectories(old.resolve("table_name=t0"))
+    Files.write(old.resolve("table_name=t0").resolve("x"), "x".getBytes)
+    Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val young = root.resolve("_staging-mb8-cafebabe")
+    Files.createDirectories(young)
+    val swept = r.sweepStaging()
+    assert(swept.exists(_.endsWith("_staging-mb7-deadbeef")))
+    assert(!Files.exists(old))
+    assert(Files.exists(young))
+  }
+
   test("heterogeneous PKs keep the batch on the per-table path") {
     val root = Files.createTempDirectory(Paths.get("target"), "router-hpk")
     val r = new CdcRouter(spark, root.toString,

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+
+/** Source-bucket provisioning — the engine analog of the reference's
+  * `createBucketIfNotExisting` / `deleteBucket`
+  * (util/Utils.java:855-899, TTL const `:113`), the §2.1 lifecycle
+  * component previously scoped out. A bucket here is a storage
+  * namespace with a recorded purge policy: creation pins the
+  * delete-after-`ttlDays`-since-custom-time rule whose EXECUTION is
+  * [[ProcessedFiles]]' stamp + sweep pair — together they are both
+  * halves of the reference's GCS lifecycle story.
+  *
+  * Contract mirrored from the reference:
+  *  - `createIfNotExisting` returns true iff THIS caller created the
+  *    bucket. A racing worker's create surfaces as a CONFLICT, which
+  *    is swallowed into `false` — the reference catches the 409
+  *    OUTSIDE its retry loop (the loop itself aborts on 409/400
+  *    rather than hammering a conflicted create), because in the
+  *    multi-worker scenario another instance creating the bucket
+  *    first is success, not failure.
+  *  - `delete` is retried under the standard policy (transient
+  *    storage faults are weather; compose [[Retry.controlPlaneCall]]
+  *    or a decorator for a remote-store implementation's taxonomy).
+  */
+trait BucketAdmin {
+  /** Provision `name` with a purge policy; true iff newly created by
+    * this call. */
+  def createIfNotExisting(name: String, location: String = "",
+      ttlDays: Int = BucketAdmin.PurgeTtlDays): Boolean
+  def delete(name: String): Unit
+  def exists(name: String): Boolean
+  /** The recorded purge policy: (location, ttlDays). */
+  def policy(name: String): Option[(String, Int)]
+}
+
+object BucketAdmin {
+  /** The reference's GCS_PURGE_POLICY_TTL_DAYS (util/Utils.java:113). */
+  val PurgeTtlDays = 30
+}
+
+/** Local-directory implementation: a bucket is a directory under
+  * `root` holding `_policy.json` (location + ttlDays, written only by
+  * the winning creator). Creation atomicity rides on
+  * `Files.createDirectory` — the same single-winner semantics the GCS
+  * create has — so two racing workers resolve to exactly one `true`. */
+class LocalDirBucketAdmin(root: String) extends BucketAdmin {
+
+  private def dir(name: String) = Paths.get(root).resolve(name)
+
+  override def createIfNotExisting(name: String, location: String,
+      ttlDays: Int): Boolean = {
+    require(ttlDays > 0, s"purge TTL must be positive: $ttlDays")
+    Files.createDirectories(Paths.get(root))
+    try {
+      Files.createDirectory(dir(name)) // atomic single-winner
+      val body =
+        s"""{"location": "$location", "ttlDays": $ttlDays, """ +
+          s""""rule": "delete-${ttlDays}d-since-custom-time"}"""
+      Files.write(dir(name).resolve("_policy.json"), body.getBytes)
+      true
+    } catch {
+      // another worker created it between our existence check and the
+      // create — success for the pipeline, false for this caller
+      case _: FileAlreadyExistsException => false
+    }
+  }
+
+  override def exists(name: String): Boolean = Files.isDirectory(dir(name))
+
+  override def policy(name: String): Option[(String, Int)] = {
+    val p = dir(name).resolve("_policy.json")
+    if (!Files.exists(p)) None
+    else {
+      val txt = new String(Files.readAllBytes(p))
+      val loc = "\"location\"\\s*:\\s*\"([^\"]*)\"".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val ttl = "\"ttlDays\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+      Some((loc, ttl))
+    }
+  }
+
+  override def delete(name: String): Unit = {
+    val d = dir(name)
+    if (!Files.exists(d)) return
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq.foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rm(d)
+  }
+}

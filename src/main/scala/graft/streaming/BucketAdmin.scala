@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -55,17 +55,29 @@ class LocalDirBucketAdmin(root: String) extends BucketAdmin {
       ttlDays: Int): Boolean = {
     require(ttlDays > 0, s"purge TTL must be positive: $ttlDays")
     Files.createDirectories(Paths.get(root))
+    // stage the bucket COMPLETE (policy inside), then promote with one
+    // atomic rename: the bucket is either absent or fully provisioned
+    // — no window where a loser reads an existing bucket with no
+    // policy, and no half-created state to mop after a crash (an
+    // orphaned .create-* staging dir is inert)
+    val tmp = Files.createTempDirectory(Paths.get(root), s".create-$name-")
+    val body =
+      s"""{"location": "$location", "ttlDays": $ttlDays, """ +
+        s""""rule": "delete-${ttlDays}d-since-custom-time"}"""
+    Files.write(tmp.resolve("_policy.json"), body.getBytes)
     try {
-      Files.createDirectory(dir(name)) // atomic single-winner
-      val body =
-        s"""{"location": "$location", "ttlDays": $ttlDays, """ +
-          s""""rule": "delete-${ttlDays}d-since-custom-time"}"""
-      Files.write(dir(name).resolve("_policy.json"), body.getBytes)
+      Files.move(tmp, dir(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       true
     } catch {
       // another worker created it between our existence check and the
-      // create — success for the pipeline, false for this caller
-      case _: FileAlreadyExistsException => false
+      // promote (rename onto a non-empty dir fails) — success for the
+      // pipeline, false for this caller
+      case _: java.nio.file.FileSystemException
+          if Files.exists(dir(name)) =>
+        Files.deleteIfExists(tmp.resolve("_policy.json"))
+        Files.deleteIfExists(tmp)
+        false
     }
   }
 

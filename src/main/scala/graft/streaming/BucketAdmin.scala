@@ -43,10 +43,11 @@ object BucketAdmin {
 }
 
 /** Local-directory implementation: a bucket is a directory under
-  * `root` holding `_policy.json` (location + ttlDays, written only by
-  * the winning creator). Creation atomicity rides on
-  * `Files.createDirectory` — the same single-winner semantics the GCS
-  * create has — so two racing workers resolve to exactly one `true`. */
+  * `root` holding `_policy.json` (location + ttlDays). Creation
+  * atomicity rides on staging the complete bucket and promoting it
+  * with one atomic rename — the same single-winner semantics the GCS
+  * create has — so two racing workers resolve to exactly one `true`
+  * and nobody ever observes a policy-less bucket. */
 class LocalDirBucketAdmin(root: String) extends BucketAdmin {
 
   private def dir(name: String) = Paths.get(root).resolve(name)

@@ -209,15 +209,32 @@ object VectorIndex {
       (0 until m).map(s => (0 until ksub).map(c =>
         cbRows(s * ksub + c).getSeq[Float](2)))
     }
-    sidecarFingerprint(s"$dir/codebook") match {
-      case None => load()
-      case Some(fp) =>
-        cbCache.synchronized(Option(cbCache.get(fp))).getOrElse {
-          val cb = load()
-          cbCache.synchronized(cbCache.put(fp, cb))
-          cb
-        }
+    // fingerprint → load → re-fingerprint: hashing only BEFORE the
+    // Spark read would let a reindex that rewrites the codebook
+    // between the two steps cache the NEW rows under the OLD content
+    // hash (or vice versa), serving mismatched quantizers until
+    // eviction. An entry is inserted only when the fingerprints on
+    // both sides of the load agree — i.e. the bytes were stable while
+    // we read them; an unstable read retries, then degrades to
+    // serving the last load uncached (the pre-cache behavior).
+    var attempt = 0
+    while (attempt < 3) {
+      sidecarFingerprint(s"$dir/codebook") match {
+        case None => return load()
+        case Some(fp) =>
+          cbCache.synchronized(Option(cbCache.get(fp))) match {
+            case Some(hit) => return hit
+            case None =>
+              val cb = load()
+              if (sidecarFingerprint(s"$dir/codebook").contains(fp)) {
+                cbCache.synchronized(cbCache.put(fp, cb))
+                return cb
+              } // else: rewritten mid-read — retry the whole cycle
+          }
+      }
+      attempt += 1
     }
+    load()
   }
 
   /** Fold new vectors into an existing index WITHOUT retraining: the

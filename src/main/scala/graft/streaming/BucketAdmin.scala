@@ -22,9 +22,14 @@ import scala.jdk.CollectionConverters._
   *    rather than hammering a conflicted create), because in the
   *    multi-worker scenario another instance creating the bucket
   *    first is success, not failure.
-  *  - `delete` is retried under the standard policy (transient
-  *    storage faults are weather; compose [[Retry.controlPlaneCall]]
-  *    or a decorator for a remote-store implementation's taxonomy).
+  *  - `delete` (and the reads) SHOULD be retried under the standard
+  *    policy when the store is remote — transient storage faults are
+  *    weather. Neither the trait nor [[LocalDirBucketAdmin]] composes
+  *    a retry itself (a local FS has no weather); remote
+  *    implementations wrap themselves in [[BucketAdmin.withRetries]],
+  *    the same decorator shape as `SourceAdmin.withRetries`, which is
+  *    the engine analog of the reference wrapping deleteBucket in
+  *    `Failsafe.with(createRetryPolicy())`.
   */
 trait BucketAdmin {
   /** Provision `name` with a purge policy; true iff newly created by
@@ -40,6 +45,27 @@ trait BucketAdmin {
 object BucketAdmin {
   /** The reference's GCS_PURGE_POLICY_TTL_DAYS (util/Utils.java:113). */
   val PurgeTtlDays = 30
+
+  /** Standard-taxonomy retry decorator (transient faults back off
+    * under the budget, abort codes fail the op on the first attempt —
+    * `graft.util.Retry.controlPlaneCall`). `createIfNotExisting` is
+    * retried too: its conflict path is NOT an exception (a racing
+    * create resolves to `false` inside the implementation, mirroring
+    * the reference catching the 409 OUTSIDE its retry loop), so the
+    * retry only ever re-runs weather, never hammers a conflict. */
+  def withRetries(underlying: BucketAdmin,
+      retryPolicy: graft.util.Retry.Policy = graft.util.Retry.Policy(),
+      sleep: Long => Unit = Thread.sleep): BucketAdmin = new BucketAdmin {
+    private def cp[T](op: => T): T =
+      graft.util.Retry.controlPlaneCall(retryPolicy, sleep)(op)
+    override def createIfNotExisting(name: String, location: String,
+        ttlDays: Int): Boolean =
+      cp(underlying.createIfNotExisting(name, location, ttlDays))
+    override def delete(name: String): Unit = cp(underlying.delete(name))
+    override def exists(name: String): Boolean = cp(underlying.exists(name))
+    override def policy(name: String): Option[(String, Int)] =
+      cp(underlying.policy(name))
+  }
 }
 
 /** Local-directory implementation: a bucket is a directory under

@@ -78,4 +78,42 @@ class BucketAdminSpec extends AnyFunSuite {
     assert(purged == Seq(oldBlob.toString))
     assert(!Files.exists(oldBlob) && Files.exists(newBlob))
   }
+  test("withRetries retries transient weather, aborts misconfig on " +
+      "the first attempt, and never hammers a create conflict") {
+    import graft.util.Retry
+    var deleteCalls = 0
+    var createCalls = 0
+    val flaky = new BucketAdmin {
+      val inner = new LocalDirBucketAdmin(freshRoot("bk-retry"))
+      override def createIfNotExisting(n: String, l: String,
+          t: Int): Boolean = {
+        createCalls += 1
+        inner.createIfNotExisting(n, l, t)
+      }
+      override def delete(n: String): Unit = {
+        deleteCalls += 1
+        if (deleteCalls < 3)
+          throw new java.io.IOException("transient storage fault")
+        inner.delete(n)
+      }
+      override def exists(n: String): Boolean = inner.exists(n)
+      override def policy(n: String): Option[(String, Int)] = inner.policy(n)
+    }
+    val admin = BucketAdmin.withRetries(flaky, sleep = _ => ())
+    assert(admin.createIfNotExisting("b1"))
+    admin.delete("b1") // two faults, then success
+    assert(deleteCalls == 3 && !admin.exists("b1"))
+    // a racing create is a CONFLICT resolved to false INSIDE the
+    // implementation, not an exception: one attempt, no hammering
+    assert(admin.createIfNotExisting("b2"))
+    createCalls = 0
+    assert(!admin.createIfNotExisting("b2"))
+    assert(createCalls == 1)
+    // misconfiguration (bad TTL -> IllegalArgumentException) is an
+    // abort code: first attempt fails the pipeline, no retry
+    createCalls = 0
+    intercept[Retry.FatalPipelineException](
+      admin.createIfNotExisting("b3", ttlDays = -1))
+    assert(createCalls == 1)
+  }
 }

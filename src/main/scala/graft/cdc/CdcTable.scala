@@ -883,23 +883,8 @@ class CdcTable(
     * gap is milliseconds, far inside any sane `maxAgeMs`. */
   def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    // A LIVE writer deleting/renaming entries under a dir mid-walk
-    // (exactly the in-flight-write scenario the recursion exists for)
-    // surfaces as NoSuchFile/DirectoryIterator/UncheckedIO exceptions;
-    // a vanished entry means ACTIVITY, so report the dir as maximally
-    // fresh rather than crashing the sweep or, worse, sweeping a dir
-    // that is being written this instant.
-    def newestMtime(p: Path): Long =
-      try {
-        val own = Files.getLastModifiedTime(p).toMillis
-        if (!Files.isDirectory(p)) own
-        else math.max(own,
-          withListing(p)(_.map(newestMtime).foldLeft(0L)(math.max)))
-      } catch {
-        case _: java.nio.file.NoSuchFileException |
-             _: java.nio.file.DirectoryIteratorException |
-             _: java.io.UncheckedIOException => Long.MaxValue
-      }
+    // the vanished-entry-means-activity recursion lives in
+    // graft.util.Fs.newestMtime, shared with the router-root sweep
     def uncommittedBucketDir(name: String): Boolean = name match {
       case BucketDirName(_, v) =>
         !Files.exists(dir.resolve(s"manifest-$v.json"))
@@ -909,7 +894,7 @@ class CdcTable(
       .filter { p =>
         val n = p.getFileName.toString
         (n.startsWith("_staging-") || uncommittedBucketDir(n)) &&
-          newestMtime(p) < cutoff
+          graft.util.Fs.newestMtime(p) < cutoff
       }
       .map { p => deleteRecursively(p); p.getFileName.toString }
       .sorted

@@ -59,9 +59,19 @@ class CdcRouter(
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
   private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
 
-  def table(name: String): CdcTable =
+  private val rootAbs = Paths.get(rootPath).toAbsolutePath.normalize
+
+  def table(name: String): CdcTable = {
+    // table names come from DATA (decoded change events): a name like
+    // ".." or "a/../../x" would resolve the table dir OUTSIDE the
+    // router root and the staged commit (or the per-table write)
+    // would rename bucket dirs there — fail loudly instead
+    val resolved = rootAbs.resolve(name).normalize
+    require(resolved.getParent == rootAbs && resolved != rootAbs,
+      s"table name '$name' escapes the router root")
     tables.getOrElseUpdate(name,
       new CdcTable(spark, s"$rootPath/$name", pkColsFor(name), numBuckets))
+  }
 
   def knownTables: Seq[String] = tables.keys.toSeq.sorted
 
@@ -101,16 +111,24 @@ class CdcRouter(
       val names = events.select(col("table_name")).distinct()
         .collect().map(_.getString(0)).sorted
       if (names.nonEmpty) emitCreateDatabaseOnce()
-      if (names.length >= partitionedApplyMinTables &&
-          partitionedApplyEligible(events, names))
-        applyBatchPartitioned(events, names.toSeq, batchId)
-      else if (names.nonEmpty) {
+      val (groups, poolNames) =
+        if (names.isEmpty) (Nil, Nil) else planApply(events, names)
+      lastApplyPlan = (groups, poolNames)
+      groups.foreach { g =>
+        // the common homogeneous fleet is ONE group == the whole
+        // batch: skip the routing filter so the plan is unchanged
+        val scopedToGroup =
+          if (g.length == names.length) events
+          else events.filter(col("table_name").isin(g: _*))
+        applyBatchPartitioned(scopedToGroup, g, batchId)
+      }
+      if (poolNames.nonEmpty) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.max(1, math.min(mergePoolWidth, names.length)))
+          math.max(1, math.min(mergePoolWidth, poolNames.length)))
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          val merges = names.toSeq.map { name =>
+          val merges = poolNames.map { name =>
             scala.concurrent.Future {
               table(name).applyBatch(
                 events.filter(col("table_name") === name), batchId)
@@ -136,24 +154,41 @@ class CdcRouter(
     } finally { events.unpersist(); () }
   }
 
-  /** Eligibility for the single-job path: every routed table shares
-    * one PK column list, and no EXISTING table's committed payload
-    * schema differs from the incoming batch payload (drift and
-    * heterogeneous fleets stay on the per-table path, which owns
-    * schema alignment). Pure driver-side checks — pkColsFor calls
-    * plus one `_schema.json` read per existing table. */
-  private def partitionedApplyEligible(events: DataFrame,
-      names: Array[String]): Boolean = {
-    val pk = pkColsFor(names.head)
+  /** The last applyBatch's dispatch decision: (partitioned-apply
+    * groups, pool-path tables). Introspection for specs and ops
+    * panels — the dispatch itself is [[planApply]]. */
+  @volatile private[graft] var lastApplyPlan
+      : (Seq[Seq[String]], Seq[String]) = (Nil, Nil)
+
+  /** Dispatch plan for one batch: group the routed tables by
+    * PK-SIGNATURE and send each group of at least
+    * `partitionedApplyMinTables` through its own single-job
+    * partitioned apply; everything else — undersized groups, drifted
+    * tables (committed payload ≠ incoming), names the staged commit
+    * can't stage — falls to the per-table pool. A heterogeneous fleet
+    * thus costs O(groups) jobs, not O(tables): the round-11 all-or-
+    * nothing eligibility sent a 2,000-table fleet with two PK shapes
+    * all the way back to 2,000 pool jobs.
+    *
+    * Pure driver-side checks — pkColsFor calls plus one
+    * `_schema.json` read per existing table. Within one batch the
+    * incoming payload struct is a single schema (one DataFrame), so
+    * payload uniformity inside a group is automatic; only DRIFT
+    * (table's committed schema differs) demotes a table, because the
+    * per-table path owns schema alignment. */
+  private def planApply(events: DataFrame, names: Array[String])
+      : (Seq[Seq[String]], Seq[String]) = {
     val incoming = events.schema("row").dataType
       .asInstanceOf[StructType].simpleString
-    names.forall { n =>
+    def eligible(n: String): Boolean =
       // the staged write's partition dirs carry the raw table name;
       // Spark percent-escapes special chars in partition values, so a
       // name outside the identifier charset would stage under an
-      // escaped dir the commit loop can't resolve — those fleets stay
-      // on the per-table path
-      n.matches("[A-Za-z0-9_.-]+") && pkColsFor(n) == pk && {
+      // escaped dir the commit loop can't resolve — those tables stay
+      // on the per-table path. Pure-dot names ("." / "..") pass the
+      // charset but resolve OUTSIDE the router root; table(n) below
+      // rejects them (and any other escaping name) loudly.
+      n.matches("[A-Za-z0-9_.-]+") && !n.forall(_ == '.') && {
         val t = table(n)
         t.currentVersion.isEmpty || {
           // legacy table without _schema.json: persist it once here,
@@ -162,7 +197,10 @@ class CdcRouter(
           t.payloadSchema.exists(_.simpleString == incoming)
         }
       }
-    }
+    val (ok, demoted) = names.toSeq.partition(eligible)
+    val (big, small) = ok.groupBy(pkColsFor).values.toSeq
+      .partition(_.size >= partitionedApplyMinTables)
+    (big.map(_.sorted).sortBy(_.head), (demoted ++ small.flatten).sorted)
   }
 
   /** Single-job partitioned apply — the many-small-tables regime
@@ -275,11 +313,14 @@ class CdcRouter(
   /** Reap router-root `_staging-mb*` dirs orphaned by a hard crash
     * during a partitioned apply (the per-TABLE staging sweep,
     * CdcTable.sweepStaging, does not cover the router root). Age-
-    * gated like that sweep: a live writer's staging dir is always
-    * younger than the window; an orphan is never referenced by any
-    * manifest, so deleting it can only reclaim space. Returns the
-    * paths removed — call from the same maintenance cadence as the
-    * table sweeps. */
+    * gated by the NEWEST mtime found anywhere UNDER the dir, same as
+    * the table sweep: a long partitioned parquet write mutates only
+    * nested `table_name=/_bucket=` entries, so a live apply outlasting
+    * `maxAgeMs` would look idle at the root and be swept mid-write —
+    * the recursion tracks actual write activity (graft.util.Fs). An
+    * orphan is never referenced by any manifest, so deleting it can
+    * only reclaim space. Returns the paths removed — call from the
+    * same maintenance cadence as the table sweeps. */
   def sweepStaging(maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
     val root = Paths.get(rootPath)
     if (!Files.exists(root)) return Nil
@@ -288,19 +329,9 @@ class CdcRouter(
     val candidates =
       try listing.iterator().asScala.toSeq.filter { p =>
         p.getFileName.toString.startsWith("_staging-mb") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff
+          graft.util.Fs.newestMtime(p) < cutoff
       } finally listing.close()
-    candidates.map { p =>
-      def rm(x: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(x)) {
-          val s = Files.list(x)
-          try s.iterator().asScala.toSeq.foreach(rm(_)) finally s.close()
-        }
-        Files.deleteIfExists(x); ()
-      }
-      rm(p)
-      p.toString
-    }
+    candidates.map { p => graft.util.Fs.deleteRecursively(p); p.toString }
   }
 
   /** Mid-stream table ADDITION — the reference's stream-update CRUD

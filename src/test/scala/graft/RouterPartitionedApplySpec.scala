@@ -168,21 +168,103 @@ class RouterPartitionedApplySpec extends AnyFunSuite {
   }
 
   test("sweepStaging reaps orphaned router-root staging dirs, spares " +
-      "young ones") {
+      "young ones AND a stale-rooted dir with fresh nested writes") {
     val root = Files.createTempDirectory(Paths.get("target"), "router-sw")
     val r = new CdcRouter(spark, root.toString, _ => Seq("id"))
+    def ft(ms: Long) = java.nio.file.attribute.FileTime.fromMillis(ms)
+    val past = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    // truly orphaned: EVERY entry old
     val old = root.resolve("_staging-mb7-deadbeef")
     Files.createDirectories(old.resolve("table_name=t0"))
     Files.write(old.resolve("table_name=t0").resolve("x"), "x".getBytes)
-    Files.setLastModifiedTime(old,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Files.setLastModifiedTime(old.resolve("table_name=t0").resolve("x"), ft(past))
+    Files.setLastModifiedTime(old.resolve("table_name=t0"), ft(past))
+    Files.setLastModifiedTime(old, ft(past))
+    // LIVE partitioned apply: a long parquet write mutates only nested
+    // entries, so the root looks stale while an inner file is fresh —
+    // sweeping it would fail the in-flight batch
+    val live = root.resolve("_staging-mb9-12345678")
+    Files.createDirectories(live.resolve("table_name=t1"))
+    Files.write(live.resolve("table_name=t1").resolve("part-0"), "y".getBytes)
+    Files.setLastModifiedTime(live.resolve("table_name=t1"), ft(past))
+    Files.setLastModifiedTime(live, ft(past))
     val young = root.resolve("_staging-mb8-cafebabe")
     Files.createDirectories(young)
     val swept = r.sweepStaging()
     assert(swept.exists(_.endsWith("_staging-mb7-deadbeef")))
     assert(!Files.exists(old))
     assert(Files.exists(young))
+    assert(Files.exists(live), "stale-rooted dir with fresh nested " +
+      "write must be treated as live")
+  }
+
+  test("path-escaping table names fail loudly instead of resolving " +
+      "outside the router root") {
+    val root = Files.createTempDirectory(Paths.get("target"), "router-dot")
+    val r = new CdcRouter(spark, root.toString, _ => Seq("id"))
+    for (bad <- Seq(".", "..", "a/../../x"))
+      intercept[IllegalArgumentException](r.table(bad))
+    // and dot-names never reach the staged-commit path: the charset
+    // check admits "..", the pure-dot exclusion keeps it off the
+    // partitioned path before table() would throw
+    assert(r.table("a.b").location.startsWith(root.toString))
+  }
+
+  test("mixed fleet: grouped partitioned apply — one single-job apply " +
+      "per PK-signature group, drifted table pooled, state ≡ pool path") {
+    import spark.implicits._
+    def pkFor(n: String): Seq[String] =
+      if (n.startsWith("a")) Seq("id") else Seq("id", "val")
+    def mk(tag: String, minTables: Int): CdcRouter = new CdcRouter(spark,
+      Files.createTempDirectory(Paths.get("target"), tag).toString,
+      pkFor, numBuckets = 2, partitionedApplyMinTables = minTables)
+    val grouped = mk("router-mix", minTables = 4)
+    val pooled = mk("router-mix-pool", minTables = Int.MaxValue)
+    // fleet: a0..a4 (pk id), b0..b4 (pk id,val), plus table "drift"
+    // pre-created with a NARROWER committed payload than the batch
+    def batchFor(r: CdcRouter, seq: Long, op: String): DataFrame = {
+      val names = (0 until 5).flatMap(i => Seq(s"a$i", s"b$i")) :+ "drift"
+      names.zipWithIndex.map { case (n, i) =>
+        spark.range(3).select(lit(n).as("table_name"),
+          struct(($"id" + i * 10).as("id"),
+            concat(lit(s"$op$seq-"), $"id").as("val"),
+            lit(i.toLong).as("extra")).as("row"),
+          lit(op).as("op"), key(seq))
+      }.reduce(_ unionByName _)
+    }
+    var plan1: (Seq[Seq[String]], Seq[String]) = (Nil, Nil)
+    for (r <- Seq(grouped, pooled)) {
+      // commit "drift" first with a payload LACKING `extra`
+      r.table("drift").applyBatch(
+        spark.range(1).select(struct(lit(990L).as("id"),
+          lit("seed").as("val")).as("row"), lit("INSERT").as("op"),
+          key(0L)), 0L)
+      r.applyBatch(batchFor(r, 1L, "INSERT"), 1L)
+      if (r eq grouped) plan1 = r.lastApplyPlan
+      r.applyBatch(batchFor(r, 2L, "UPDATE"), 2L)
+    }
+    // batch-1 dispatch: two partitioned groups (a*, b*), drift pooled
+    // (committed payload lacks `extra` — the ALTER belongs to the
+    // per-table path)
+    val (groups, pool) = plan1
+    assert(groups.map(_.toSet).toSet ==
+      Set((0 until 5).map(i => s"a$i").toSet,
+        (0 until 5).map(i => s"b$i").toSet))
+    assert(pool == Seq("drift"))
+    // batch 2: drift has widened, so it legitimately JOINS its
+    // pk-signature group — the fleet converges back to O(groups) jobs
+    assert(grouped.lastApplyPlan._2.isEmpty)
+    assert(pooled.lastApplyPlan._1.isEmpty)
+    // final state identical table-for-table
+    for (n <- (0 until 5).flatMap(i => Seq(s"a$i", s"b$i")) :+ "drift") {
+      val a = grouped.table(n).state.get.drop("_sequence_num")
+        .collect().map(_.toString).sorted.toSeq
+      val b = pooled.table(n).state.get.drop("_sequence_num")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"state diverged for $n")
+    }
+    // the drifted table really widened (ALTER landed via the pool path)
+    assert(grouped.table("drift").state.get.columns.contains("extra"))
   }
 
   test("heterogeneous PKs keep the batch on the per-table path") {

@@ -51,29 +51,38 @@ object RouterScale {
     // (a 4-bucket layout on a 20-row table is file fragmentation, not
     // parallelism).
     val totalRows = 20480
-    val sizes = args.toSeq match {
-      case Nil => Seq(64, 256, 1024)
-      case xs => xs.map(_.toInt)
+    val (sizes, modes) = args.toSeq match {
+      case Nil => (Seq(64, 256, 1024), Seq("pool", "partitioned",
+        "consolidated"))
+      case xs =>
+        val (ms, ts) = xs.partition(a => a.exists(!_.isDigit))
+        (ts.map(_.toInt),
+          if (ms.isEmpty) Seq("pool", "partitioned", "consolidated") else ms)
     }
-    for (t <- sizes; mode <- Seq("pool", "partitioned")) {
+    for (t <- sizes; mode <- modes) {
       val rowsPer = totalRows / t
       val root = Files.createTempDirectory(Paths.get("target"),
         s"rscale-$mode-$t").toString
       val router = new CdcRouter(spark, root, _ => Seq("id"),
         numBuckets = 1,
         partitionedApplyMinTables =
-          if (mode == "partitioned") 1 else Int.MaxValue)
-      // batch 0: creates; batch 1: steady-state merge (the regime that
-      // repeats every 30 s trigger — the number that matters)
+          if (mode == "partitioned") 1 else Int.MaxValue,
+        consolidated = mode == "consolidated")
+      // batch 0: creates; batch 1+: steady-state merge (the regime
+      // that repeats every 30 s trigger — the number that matters)
       val t0 = System.nanoTime()
       router.applyBatch(batch(spark, t, rowsPer, 0L, "INSERT"), 0L)
       val create = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
       router.applyBatch(batch(spark, t, rowsPer, 1L, "UPDATE"), 1L)
       val steady = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      router.applyBatch(batch(spark, t, rowsPer, 2L, "UPDATE"), 2L)
+      val steady2 = (System.nanoTime() - t2) / 1e9
       println(f"ROUTER tables=$t%5d mode=$mode%-12s " +
         f"create=$create%7.2f s steady=$steady%7.2f s " +
-        f"perTable=${steady / t * 1000}%7.1f ms")
+        f"steady2=$steady2%7.2f s " +
+        f"perTable=${math.min(steady, steady2) / t * 1000}%7.1f ms")
     }
     spark.stop()
   }

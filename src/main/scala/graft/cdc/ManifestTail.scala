@@ -28,8 +28,12 @@ private[graft] object ManifestTail {
   /** Newest committed version in `dir`, or -1 if none. `from` is a
     * known-committed lower bound (-1 when unknown); probing starts at
     * max(from, pointer). A missing or corrupt pointer degrades to
-    * probing from `from` — never a crash. */
-  def latest(dir: Path, from: Long): Long = {
+    * probing from `from` — never a crash. `fileFor` names the commit
+    * file for a version (CdcTable's `manifest-<v>.json` by default;
+    * the consolidated store probes its `commit-<v>` files with the
+    * same roll-forward discipline). */
+  def latest(dir: Path, from: Long,
+      fileFor: Long => String = v => s"manifest-$v.json"): Long = {
     val pointerFile = dir.resolve("_LATEST")
     probes.incrementAndGet()
     val pointer =
@@ -41,7 +45,7 @@ private[graft] object ManifestTail {
     // roll forward over the pointer's crash lag (a writer can die
     // between manifest publish and pointer update)
     while ({ probes.incrementAndGet()
-             Files.exists(dir.resolve(s"manifest-${v + 1}.json")) }) v += 1
+             Files.exists(dir.resolve(fileFor(v + 1))) }) v += 1
     v
   }
 }

@@ -45,6 +45,8 @@ object CdcPipeline {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
   private val routerCache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, graft.streaming.CdcRouter]()
+  private val consolidatedCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, graft.cdc.ConsolidatedStore]()
   private def replayedTable(s: SparkSession): CdcTable = {
     val dir = replayCache.computeIfAbsent(s, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-replay").toString
@@ -495,6 +497,39 @@ object CdcPipeline {
           ($"n_distinct" === $"n_rows" && $"first_row" === 0L &&
             $"last_row" === $"n_rows" - 1L).as("dense"))
         .orderBy($"file")
+    },
+
+    // the consolidated bucket store (ConsolidatedStore.scala): the
+    // SAME multiplexed replay as c09, but merged into segment files
+    // shared by both tables and committed with ONE fleet-wide CAS per
+    // batch — the 2,048+-table layout. The oracle is c09's golden
+    // final state verbatim: identical semantics, different physics.
+    "c25_consolidated_fleet" -> { (s, _) =>
+      import s.implicits._
+      val store = consolidatedCache.computeIfAbsent(s, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-cstore")
+        val r = new graft.streaming.CdcRouter(s, dir.toString,
+          _ => Seq("EMPLOYEE_ID"), numBuckets = 4, databaseName = "xe",
+          consolidated = true)
+        replayFiles.zipWithIndex.foreach {
+          case (f, i) =>
+            val e = Decode.fromAvro(s, s"$fixtures/$f")
+              .withColumn("table_name",
+                when($"row.EMPLOYEE_ID" % 2 === 0, "EMP_EVEN")
+                  .otherwise("EMP_ODD"))
+            r.applyBatch(e, i.toLong)
+        }
+        r.store
+      })
+      store.knownTables.map { t =>
+        store.state(t).get.select(
+          lit(t).as("table_name"),
+          $"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted"))
+      }.reduce(_.unionByName(_))
+        .orderBy($"table_name", $"employee_id")
     }
   )
 
@@ -590,5 +625,7 @@ object CdcPipeline {
       "c17_clone" -> CdcGoldenOracles.map("c10_time_travel"),
       // the streaming fold from empty must land the same head
       // aggregate as c18's base+deltas derivation
-      "c19_stream_ivm" -> CdcGoldenOracles.map("c18_incremental_agg"))
+      "c19_stream_ivm" -> CdcGoldenOracles.map("c18_incremental_agg"),
+      // consolidated layout, identical semantics: c09's golden state
+      "c25_consolidated_fleet" -> CdcGoldenOracles.map("c09_router_multiplex"))
 }

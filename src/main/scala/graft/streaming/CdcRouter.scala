@@ -54,14 +54,30 @@ class CdcRouter(
     // partitioned-apply path (when PKs are uniform and no table has
     // drifted): below it, per-table jobs are cheap and keep the
     // general drift/heterogeneous-schema machinery in play
-    partitionedApplyMinTables: Int = 64) {
+    partitionedApplyMinTables: Int = 64,
+    // the 2,048+-table regime: route every batch into ONE
+    // ConsolidatedStore (many tables per physical file, one CAS for
+    // the whole fleet) instead of per-table CdcTables. Requires a
+    // uniform-PK fleet; reads go through [[store]], not [[table]]
+    consolidated: Boolean = false) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
   private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
 
+  /** The fleet's consolidated merge target (consolidated mode only) —
+    * state reads are `store.state(table)`. */
+  lazy val store: graft.cdc.ConsolidatedStore = {
+    require(consolidated, "store is only available in consolidated mode")
+    new graft.cdc.ConsolidatedStore(spark, s"$rootPath/_store",
+      pkColsFor, numBuckets)
+  }
+
   private val rootAbs = Paths.get(rootPath).toAbsolutePath.normalize
 
   def table(name: String): CdcTable = {
+    require(!consolidated,
+      "consolidated mode: read through store.state(table), there are " +
+        "no per-table CdcTables")
     // table names come from DATA (decoded change events): a name like
     // ".." or "a/../../x" would resolve the table dir OUTSIDE the
     // router root and the staged commit (or the per-table write)
@@ -105,6 +121,13 @@ class CdcRouter(
     val scoped =
       if (allowlist.allowsAll) events0
       else events0.filter(allowlist.filter(col("schema_name"), col("table_name")))
+    if (consolidated) {
+      // one merge job + ONE fleet-wide CAS; all-or-nothing visibility
+      // (the per-table commit loop's torn window doesn't exist here)
+      emitCreateDatabaseOnce()
+      store.applyBatch(scoped, batchId)
+      return
+    }
     val events = scoped.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -374,7 +397,8 @@ class CdcRouter(
     running.awaitTermination()
     val widened = new CdcRouter(spark, rootPath, pkColsFor, numBuckets,
       TableAllowlist(allowlist.patterns ++ added), databaseName,
-      filenameKeyed, mergePoolWidth, partitionedApplyMinTables)
+      filenameKeyed, mergePoolWidth, partitionedApplyMinTables,
+      consolidated)
     val addedOnly = TableAllowlist(added)
     val envelope = DatastreamAvro.read(spark, sourceGlob, Some(schema),
       pathFilter =

@@ -1,0 +1,241 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Apply, ConcurrentCommitException, ConsolidatedStore}
+import graft.streaming.CdcRouter
+
+/** The consolidated bucket store — many tables per physical segment
+  * file, ONE fleet-wide CAS per micro-batch. Semantics are pinned
+  * against the per-table pool path (same batches, state must be
+  * identical table-for-table); the claims unique to this layout get
+  * their own legs: file count per batch is O(shuffle partitions) not
+  * O(tables), the commit is all-or-nothing across the whole fleet
+  * (crash injection), losers of the commit CAS surface as retryable
+  * conflicts with their segments cleaned up, widen-only drift applies
+  * fleet-wide with old segments null-filling. */
+class ConsolidatedStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def key(seq: Long) = struct(lit(seq).as("ts_ms"),
+    lit(seq).as("scn"), lit("").as("rs_id"), lit(0L).as("ssn"))
+    .as("sort_key")
+
+  private def inserts(nTables: Int, rowsPer: Int, seq: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nTables.toLong * rowsPer)
+      .select(
+        concat(lit("t"), ($"id" % nTables).cast("string")).as("table_name"),
+        struct(($"id" / nTables).cast("long").as("id"),
+          concat(lit("v"), $"id").as("val")).as("row"),
+        lit("INSERT").as("op"), key(seq))
+  }
+
+  private def mutations(nTables: Int, seq: Long): DataFrame = {
+    import spark.implicits._
+    val upd = spark.range(nTables.toLong)
+      .select(concat(lit("t"), $"id").as("table_name"),
+        struct(lit(0L).as("id"), lit("updated").as("val")).as("row"),
+        lit("UPDATE").as("op"), key(seq))
+    val del = spark.range(nTables.toLong)
+      .select(concat(lit("t"), $"id").as("table_name"),
+        struct(lit(1L).as("id"), lit(null).cast("string").as("val")).as("row"),
+        lit("DELETE").as("op"), key(seq))
+    upd.unionByName(del)
+  }
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(Paths.get("target"), tag).toString
+
+  private def rows(df: DataFrame): Seq[(Long, String, Boolean)] = {
+    import spark.implicits._
+    df.select($"id", $"val", $"_is_deleted")
+      .as[(Long, String, Boolean)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("consolidated fleet state ≡ per-table pool path across " +
+      "creates/updates/deletes; one segment dir per batch with " +
+      "O(shuffle-partitions) files, not O(tables)") {
+    val nT = 12
+    val cons = new CdcRouter(spark, freshDir("cstore-eq"), _ => Seq("id"),
+      numBuckets = 2, consolidated = true)
+    val pool = new CdcRouter(spark, freshDir("cstore-pool"), _ => Seq("id"),
+      numBuckets = 2, partitionedApplyMinTables = Int.MaxValue)
+    for (r <- Seq(cons, pool)) {
+      r.applyBatch(inserts(nT, 5, 0L), 0L)
+      r.applyBatch(mutations(nT, 1L), 1L)
+    }
+    for (i <- 0 until nT) {
+      val n = s"t$i"
+      assert(rows(cons.store.state(n).get) == rows(pool.table(n).state.get),
+        s"state diverged for $n")
+    }
+    // soft delete + LWW sanity on one table
+    val s3 = rows(cons.store.state("t3").get)
+    assert(s3.size == 5)
+    assert(s3.find(_._1 == 1L).exists(_._3 == true))
+    assert(s3.find(_._1 == 0L).exists(_._2 == "updated"))
+    // live view hides tombstones
+    assert(Apply.liveView(cons.store.state("t3").get).count() == 4)
+    // the scale claim: each committed segment holds the WHOLE fleet's
+    // batch in ≤ shuffle-partition part files (12 tables × 2 buckets
+    // would be 24+ files in the per-table layout)
+    val segDirs = Fs("cstore-eq", cons)
+    assert(segDirs.nonEmpty)
+    for (seg <- segDirs) {
+      val parts = seg.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(parts <= 4, s"segment ${seg.getName} has $parts part files")
+    }
+    // DDL surface: CREATE_TABLE once per table, CREATE_DATABASE at root
+    val ddl = cons.store.ddlEvents
+    assert((0 until nT).forall(i =>
+      ddl.count(_.contains(s""""table": "t$i"""")) == 1))
+    assert(cons.databaseDdlEvents.exists(_.contains("CREATE_DATABASE")))
+  }
+
+  private def Fs(tag: String, r: CdcRouter): Seq[java.io.File] =
+    new java.io.File(r.store.location).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-v"))
+
+  test("at-least-once replay is idempotent on final state") {
+    val r = new CdcRouter(spark, freshDir("cstore-replay"), _ => Seq("id"),
+      consolidated = true)
+    r.applyBatch(inserts(8, 4, 0L), 0L)
+    r.applyBatch(mutations(8, 1L), 1L)
+    val before = (0 until 8).map(i => rows(r.store.state(s"t$i").get))
+    r.applyBatch(mutations(8, 1L), 2L) // redelivery
+    val after = (0 until 8).map(i => rows(r.store.state(s"t$i").get))
+    assert(before == after)
+  }
+
+  test("the fleet commit is ALL-OR-NOTHING: a crash after the segment " +
+      "publish but before the CAS leaves every table at the previous " +
+      "version; the retry lands atomically") {
+    val r = new CdcRouter(spark, freshDir("cstore-atomic"), _ => Seq("id"),
+      consolidated = true)
+    r.applyBatch(inserts(10, 3, 0L), 0L)
+    val v0 = r.store.currentVersion
+    val before = (0 until 10).map(i => rows(r.store.state(s"t$i").get))
+    r.store.beforeCommitHook =
+      () => throw new RuntimeException("injected crash")
+    intercept[RuntimeException](r.applyBatch(mutations(10, 1L), 1L))
+    // NOTHING moved: no table sees the half-applied batch — this is
+    // the torn window the per-table commit loop documents, closed
+    assert(r.store.currentVersion == v0)
+    assert((0 until 10).map(i => rows(r.store.state(s"t$i").get)) == before)
+    // the crashed segment was cleaned up (publish succeeded, so the
+    // failure path must reap it — nothing references it)
+    assert(Fs("", r).forall(f => !f.getName.startsWith("seg-v1")))
+    r.store.beforeCommitHook = () => ()
+    r.applyBatch(mutations(10, 1L), 1L)
+    assert(r.store.currentVersion.contains(1L))
+    assert(rows(r.store.state("t4").get).find(_._1 == 0L)
+      .exists(_._2 == "updated"))
+  }
+
+  test("a writer losing the fleet CAS surfaces a retryable conflict, " +
+      "its segment is reaped, and the retry commits on the new base") {
+    val root = freshDir("cstore-race")
+    val a = new ConsolidatedStore(spark, root, _ => Seq("id"))
+    val b = new ConsolidatedStore(spark, root, _ => Seq("id"))
+    a.applyBatch(inserts(6, 3, 0L), 0L)
+    // deterministic race: B commits version 1 while A sits between
+    // its segment publish and its CAS
+    a.beforeCommitHook = () => { b.applyBatch(mutations(6, 1L), 1L); () }
+    intercept[ConcurrentCommitException](
+      a.applyBatch(inserts(6, 1, 2L), 2L))
+    a.beforeCommitHook = () => ()
+    // B's commit is the visible version 1; A's segment is gone
+    assert(a.currentVersion.contains(1L))
+    assert(rows(a.state("t2").get).find(_._1 == 0L).exists(_._2 == "updated"))
+    // A retries on the new base and lands at version 2: its id-0 row
+    // (sort key 2) legitimately LWW-overwrites B's update (sort key
+    // 1), while B's id-1 tombstone — which A's batch never touched —
+    // survives: optimistic concurrency, no lost update
+    a.applyBatch(inserts(6, 1, 2L), 2L)
+    assert(a.currentVersion.contains(2L))
+    val t2 = rows(a.state("t2").get)
+    assert(t2.find(_._1 == 0L).exists(_._2 == "v2"))
+    assert(t2.find(_._1 == 1L).exists(_._3 == true))
+  }
+
+  test("widen-only drift applies fleet-wide (old segments null-fill); " +
+      "non-widening drift refuses") {
+    import spark.implicits._
+    val r = new CdcRouter(spark, freshDir("cstore-drift"), _ => Seq("id"),
+      consolidated = true)
+    r.applyBatch(inserts(6, 3, 0L), 0L)
+    val widened = spark.range(6L)
+      .select(concat(lit("t"), $"id").as("table_name"),
+        struct(lit(99L).as("id"), lit("x").as("val"),
+          lit(7L).as("extra")).as("row"),
+        lit("INSERT").as("op"), key(5L))
+    r.applyBatch(widened, 1L)
+    val st = r.store.state("t4").get
+    assert(st.columns.contains("extra"))
+    assert(st.filter($"id" === 99L).select($"extra").as[Long].head() == 7L)
+    assert(st.filter($"id" === 0L).select($"extra".isNull)
+      .as[Boolean].head(), "pre-drift rows must null-fill")
+    assert(r.store.ddlEvents.exists(_.contains("ALTER_TABLE")))
+    // type change is NOT widening — migration territory, fail loudly
+    val retyped = spark.range(6L)
+      .select(concat(lit("t"), $"id").as("table_name"),
+        struct(lit(1L).as("id"), lit(3.5).as("val")).as("row"),
+        lit("INSERT").as("op"), key(6L))
+    intercept[Exception](r.applyBatch(retyped, 2L))
+  }
+
+  test("mixed-PK fleets are refused (grouped partitioned apply is the " +
+      "path for those); bad table names are refused") {
+    import spark.implicits._
+    val s = new ConsolidatedStore(spark, freshDir("cstore-pk"),
+      n => if (n == "t0") Seq("val") else Seq("id"))
+    intercept[IllegalArgumentException](s.applyBatch(inserts(4, 2, 0L), 0L))
+    val s2 = new ConsolidatedStore(spark, freshDir("cstore-name"),
+      _ => Seq("id"))
+    val bad = spark.range(1).select(lit("..").as("table_name"),
+      struct(lit(0L).as("id"), lit("x").as("val")).as("row"),
+      lit("INSERT").as("op"), key(0L))
+    intercept[IllegalArgumentException](s2.applyBatch(bad, 0L))
+  }
+
+  test("time travel, compaction, and vacuum: stateAt reads old " +
+      "commits; compact folds scattered pointers into one segment " +
+      "without changing state; vacuum reaps unreferenced segments " +
+      "but never a fresh one") {
+    import spark.implicits._
+    val s = new ConsolidatedStore(spark, freshDir("cstore-maint"),
+      _ => Seq("id"))
+    s.applyBatch(inserts(6, 3, 0L), 0L)
+    // sparse touch: only table t2 — pointers now scatter across segs
+    val sparse = spark.range(1).select(lit("t2").as("table_name"),
+      struct(lit(0L).as("id"), lit("sparse").as("val")).as("row"),
+      lit("UPDATE").as("op"), key(1L))
+    s.applyBatch(sparse, 1L)
+    assert(rows(s.stateAt("t2", 0L).get).find(_._1 == 0L)
+      .exists(_._2 == "v2"), "time travel must read the old pointer set")
+    val beforeCompact = (0 until 6).map(i => rows(s.state(s"t$i").get))
+    assert(s.compact().contains(2L))
+    assert((0 until 6).map(i => rows(s.state(s"t$i").get)) == beforeCompact)
+    // all current pointers now name ONE segment
+    val c = s.readCommit(2L)
+    assert(c.entries.values.toSet.size == 1)
+    // vacuum(keep 1): the two pre-compaction segments are
+    // unreferenced; age-gate with a future cutoff so they qualify
+    val swept = s.vacuum(keepVersions = 1, maxAgeMs = -60000)
+    assert(swept.count(_.startsWith("seg-v")) == 2)
+    assert((0 until 6).map(i => rows(s.state(s"t$i").get)) == beforeCompact)
+    // a normal age gate spares everything fresh
+    assert(s.vacuum(keepVersions = 1).isEmpty)
+  }
+}

@@ -267,6 +267,42 @@ class RouterPartitionedApplySpec extends AnyFunSuite {
     assert(grouped.table("drift").state.get.columns.contains("extra"))
   }
 
+  test("suite-speed scale pin: at 256 tables the partitioned path " +
+      "engages and its steady-state batch runs well under the pool " +
+      "path's wall (eligibility/plan-shape regression guard)") {
+    val nT = 256
+    def run(minTables: Int): (CdcRouter, Double) = {
+      val r = new CdcRouter(spark,
+        Files.createTempDirectory(Paths.get("target"), "router-pin").toString,
+        _ => Seq("id"), numBuckets = 1,
+        partitionedApplyMinTables = minTables)
+      r.applyBatch(inserts(nT, 2, 0L), 0L) // create batch (warmup)
+      // best of two steady batches — the repeating regime, with the
+      // first-batch jitter (codegen, FS cache) amortized out
+      val walls = Seq(1L, 2L).map { seq =>
+        val t0 = System.nanoTime()
+        r.applyBatch(mutations(nT, seq), seq)
+        (System.nanoTime() - t0) / 1e9
+      }
+      (r, walls.min)
+    }
+    val (part, partSteady) = run(minTables = 1)
+    val (pool, poolSteady) = run(minTables = Int.MaxValue)
+    // the plan-shape half of the guard is deterministic: one group of
+    // 256 through the single-job path vs everything pooled
+    assert(part.lastApplyPlan._1.map(_.size) == Seq(nT))
+    assert(pool.lastApplyPlan._1.isEmpty &&
+      pool.lastApplyPlan._2.size == nT)
+    // the wall-clock half (RouterScale measures 3.0-3.6x at width;
+    // 0.5x leaves headroom for co-tenant noise while still failing
+    // fast if the partitioned path degenerates to per-table jobs)
+    assert(partSteady < poolSteady * 0.5,
+      f"partitioned steady $partSteady%.2f s vs pool $poolSteady%.2f s " +
+        "— single-job advantage lost")
+    // and the states agree, so the speed didn't come from skipping work
+    assert(stateOf(part, "t7") == stateOf(pool, "t7"))
+  }
+
   test("heterogeneous PKs keep the batch on the per-table path") {
     val root = Files.createTempDirectory(Paths.get("target"), "router-hpk")
     val r = new CdcRouter(spark, root.toString,

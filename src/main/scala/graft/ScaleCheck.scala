@@ -89,7 +89,11 @@ object ScaleCheck {
     // classifier filter, SQ8 compressed-scan ANN, perceptual dHash
     "d23_fuzzy_decontam", "t24_nb_filter", "s20_sq8", "m09_phash_pairs",
     "d24_pair_rank", "p05_stream_classify", "c23_model_ivm",
-    "d25_rank_canonical")
+    "d25_rank_canonical",
+    // round 12: count-only duplication reports — the claim is the
+    // wall at 100× is NO LONGER output-bound (m10's 19 M-pair
+    // relation collapses to per-doc degrees map-side)
+    "d26_dup_degree", "m12_phash_degree")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -190,6 +190,30 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-document near-dup DEGREE — the COUNT-ONLY form of
+    * [[minhashPairs]] for dedup REPORTS at 100 TB scale: a fleet-wide
+    * duplication report wants each document's partner count (or the
+    * cluster-size histogram built from it), not the pair RELATION,
+    * and the relation is the quadratic part — m10's 100× panel
+    * measured 19.0 M materialized pairs at ~2.1 µs/pair, pure output
+    * cost. Here the verified pair stream flows straight from the
+    * banded join into a partially-combined hash aggregate keyed by
+    * document id: map-side combine collapses the quadratic stream
+    * inside each task, the only shuffled/emitted relation is O(docs
+    * with a partner), and nothing pair-shaped is ever sorted, stored,
+    * or returned. Returns (id, dup_degree), dup_degree >= 1. */
+  def minhashDupDegrees(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      blockCols: Seq[String] = Nil): DataFrame =
+    minhashPairs(df, idCol, textCol, threshold, k, numHashes, bands,
+        blockCols)
+      // each verified pair contributes one partner to BOTH endpoints
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_degree"))
+
   /** BIPARTITE near-dup pairs: every (left, right) pair with exact
     * Jaccard >= threshold — the fuzzy-decontamination shape (corpus vs
     * a benchmark/eval set), where [[minhashPairs]] over the union
@@ -569,27 +593,62 @@ object Dedup {
     * (max bucket 4 docs on the same corpus). Same output contract as
     * [[hammingPairs]]: (a, b, hamming), each qualifying pair once. */
   def hammingPairsWide(sigs: DataFrame, maxHamming: Int,
-      nWords: Int = 16): DataFrame = {
+      nWords: Int = 16): DataFrame =
+    hammingPairStreamWide(sigs, maxHamming, nWords)
+
+  /** The qualifying-pair stream, EACH PAIR EXACTLY ONCE — a pair
+    * agreeing on several blocks is attributed to its FIRST agreeing
+    * block and dropped from every later block's row, as a per-row
+    * codegen predicate over the two sigs already in hand. This is the
+    * standard LSH once-per-pair trick, and it replaces the global
+    * pair-level `distinct()` the first version paid: at the m10 100×
+    * panel scale that distinct shuffled the ~19 M-pair relation (×
+    * its per-block duplicates) just to dedup it; the first-agree
+    * filter does the same work with ZERO extra shuffle. It also runs
+    * BEFORE the hamming distance, so duplicate candidates don't even
+    * pay the popcount. */
+  private def hammingPairStreamWide(sigs: DataFrame, maxHamming: Int,
+      nWords: Int): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks <= nWords,
       s"pigeonhole needs maxHamming + 1 <= nWords ($nBlocks > $nWords)")
     val bounds = (0 to nBlocks).map(i => i * nWords / nBlocks)
+    def blockOf(sig: Column, i: Int): Column =
+      slice(sig, bounds(i) + 1, bounds(i + 1) - bounds(i))
     val blocks = (0 until nBlocks).map { i =>
-      struct(lit(i).as("bi"),
-        slice(col("sig"), bounds(i) + 1, bounds(i + 1) - bounds(i))
-          .as("bv"))
+      struct(lit(i).as("bi"), blockOf(col("sig"), i).as("bv"))
     }
     val banded = sigs
       .filter(col("sig").isNotNull && size(col("sig")) === nWords)
       .select(col("id"), col("sig"),
         explode(array(blocks: _*)).as("b"))
     val l = banded.as("l"); val r = banded.as("r")
+    val firstAgreeIdx = array_position(
+      array((0 until nBlocks).map(i =>
+        blockOf(col("l.sig"), i) <=> blockOf(col("r.sig"), i)): _*),
+      true) - 1
     l.join(r, col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .filter(firstAgreeIdx === col("l.b.bi"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hammingWide(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can agree on several blocks; emit it once
   }
+
+  /** Per-item duplicate DEGREE for wide perceptual hashes — the
+    * count-only form of [[hammingPairsWide]] (see
+    * [[minhashDupDegrees]] for why reports want this at 100 TB: the
+    * pair RELATION is the output-bound part). The stream is already
+    * once-per-pair (first-agreeing-block attribution), so degrees are
+    * one map-side-combined count keyed by item id — the only shuffled
+    * relation is O(items with a partner); nothing pair-shaped is ever
+    * sorted, deduped globally, or emitted.
+    * Returns (id, dup_degree), dup_degree >= 1. */
+  def hammingDupDegreesWide(sigs: DataFrame, maxHamming: Int,
+      nWords: Int = 16): DataFrame =
+    hammingPairStreamWide(sigs, maxHamming, nWords)
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_degree"))
 
   // ---- dup-cluster resolution ----
 

@@ -160,6 +160,20 @@ object DedupQueries {
         .orderBy($"a", $"b")
     },
 
+    // ---- COUNT-ONLY duplication report: per-doc partner degree ----
+    // the aggregate form of d02 for the 100 TB report shape — the
+    // verified pair stream collapses into a map-side-combined count
+    // per document; the quadratic pair relation is never materialized
+    // (Dedup.minhashDupDegrees). Oracle: degrees derived from the same
+    // brute-force pair relation d02 is gated on.
+    "d26_dup_degree" -> { (s, d) =>
+      import s.implicits._
+      Dedup.minhashDupDegrees(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id".as("doc_id"), $"dup_degree")
+        .orderBy($"doc_id")
+    },
+
     // ---- STREAMING near-dup detection: d02 as a continuous ingest ----
     // the near-dup complement of p02's exact dedupe-at-the-door: as
     // documents land, shingle → MinHash → band buckets run stateless
@@ -781,6 +795,18 @@ object DedupQueries {
         |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
 
     "d02_minhash_pairs" -> bruteForcePairsSql,
+
+    // the count-only report must agree with the PAIR-RELATION
+    // aggregate: same brute-force pair set, folded to degrees
+    "d26_dup_degree" ->
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT a AS doc_id FROM p UNION ALL SELECT b AS doc_id FROM p)
+         |SELECT doc_id, COUNT(*) AS dup_degree FROM e
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the streaming detector must converge to the SAME pair set as
     // batch d02 — one oracle, two execution disciplines

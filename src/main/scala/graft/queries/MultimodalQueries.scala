@@ -324,6 +324,29 @@ object MultimodalQueries {
       graft.ops.Dedup.hammingPairsWide(sigs, maxHamming = 4, nWords = 16)
         .select($"a", $"b", $"hamming".cast("int").as("hamming"))
         .orderBy($"a", $"b")
+    },
+
+    // COUNT-ONLY perceptual-dup report: m10's banded join folded to a
+    // per-item DISTINCT-partner degree without the global pair-level
+    // distinct or any materialized pair relation
+    // (Dedup.hammingDupDegreesWide) — the 100 TB report shape where
+    // m10's output is the quadratic part. Oracle: degrees from m10's
+    // exact pair relation.
+    "m12_phash_degree" -> { (s, d) =>
+      import s.implicits._
+      val media = load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(length($"text") >= 189)
+        .select($"doc_id",
+          concat(lit("P6\n17 16\n255\n".getBytes("US-ASCII")),
+            encode(substring(repeat(substring(
+                regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+                1, 189), 5), 1, 816), "UTF-8")).as("payload"))
+      val sigs = Multimodal.dhashWideOf(media, "doc_id", "payload")
+      graft.ops.Dedup.hammingDupDegreesWide(sigs, maxHamming = 4,
+          nWords = 16)
+        .select($"id".as("doc_id"), $"dup_degree")
+        .orderBy($"doc_id")
     }
   )
 
@@ -462,6 +485,41 @@ object MultimodalQueries {
         |  FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id)
         |SELECT a, b, hamming FROM pairs
         |WHERE hamming <= 4 ORDER BY a, b""".stripMargin,
+
+    "m12_phash_degree" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substring(repeat(substring(
+        |      regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |      1, 189), 5), 1, 816) AS raster
+        |  FROM documents WHERE length(text) >= 189),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 272),
+        |      k -> ascii(substring(raster, CAST(3*k+1 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+2 AS INT), 1))
+        |         + ascii(substring(raster, CAST(3*k+3 AS INT), 1))) AS gray
+        |  FROM p),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16), r ->
+        |      CAST(list_sum(list_transform(range(0, 16),
+        |        c -> CASE WHEN gray[CAST(r*17 + c + 1 AS INT)]
+        |                     > gray[CAST(r*17 + c + 2 AS INT)]
+        |             THEN (1::BIGINT << CAST(c AS INT)) ELSE 0 END))
+        |        AS BIGINT)) AS sig
+        |  FROM g),
+        |pairs AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      i -> bit_count(xor(l.sig[CAST(i AS INT)],
+        |                         r.sig[CAST(i AS INT)]))))
+        |      AS INT) AS hamming
+        |  FROM hsh l JOIN hsh r ON l.doc_id < r.doc_id),
+        |q AS (SELECT a, b FROM pairs WHERE hamming <= 4),
+        |e AS (SELECT a AS doc_id FROM q UNION ALL SELECT b AS doc_id FROM q)
+        |SELECT doc_id, COUNT(*) AS dup_degree FROM e
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m07_media_shards" ->
       """WITH c AS (

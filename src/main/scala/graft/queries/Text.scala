@@ -315,6 +315,20 @@ object Text {
         .orderBy($"doc_id")
     },
 
+    // ---- BPE merge-loop TRAINER (t15 is the one-round count) ----
+    // count → merge argmax pair → re-segment, k rounds: the corpus is
+    // read once (word-frequency aggregate), every round then works on
+    // the vocabulary relation with the 1-row merge rule broadcast
+    // back as literals (ops/Bpe.scala). The DuckDB oracle REPLAYS all
+    // k rounds exactly (generated CTE chain incl. the run-parity
+    // re-segmentation), so argmax, tie-breaks, and the
+    // leftmost-non-overlapping merge scan are all gated.
+    "t25_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      graft.ops.Bpe.train(load(s, d, "documents"), "text", rounds = 4)
+        .orderBy($"round")
+    },
+
     // ---- term-blocklist filter (profanity/spam/marker terms) ----
     // the other standard corpus gate next to t08's quality score: drop
     // any document containing a blocklisted token. Expression-only
@@ -820,6 +834,8 @@ object Text {
         |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
         |FROM toks JOIN tf USING (tk), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t25_bpe_train" -> graft.ops.Bpe.oracleSql(rounds = 4),
 
     "t15_bpe_count" ->
       """SELECT doc_id,

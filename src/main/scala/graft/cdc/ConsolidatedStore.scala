@@ -317,10 +317,16 @@ class ConsolidatedStore(
       (b, seg)
     }.toSeq
     if (mine.isEmpty) None
-    else Some(mine.groupBy(_._2).map { case (seg, pairs) =>
-      readSeg(c, seg).filter(col("table_name") === table &&
-        col("_bucket").isin(pairs.map(_._1): _*))
-    }.reduce(_ unionByName _).drop("table_name", "_bucket"))
+    else {
+      // one footer probe for the sort-key shape, shared by every
+      // segment group this read unions
+      val schema = segSchema(c.payload, sortKeyTypeOf(c))
+      Some(mine.groupBy(_._2).map { case (seg, pairs) =>
+        spark.read.schema(schema).parquet(s"$path/$seg")
+          .filter(col("table_name") === table &&
+            col("_bucket").isin(pairs.map(_._1): _*))
+      }.reduce(_ unionByName _).drop("table_name", "_bucket"))
+    }
   }
 
   /** Fleet-wide current state (all tables, `table_name` kept) — the
@@ -341,9 +347,6 @@ class ConsolidatedStore(
       .drop("_seg")
   }
 
-  private def readSeg(c: Commit, seg: String): DataFrame =
-    spark.read.schema(segSchema(c.payload, sortKeyTypeOf(c)))
-      .parquet(s"$path/$seg")
 
   // the sort-key struct shape is decode-defined; recover it from any
   // committed segment's footer once per read call (driver-side, one

@@ -63,10 +63,19 @@ object RouterScale {
       val rowsPer = totalRows / t
       val root = Files.createTempDirectory(Paths.get("target"),
         s"rscale-$mode-$t").toString
-      val router = new CdcRouter(spark, root, _ => Seq("id"),
+      // "mixed"/"mixedpool": a HETEROGENEOUS fleet — half the tables
+      // keyed (id), half (id, val) — measuring the grouped
+      // partitioned apply (one single-job apply per PK-signature
+      // group = 2 jobs) against the pool fallback such a fleet used
+      // to take (O(tables) jobs)
+      val pkFor: String => Seq[String] =
+        if (mode.startsWith("mixed"))
+          n => if (n.drop(1).toInt % 2 == 0) Seq("id") else Seq("id", "val")
+        else _ => Seq("id")
+      val router = new CdcRouter(spark, root, pkFor,
         numBuckets = 1,
         partitionedApplyMinTables =
-          if (mode == "partitioned") 1 else Int.MaxValue,
+          if (mode == "partitioned" || mode == "mixed") 1 else Int.MaxValue,
         consolidated = mode == "consolidated")
       // batch 0: creates; batch 1+: steady-state merge (the regime
       // that repeats every 30 s trigger — the number that matters)

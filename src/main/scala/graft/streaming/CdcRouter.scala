@@ -137,13 +137,33 @@ class CdcRouter(
       val (groups, poolNames) =
         if (names.isEmpty) (Nil, Nil) else planApply(events, names)
       lastApplyPlan = (groups, poolNames)
-      groups.foreach { g =>
+      def applyGroup(g: Seq[String]): Unit = {
         // the common homogeneous fleet is ONE group == the whole
         // batch: skip the routing filter so the plan is unchanged
         val scopedToGroup =
           if (g.length == names.length) events
           else events.filter(col("table_name").isin(g: _*))
         applyBatchPartitioned(scopedToGroup, g, batchId)
+      }
+      if (groups.length == 1) applyGroup(groups.head)
+      else if (groups.nonEmpty) {
+        // groups touch DISJOINT table sets, so their single-job
+        // applies are independent — overlap them (each job's wall is
+        // part driver-side commit loop, which would otherwise
+        // serialize; same settle-all discipline as the pool below)
+        val gPool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, groups.length))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(gPool)
+          val settled = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(groups.map(g =>
+              scala.concurrent.Future(applyGroup(g))
+                .transform(t => scala.util.Success(t)))),
+            scala.concurrent.duration.Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          ()
+        } finally gPool.shutdown()
       }
       if (poolNames.nonEmpty) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(

@@ -92,8 +92,9 @@ object ScaleCheck {
     "d25_rank_canonical",
     // round 12: count-only duplication reports — the claim is the
     // wall at 100× is NO LONGER output-bound (m10's 19 M-pair
-    // relation collapses to per-doc degrees map-side)
-    "d26_dup_degree", "m12_phash_degree")
+    // relation collapses to per-doc degrees map-side) — and the BPE
+    // trainer, whose rounds are vocab-bound after one corpus pass
+    "d26_dup_degree", "m12_phash_degree", "t25_bpe_train")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

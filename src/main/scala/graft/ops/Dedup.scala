@@ -825,11 +825,20 @@ object Dedup {
       explode(array(
         simhashBandExprs(col("sig"), nBlocks, sigBits): _*)).as("b"))
     val l = banded.as("l"); val r = banded.as("r")
+    // once-per-pair by FIRST-agreeing-block attribution (the
+    // hammingPairsWide discipline): a per-row predicate over the two
+    // sigs replaces the global pair-level distinct — no pair-relation
+    // shuffle, and duplicate candidates never pay the popcount
+    val firstAgreeIdx = array_position(
+      array(simhashBandExprs(col("l.sig"), nBlocks, sigBits)
+        .zip(simhashBandExprs(col("r.sig"), nBlocks, sigBits))
+        .map { case (lb, rb) => lb("bv") <=> rb("bv") }: _*),
+      true) - 1
     l.join(r, col("l.b") === col("r.b") && col("l.id") < col("r.id"))
+      .filter(firstAgreeIdx === col("l.b.bi"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         hamming(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct() // a pair can agree on several blocks; emit it once
   }
 
   // ---- semantic dedup (SemDeDup: Abbas et al. 2023, arXiv:2303.09540) ----

@@ -209,6 +209,77 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s2.applyBatch(bad, 0L))
   }
 
+  /** Rewrite a fixture avro container with `source_metadata.table`
+    * replaced (the AllowlistRouterSpec helper) — synthesizes a second
+    * table's change files from the HR.EMPLOYEES fixtures. */
+  private def retable(src: String, dst: java.nio.file.Path,
+      table: String): Unit = {
+    import org.apache.avro.file.{DataFileStream, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val in = new java.io.FileInputStream(src)
+    val r = new DataFileStream[GenericRecord](
+      in, new GenericDatumReader[GenericRecord]())
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](r.getSchema))
+    w.create(r.getSchema, dst.toFile)
+    try {
+      while (r.hasNext) {
+        val rec = r.next()
+        rec.get("source_metadata").asInstanceOf[GenericRecord]
+          .put("table", table)
+        w.append(rec)
+      }
+    } finally { w.close(); r.close(); in.close() }
+  }
+
+  test("streaming e2e into the consolidated store: readStream → " +
+      "foreachBatch → one CAS per batch; checkpointed restart " +
+      "processes only new files, exactly once") {
+    import graft.sources.DatastreamAvro
+    val fixtures = "/root/reference/src/test/resources"
+    val root = Files.createTempDirectory(Paths.get("target"), "cstore-e2e")
+    val src = root.resolve("in"); Files.createDirectories(src)
+    val ckpt = root.resolve("ckpt").toString
+    def drop(fixture: String, as: String): Unit = {
+      Files.copy(Paths.get(s"$fixtures/$fixture"), src.resolve(as))
+      ()
+    }
+    // phase 1: EMPLOYEES dump + a second table's history (multiplexed)
+    drop("dump.avro", "b1_oracle-backfill_0_0.avro")
+    retable(s"$fixtures/insert.avro",
+      src.resolve("b1_oracle-cdc-logminer_0_1.avro"), "DEPARTMENTS")
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+    val r = new CdcRouter(spark, root.resolve("store").toString,
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2, databaseName = "xe",
+      consolidated = true)
+    val q1 = r.start(s"$src/*.avro", schema, ckpt)
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    assert(r.store.knownTables == Seq("DEPARTMENTS", "EMPLOYEES"))
+    assert(r.store.state("EMPLOYEES").get.count() == 108)
+    assert(r.store.state("DEPARTMENTS").get.count() == 1)
+    val v1 = r.store.currentVersion.get
+    // phase 2: late CDC files; NEW stream instance, SAME checkpoint
+    drop("update.avro", "b1_oracle-cdc-logminer_0_2.avro")
+    drop("update-pk.avro", "b1_oracle-cdc-logminer_0_3.avro")
+    drop("delete.avro", "b1_oracle-cdc-logminer_0_4.avro")
+    val q2 = r.start(s"$src/*.avro", schema, ckpt)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val emp = r.store.state("EMPLOYEES").get.collect()
+      .map(x => x.getAs[Long]("EMPLOYEE_ID") -> x).toMap
+    assert(emp(210L).getAs[Boolean]("_is_deleted"))
+    assert(!emp(211L).getAs[Boolean]("_is_deleted"))
+    // exactly once across the restart: 108 dump + 210 + 211
+    assert(r.store.state("EMPLOYEES").get.count() == 110)
+    assert(r.store.state("DEPARTMENTS").get.count() == 1)
+    // each micro-batch committed as ONE fleet version
+    assert(r.store.currentVersion.get > v1)
+    // phase 3: nothing new → no new commit
+    val v2 = r.store.currentVersion
+    val q3 = r.start(s"$src/*.avro", schema, ckpt)
+    q3.processAllAvailable(); q3.stop(); q3.awaitTermination()
+    assert(r.store.currentVersion == v2)
+  }
+
   test("time travel, compaction, and vacuum: stateAt reads old " +
       "commits; compact folds scattered pointers into one segment " +
       "without changing state; vacuum reaps unreferenced segments " +

@@ -357,6 +357,113 @@ class ConsolidatedStore(
     spark.read.parquet(s"$path/$seg").schema("_sort_key").dataType
   }
 
+  /** Post-image change feed for one table at commit `v` — the same
+    * contract as [[CdcTable.changeFeed]], so IVM consumers keep
+    * working when a fleet moves to the consolidated layout. Cost is
+    * bounded by the COMMIT, not the table: only this table's buckets
+    * RE-POINTED at `v` are read (their `v` and `v-1` segments,
+    * pruned by the pushed table/bucket predicates) — carried-forward
+    * buckets never scan. Version 0 (or a table's first appearance)
+    * is the initial snapshot. None if `v` (or its pre-image commit)
+    * was vacuumed. */
+  def changeFeed(table: String, v: Long): Option[DataFrame] =
+    feedInputs(table, v).map {
+      case (post, None) => post
+      case (post, Some(pre)) =>
+        val c = readCommit(v)
+        val pk = c.pk
+        val post0 = post.as("n")
+        val prev0 = pre.select(
+          (pk.map(col) :+ col("_sort_key") :+ col("_is_deleted")): _*)
+          .as("o")
+        val joinCond = pk.map(x => col(s"n.$x") <=> col(s"o.$x"))
+          .reduce(_ && _)
+        post0.join(prev0, joinCond, "left_outer")
+          .filter(col("o._sort_key").isNull ||
+            !(col("n._sort_key") <=> col("o._sort_key")) ||
+            !(col("n._is_deleted") <=> col("o._is_deleted")))
+          .select(post.columns.map(x => col(s"n.$x")): _*)
+    }
+
+  /** CDF-style feed (pre- AND post-images tagged `_change_type`) —
+    * [[CdcTable.changeFeedCdf]]'s row set over the consolidated
+    * layout: insert / update_preimage / update_postimage / delete,
+    * tombstone rewrites invisible. Same commit-bounded pruning as
+    * [[changeFeed]]. */
+  def changeFeedCdf(table: String, v: Long): Option[DataFrame] =
+    feedInputs(table, v).map {
+      case (post, None) =>
+        post.filter(!col("_is_deleted"))
+          .withColumn("_change_type", lit("insert"))
+      case (post, Some(pre)) =>
+        val pk = readCommit(v).pk
+        val cols = post.columns
+        val joined = post.as("n").join(pre.as("o"),
+          pk.map(x => col(s"n.$x") <=> col(s"o.$x")).reduce(_ && _),
+          "left_outer")
+          .filter(col("o._sort_key").isNull ||
+            !(col("n._sort_key") <=> col("o._sort_key")) ||
+            !(col("n._is_deleted") <=> col("o._is_deleted")))
+        // widen-only drift: pre-image segments read under the widened
+        // schema already null-fill, so both sides share one column set
+        val oldLive = col("o._sort_key").isNotNull && !col("o._is_deleted")
+        val postImg = joined.filter(!col("n._is_deleted"))
+          .select(cols.map(x => col(s"n.$x")) :+
+            when(oldLive, lit("update_postimage"))
+              .otherwise(lit("insert")).as("_change_type"): _*)
+        val preImg = joined.filter(oldLive)
+          .select(cols.map(x => col(s"o.$x")) :+
+            when(col("n._is_deleted"), lit("delete"))
+              .otherwise(lit("update_preimage")).as("_change_type"): _*)
+        postImg.unionByName(preImg)
+    }
+
+  /** (post, pre) bucket reads for the table's pairs RE-POINTED at
+    * commit `v` — the shared pruning for both feed flavors. None when
+    * `v`/`v-1` is unreadable or nothing re-pointed for this table.
+    * `pre` is None for the table's first appearance. */
+  private def feedInputs(table: String, v: Long)
+      : Option[(DataFrame, Option[DataFrame])] = {
+    if (!Files.exists(dir.resolve(commitName(v)))) return None
+    val c = readCommit(v)
+    val mine = c.entries.collect { case ((t, b), seg) if t == table =>
+      b -> seg
+    }
+    if (mine.isEmpty) return None
+    if (v == 0) return stateAt(table, 0L).map(df => (df, None))
+    if (!Files.exists(dir.resolve(commitName(v - 1)))) return None
+    val prev = readCommit(v - 1)
+    val repointed = mine.filter { case (b, seg) =>
+      !prev.entries.get((table, b)).contains(seg)
+    }.toSeq
+    if (repointed.isEmpty)
+      // a commit that didn't touch this table: empty feed, correct
+      // shape (read one bucket's post dir, filter to nothing)
+      return stateAt(table, v).map(df => (df.limit(0), None))
+    val schema = segSchema(c.payload, sortKeyTypeOf(c))
+    def readPairs(pairs: Seq[(Int, String)]): DataFrame =
+      pairs.groupBy(_._2).map { case (seg, ps) =>
+        spark.read.schema(schema).parquet(s"$path/$seg")
+          .filter(col("table_name") === table &&
+            col("_bucket").isin(ps.map(_._1): _*))
+      }.reduce(_ unionByName _).drop("table_name", "_bucket")
+    val post = readPairs(repointed)
+    val prePairs = repointed.flatMap { case (b, _) =>
+      prev.entries.get((table, b)).map(b -> _)
+    }
+    val pre =
+      if (prePairs.isEmpty) None
+      else {
+        val preSchema = segSchema(c.payload, sortKeyTypeOf(prev))
+        Some(prePairs.groupBy(_._2).map { case (seg, ps) =>
+          spark.read.schema(preSchema).parquet(s"$path/$seg")
+            .filter(col("table_name") === table &&
+              col("_bucket").isin(ps.map(_._1): _*))
+        }.reduce(_ unionByName _).drop("table_name", "_bucket"))
+      }
+    Some((post, pre))
+  }
+
   /** Fold every table's live pointer set into ONE fresh segment — the
     * maintenance pass for sparse-touch fleets whose pointers scatter
     * across many old segments (read amplification grows with scatter;

@@ -209,6 +209,44 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s2.applyBatch(bad, 0L))
   }
 
+  test("change feeds (post-image and CDF) equal CdcTable's feeds " +
+      "version-for-version — IVM consumers can switch layouts") {
+    import spark.implicits._
+    val nT = 6
+    val cons = new CdcRouter(spark, freshDir("cstore-feed"), _ => Seq("id"),
+      numBuckets = 2, consolidated = true)
+    val pool = new CdcRouter(spark, freshDir("cstore-feedp"), _ => Seq("id"),
+      numBuckets = 2, partitionedApplyMinTables = Int.MaxValue)
+    for (r <- Seq(cons, pool)) {
+      r.applyBatch(inserts(nT, 4, 0L), 0L)
+      r.applyBatch(mutations(nT, 1L), 1L)
+    }
+    def feedRows(df: DataFrame): Seq[String] =
+      df.select($"id", $"val", $"_is_deleted")
+        .collect().map(_.toString).sorted.toSeq
+    def cdfRows(df: DataFrame): Seq[String] =
+      df.select($"id", $"val", $"_is_deleted", $"_change_type")
+        .collect().map(_.toString).sorted.toSeq
+    for (i <- 0 until nT; v <- 0L to 1L) {
+      val n = s"t$i"
+      assert(feedRows(cons.store.changeFeed(n, v).get) ==
+        feedRows(pool.table(n).changeFeed(v).get),
+        s"changeFeed diverged for $n@v$v")
+      assert(cdfRows(cons.store.changeFeedCdf(n, v).get) ==
+        cdfRows(pool.table(n).changeFeedCdf(v).get),
+        s"changeFeedCdf diverged for $n@v$v")
+    }
+    // feed volume is commit-bounded: v1 touched ids {0,1} per table
+    assert(cons.store.changeFeed("t2", 1L).get.count() <= 4)
+    // a commit that does not touch a table yields an EMPTY feed
+    val sparse = spark.range(1).select(lit("t0").as("table_name"),
+      struct(lit(0L).as("id"), lit("s2").as("val")).as("row"),
+      lit("UPDATE").as("op"), key(2L))
+    cons.applyBatch(sparse, 2L)
+    assert(cons.store.changeFeed("t3", 2L).get.count() == 0)
+    assert(cons.store.changeFeed("t0", 2L).get.count() == 1)
+  }
+
   /** Rewrite a fixture avro container with `source_metadata.table`
     * replaced (the AllowlistRouterSpec helper) — synthesizes a second
     * table's change files from the HR.EMPLOYEES fixtures. */

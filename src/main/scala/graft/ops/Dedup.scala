@@ -214,6 +214,20 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("dup_degree"))
 
+  /** [[minhashDupDegrees]] derived from the PERSISTED index
+    * (`buildNearDupIndex` / the d19 ingest loop's artifact) instead of
+    * re-shingling the corpus — the count-only report at the 100 TB
+    * operating point: stored buckets expand to candidates, stored
+    * member sets verify, and the verified stream collapses map-side
+    * into per-document degrees. No text touched, no pair relation
+    * materialized. */
+  def dupDegreesFromIndex(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    pairsFromIndex(spark, dir, threshold)
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("dup_degree"))
+
   /** BIPARTITE near-dup pairs: every (left, right) pair with exact
     * Jaccard >= threshold — the fuzzy-decontamination shape (corpus vs
     * a benchmark/eval set), where [[minhashPairs]] over the union

@@ -142,6 +142,16 @@ object DedupQueries {
        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
        |ORDER BY a, b""".stripMargin
 
+  private val bruteForceDegreeSql =
+    s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+       |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |e AS (SELECT a AS doc_id FROM p UNION ALL SELECT b AS doc_id FROM p)
+       |SELECT doc_id, COUNT(*) AS dup_degree FROM e
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- exact dedup by content fingerprint+metadata group ----
@@ -169,6 +179,18 @@ object DedupQueries {
     "d26_dup_degree" -> { (s, d) =>
       import s.implicits._
       Dedup.minhashDupDegrees(load(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select($"id".as("doc_id"), $"dup_degree")
+        .orderBy($"doc_id")
+    },
+
+    // ---- the same report at the 100 TB operating point: degrees
+    // derived from the PERSISTED near-dup index (stored buckets +
+    // member sets — no re-shingle, no pair materialization); must
+    // agree with d26's re-derive exactly ----
+    "d27_index_degree" -> { (s, d) =>
+      import s.implicits._
+      Dedup.dupDegreesFromIndex(s, nearDupIndexFixture(s, d),
           threshold = 0.8)
         .select($"id".as("doc_id"), $"dup_degree")
         .orderBy($"doc_id")
@@ -796,17 +818,12 @@ object DedupQueries {
 
     "d02_minhash_pairs" -> bruteForcePairsSql,
 
-    // the count-only report must agree with the PAIR-RELATION
-    // aggregate: same brute-force pair set, folded to degrees
-    "d26_dup_degree" ->
-      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM documents),
-         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |      FROM d a JOIN d b ON a.doc_id < b.doc_id
-         |      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-         |e AS (SELECT a AS doc_id FROM p UNION ALL SELECT b AS doc_id FROM p)
-         |SELECT doc_id, COUNT(*) AS dup_degree FROM e
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the count-only reports must agree with the PAIR-RELATION
+    // aggregate: same brute-force pair set, folded to degrees — one
+    // oracle for the re-derive form (d26) and the persisted-index
+    // form (d27), the d02/d18/d19 multi-discipline pattern
+    "d26_dup_degree" -> bruteForceDegreeSql,
+    "d27_index_degree" -> bruteForceDegreeSql,
 
     // the streaming detector must converge to the SAME pair set as
     // batch d02 — one oracle, two execution disciplines

@@ -89,7 +89,8 @@ class CdcRouter(
       new CdcTable(spark, s"$rootPath/$name", pkColsFor(name), numBuckets))
   }
 
-  def knownTables: Seq[String] = tables.keys.toSeq.sorted
+  def knownTables: Seq[String] =
+    if (consolidated) store.knownTables else tables.keys.toSeq.sorted
 
   /** Database-level DDL history (CREATE_DATABASE). */
   def databaseDdlEvents: Seq[String] =
@@ -123,9 +124,12 @@ class CdcRouter(
       else events0.filter(allowlist.filter(col("schema_name"), col("table_name")))
     if (consolidated) {
       // one merge job + ONE fleet-wide CAS; all-or-nothing visibility
-      // (the per-table commit loop's torn window doesn't exist here)
-      emitCreateDatabaseOnce()
+      // (the per-table commit loop's torn window doesn't exist here).
+      // CREATE_DATABASE keys off the store actually holding a commit,
+      // so an empty batch emits nothing — same contract as the
+      // per-table path's names.nonEmpty gate.
       store.applyBatch(scoped, batchId)
+      if (store.currentVersion.isDefined) emitCreateDatabaseOnce()
       return
     }
     val events = scoped.persist(

@@ -50,7 +50,10 @@ object RouterScale {
     // be a confounder. numBuckets = 1 — the many-small-tables regime
     // (a 4-bucket layout on a 20-row table is file fragmentation, not
     // parallelism).
-    val totalRows = 20480
+    // fixed per-batch volume; override to probe data-volume scaling
+    // at a fixed table count (e.g. SPARK_GRAFT_ROUTER_ROWS=204800)
+    val totalRows =
+      sys.env.getOrElse("SPARK_GRAFT_ROUTER_ROWS", "20480").toInt
     val (sizes, modes) = args.toSeq match {
       case Nil => (Seq(64, 256, 1024), Seq("pool", "partitioned",
         "consolidated"))

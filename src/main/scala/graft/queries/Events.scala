@@ -214,8 +214,8 @@ object Events {
       // staged corpus copy + sentinels memoized per sf-dir (Staging;
       // same discipline as q65 — the outer-join streaming run below
       // is the claim and stays fresh)
-      val stage = graft.util.Staging.once("q66",
-          d + "|" + graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
+      val stage = graft.util.Staging.once("q66", d,
+          graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
         val evRaw = load(s, d, "events")
         val mtime0 = System.currentTimeMillis() - 3600L * 1000
         // the corpus itself: one filesystem copy, no rewrite
@@ -394,8 +394,8 @@ object Events {
       // slices + sentinels are a pure function of the immutable
       // corpus); the watermark+append streaming run below — the
       // gate's claim — is fresh on every call
-      val stage = graft.util.Staging.once("q65",
-          d + "|" + graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
+      val stage = graft.util.Staging.once("q65", d,
+          graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
         val evd = ev(s, d).select($"user_id", $"t", $"value", $"ts_us")
         val mm = evd.agg(min($"ts_us"), max($"ts_us")).head()
         require(!mm.isNullAt(0),

@@ -300,8 +300,8 @@ object Pipeline {
       // the trained model sidecar is a pure function of the immutable
       // corpus split — train+save once per sf-dir (Staging); the
       // stream-scoring loop below is the gate's claim and runs fresh
-      val mdir = graft.util.Staging.once("nbmodel_p05",
-        d + "|" + graft.util.Staging.fingerprint(s"$d/documents.parquet")) { dir =>
+      val mdir = graft.util.Staging.once("nbmodel_p05", d,
+        graft.util.Staging.fingerprint(s"$d/documents.parquet")) { dir =>
         NbClassifier.save(NbClassifier.train(
           docs.filter($"doc_id" % 10 === 0), "doc_id", "text",
           targetPred = $"lang" === "en"), s"$dir/model")

@@ -32,21 +32,30 @@ object Staging {
       .mkString(",")
   }
 
-  def once(tag: String, key: String)
+  /** `pathKey` identifies the SOURCE (the sf dir) and names the stage
+    * dir; `fingerprint` identifies its CONTENT and is validated via a
+    * marker file — a regenerated corpus under the same path rebuilds
+    * in place (stale bytes never served), while fixtures for OTHER
+    * source dirs are untouched (no cross-sf ping-pong, no
+    * one-dir-per-generation accumulation). */
+  def once(tag: String, pathKey: String, fingerprint: String)
       (build: java.io.File => Unit): java.io.File = {
     val dir = new java.io.File(
-      s"target/${tag}_stage_${math.abs(key.hashCode.toLong)}")
+      s"target/${tag}_stage_${math.abs(pathKey.hashCode.toLong)}")
     val lock = locks.computeIfAbsent(dir.getPath, _ => new Object)
     lock.synchronized {
       val ok = new java.io.File(dir, "_STAGED_OK")
-      if (!ok.exists()) {
+      val fresh = ok.exists() &&
+        new String(java.nio.file.Files.readAllBytes(ok.toPath)) ==
+          fingerprint
+      if (!fresh) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(dir)
         dir.mkdirs()
         build(dir)
-        ok.createNewFile()
+        java.nio.file.Files.write(ok.toPath, fingerprint.getBytes)
         ()
       }
       dir

@@ -209,6 +209,58 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s2.applyBatch(bad, 0L))
   }
 
+  test("randomized batch sequences: consolidated ≡ pool state after " +
+      "every batch (sparse touches scatter pointers across segments), " +
+      "and compaction changes nothing") {
+    import spark.implicits._
+    val nT = 8
+    val cons = new CdcRouter(spark, freshDir("cstore-rand"), _ => Seq("id"),
+      numBuckets = 2, consolidated = true)
+    val pool = new CdcRouter(spark, freshDir("cstore-randp"), _ => Seq("id"),
+      numBuckets = 2, partitionedApplyMinTables = Int.MaxValue)
+    // deterministic LCG (no Random — reproducible)
+    var st = 987654321L
+    def next(n: Int): Int = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33) % n).toInt + n) % n
+    }
+    for (seq <- 0 until 5) {
+      // sparse touch: a random subset of tables, random ops/ids
+      val touched = (0 until nT).filter(_ => next(3) > 0)
+      val evRows = (for {
+        t <- touched
+        _ <- 0 until (1 + next(4))
+      } yield {
+        val id = next(6).toLong
+        val op = next(3) match {
+          case 0 => "INSERT"; case 1 => "UPDATE"; case 2 => "DELETE"
+        }
+        (s"t$t", id, s"b$seq-$id", op)
+      }).toSeq
+      if (evRows.nonEmpty) {
+        val batch = evRows.toDF("table_name", "id", "v", "op")
+          .select($"table_name",
+            struct($"id",
+              when($"op" === "DELETE", lit(null).cast("string"))
+                .otherwise($"v").as("val")).as("row"),
+            $"op", key(seq.toLong))
+        cons.applyBatch(batch, seq.toLong)
+        pool.applyBatch(batch, seq.toLong)
+        for (n <- cons.store.knownTables)
+          assert(rows(cons.store.state(n).get) ==
+            rows(pool.table(n).state.get),
+            s"diverged for $n after batch $seq")
+      }
+    }
+    // pointers now scatter across up to 5 segments; compact must be
+    // a pure physical rewrite
+    val before = cons.store.knownTables.map(n =>
+      n -> rows(cons.store.state(n).get))
+    cons.store.compact()
+    assert(cons.store.knownTables.map(n =>
+      n -> rows(cons.store.state(n).get)) == before)
+  }
+
   test("change feeds (post-image and CDF) equal CdcTable's feeds " +
       "version-for-version — IVM consumers can switch layouts") {
     import spark.implicits._

@@ -71,7 +71,10 @@ class ConsolidatedStore(
     spark: SparkSession,
     path: String,
     pkColsFor: String => Seq[String],
-    numBuckets: Int = 1) {
+    numBuckets: Int = 1,
+    checkpointInterval: Int = 8) {
+  require(checkpointInterval >= 1,
+    "checkpointInterval must be >= 1 (1 = every commit is a checkpoint)")
 
   def location: String = path
 
@@ -88,9 +91,16 @@ class ConsolidatedStore(
     }
 
   /** One committed fleet manifest: payload schema + (table, bucket) →
-    * segment-dir entries. */
+    * segment-dir entries. A DELTA commit's `entries` hold only the
+    * pairs RE-POINTED at this version (the Delta-log shape — the
+    * driver writes O(touched) bytes per trigger, not O(fleet));
+    * [[resolved]] overlays the chain back to the nearest checkpoint
+    * (a FULL commit) to recover the complete map. Header fields
+    * (version/pk/schema) are always current — only the entry list is
+    * partial. */
   private[graft] case class Commit(version: Long, pk: Seq[String],
-      payload: StructType, entries: Map[(String, Int), String]) {
+      payload: StructType, entries: Map[(String, Int), String],
+      delta: Boolean = false) {
     def tables: Seq[String] = entries.keys.map(_._1).toSeq.distinct.sorted
   }
 
@@ -108,18 +118,60 @@ class ConsolidatedStore(
     }
     val payload = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
+    // absent "delta" key = full manifest, so pre-delta commit files
+    // (and compact()'s checkpoints) read unchanged
+    val delta = header.contains("\"delta\": true")
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
       val eq = l.lastIndexOf('=')
       val slash = l.lastIndexOf('/', eq)
       ((l.substring(0, slash), l.substring(slash + 1, eq).toInt),
         l.substring(eq + 1))
     }.toMap
-    Commit(v, pk, payload, entries)
+    Commit(v, pk, payload, entries, delta)
+  }
+
+  /** Newest resolved commit, cached: commit files are immutable once
+    * CAS'd, so a (version → entries) memo can never go stale; keeping
+    * only the newest bounds driver memory to one fleet map. The
+    * steady-state applyBatch chain hits this every trigger — the
+    * per-trigger resolution cost is ONE delta-file read, not a walk
+    * to the checkpoint. */
+  @volatile private var resolveCache: Option[Commit] = None
+
+  /** Complete (table, bucket) → segment map at version `v`: the
+    * commit itself if FULL, else the nearest checkpoint at or below
+    * `v` overlaid with every delta after it (newest wins). None when
+    * the chain is broken — `v` or an anchor link was vacuumed. */
+  private[graft] def resolved(v: Long): Option[Commit] = {
+    resolveCache.filter(_.version == v).orElse {
+      if (!Files.exists(dir.resolve(commitName(v)))) None
+      else {
+        val top = readCommit(v)
+        // collect the delta chain down to (and including) the anchor
+        var deltas = List(top)
+        var ok = true
+        while (ok && deltas.head.delta) {
+          val pv = deltas.head.version - 1
+          if (pv < 0 || !Files.exists(dir.resolve(commitName(pv)))) ok = false
+          else deltas = readCommit(pv) :: deltas
+        }
+        if (!ok) None
+        else {
+          val full = deltas.foldLeft(Map.empty[(String, Int), String]) {
+            (acc, c) => acc ++ c.entries
+          }
+          val r = top.copy(entries = full, delta = false)
+          if (currentVersion.contains(v)) resolveCache = Some(r)
+          Some(r)
+        }
+      }
+    }
   }
 
   private def writeCommit(c: Commit): Unit = {
     val header = s"""{"version": ${c.version}, "pk": ${
-      c.pk.map(p => s"\"$p\"").mkString("[", ",", "]")}, "schema": ${
+      c.pk.map(p => s"\"$p\"").mkString("[", ",", "]")}, ${
+      if (c.delta) "\"delta\": true, " else ""}"schema": ${
       c.payload.json}}"""
     val body = (header +: c.entries.toSeq.sortBy(e => (e._1._1, e._1._2))
       .map { case ((t, b), seg) => s"$t/$b=$seg" }).mkString("\n")
@@ -178,7 +230,12 @@ class ConsolidatedStore(
   }
 
   private def applyPersisted(events: DataFrame, batchId: Long): Long = {
-    val cur = currentVersion.map(readCommit)
+    val cur = currentVersion.map { v =>
+      resolved(v).getOrElse(throw new IllegalStateException(
+        s"consolidated store at version $v has a broken manifest chain " +
+          "(a checkpoint link was removed outside vacuum's retention " +
+          "rules) — cannot merge against unknown prior state"))
+    }
     val next = cur.map(_.version).getOrElse(-1L) + 1
     val incoming = events.schema("row").dataType.asInstanceOf[StructType]
     val sortKeyType = events.schema("sort_key").dataType
@@ -263,10 +320,19 @@ class ConsolidatedStore(
       Files.move(staging, dir.resolve(segName),
         StandardCopyOption.ATOMIC_MOVE)
       beforeCommitHook()
-      val newEntries = entries ++ touched.map { case (t, b) =>
+      val touchedEntries = touched.map { case (t, b) =>
         (t, b) -> segName
-      }
-      writeCommit(Commit(next, pk, payload, newEntries))
+      }.toMap
+      // Delta-log cadence: checkpoints (FULL manifests) every
+      // `checkpointInterval` commits bound the resolution chain;
+      // every other trigger writes only the touched pairs —
+      // O(touched) driver bytes, not O(fleet)
+      val checkpoint = cur.isEmpty || next % checkpointInterval == 0
+      writeCommit(
+        if (checkpoint) Commit(next, pk, payload, entries ++ touchedEntries)
+        else Commit(next, pk, payload, touchedEntries, delta = true))
+      resolveCache =
+        Some(Commit(next, pk, payload, entries ++ touchedEntries))
     } catch {
       case e: Throwable =>
         // loser/crasher cleanup: our segment is referenced by nothing
@@ -294,7 +360,7 @@ class ConsolidatedStore(
 
   /** Tables present in the current commit. */
   def knownTables: Seq[String] =
-    currentVersion.map(readCommit(_).tables).getOrElse(Nil)
+    currentVersion.flatMap(resolved).map(_.tables).getOrElse(Nil)
 
   def ddlEvents: Seq[String] =
     if (!Files.exists(dir.resolve("_ddl.jsonl"))) Nil
@@ -311,12 +377,16 @@ class ConsolidatedStore(
   /** Time travel: one table's state at commit `v` (None if the table
     * was unknown then or the commit was vacuumed). */
   def stateAt(table: String, v: Long): Option[DataFrame] = {
-    if (!Files.exists(dir.resolve(commitName(v)))) return None
-    val c = readCommit(v)
+    val c = resolved(v).getOrElse(return None)
     val mine = c.entries.collect { case ((t, b), seg) if t == table =>
       (b, seg)
     }.toSeq
-    if (mine.isEmpty) None
+    // an anchor-chain commit can outlive its segments (vacuum keeps
+    // the FILE for delta resolution, not the data): vacuumed → None,
+    // the same answer as a dropped commit
+    if (mine.isEmpty ||
+      !mine.map(_._2).distinct.forall(s => Files.exists(dir.resolve(s))))
+      None
     else {
       // one footer probe for the sort-key shape, shared by every
       // segment group this read unions
@@ -333,7 +403,8 @@ class ConsolidatedStore(
     * whole-store scan for maintenance/export: segments are read once
     * each, pointer-matched via one broadcast semi-join. */
   def stateAll: Option[DataFrame] = currentVersion.map { v =>
-    val c = readCommit(v)
+    val c = resolved(v).getOrElse(throw new IllegalStateException(
+      s"broken manifest chain at current version $v"))
     import spark.implicits._
     val wantedDf = c.entries.toSeq.map { case ((t, b), seg) => (t, b, seg) }
       .toDF("table_name", "_bucket", "_seg")
@@ -424,15 +495,13 @@ class ConsolidatedStore(
     * `pre` is None for the table's first appearance. */
   private def feedInputs(table: String, v: Long)
       : Option[(DataFrame, Option[DataFrame])] = {
-    if (!Files.exists(dir.resolve(commitName(v)))) return None
-    val c = readCommit(v)
+    val c = resolved(v).getOrElse(return None)
     val mine = c.entries.collect { case ((t, b), seg) if t == table =>
       b -> seg
     }
     if (mine.isEmpty) return None
     if (v == 0) return stateAt(table, 0L).map(df => (df, None))
-    if (!Files.exists(dir.resolve(commitName(v - 1)))) return None
-    val prev = readCommit(v - 1)
+    val prev = resolved(v - 1).getOrElse(return None)
     val repointed = mine.filter { case (b, seg) =>
       !prev.entries.get((table, b)).contains(seg)
     }.toSeq
@@ -440,6 +509,12 @@ class ConsolidatedStore(
       // a commit that didn't touch this table: empty feed, correct
       // shape (read one bucket's post dir, filter to nothing)
       return stateAt(table, v).map(df => (df.limit(0), None))
+    // vacuumed segments on either side → None (same as a dropped
+    // commit), never a mid-scan read error
+    val needed = (repointed.map(_._2) ++ repointed.flatMap { case (b, _) =>
+      prev.entries.get((table, b))
+    }).distinct
+    if (!needed.forall(s => Files.exists(dir.resolve(s)))) return None
     val schema = segSchema(c.payload, sortKeyTypeOf(c))
     def readPairs(pairs: Seq[(Int, String)]): DataFrame =
       pairs.groupBy(_._2).map { case (seg, ps) =>
@@ -470,7 +545,8 @@ class ConsolidatedStore(
     * compaction resets it to one segment). Commits like any batch:
     * one CAS, all-or-nothing. */
   def compact(): Option[Long] = currentVersion.map { v =>
-    val c = readCommit(v)
+    val c = resolved(v).getOrElse(throw new IllegalStateException(
+      s"broken manifest chain at current version $v"))
     val next = v + 1
     val all = stateAll.get
       .repartition(col("table_name"))
@@ -481,8 +557,12 @@ class ConsolidatedStore(
     try {
       Files.move(staging, dir.resolve(segName),
         StandardCopyOption.ATOMIC_MOVE)
-      writeCommit(Commit(next, c.pk, c.payload,
-        c.entries.map { case (k, _) => k -> segName }))
+      // compaction is always a checkpoint: one FULL manifest, every
+      // pointer on the fresh segment — the resolution chain restarts
+      val full = Commit(next, c.pk, c.payload,
+        c.entries.map { case (k, _) => k -> segName })
+      writeCommit(full)
+      resolveCache = Some(full)
     } catch {
       case e: Throwable =>
         Fs.deleteRecursively(dir.resolve(segName))
@@ -492,19 +572,84 @@ class ConsolidatedStore(
     next
   }
 
+  /** Sparse-touch read-amplification report — the signal that drives
+    * [[compact]] cadence, the way `VectorIndex.driftSignal` drives
+    * retrains. Driver-side FS metadata only (no Spark job):
+    *
+    *  - `segments`: distinct segment dirs the current pointer set
+    *    spans — every fleet-wide read opens all of them (1 right
+    *    after [[compact]]).
+    *  - `referencedBytes`: total bytes those segments hold — the scan
+    *    volume of [[stateAll]].
+    *  - `liveBytesEstimate`: per segment, bytes × (pairs still
+    *    pointed at it / pairs it carried when written — its creating
+    *    commit's own entry list; assumed fully live when that commit
+    *    file was vacuumed, which UNDER-estimates amplification,
+    *    never over).
+    *  - `amplification` = referencedBytes / liveBytesEstimate: how
+    *    many bytes a full read scans per live byte. Grows as sparse
+    *    touches strand stale copies in old segments.
+    *
+    * `needsCompact` when either bar is crossed. Bars are operator
+    * knobs like every maintenance cadence; the defaults say "reads
+    * span >16 files or scan >2 bytes per live byte". */
+  case class ScatterSignal(
+      segments: Int,
+      referencedBytes: Long,
+      liveBytesEstimate: Long,
+      amplification: Double,
+      needsCompact: Boolean)
+
+  def scatterSignal(maxSegments: Int = 16,
+      maxAmplification: Double = 2.0): Option[ScatterSignal] =
+    currentVersion.flatMap(resolved).map { c =>
+      val pointed = c.entries.groupBy(_._2).map { case (s, m) => s -> m.size }
+      val segBytes = pointed.keys.map(s => s -> Fs.sizeOf(dir.resolve(s)))
+        .toMap
+      val referenced = segBytes.values.sum
+      val live = pointed.map { case (seg, p) =>
+        val carried = "seg-v(\\d+)-".r.findFirstMatchIn(seg)
+          .map(_.group(1).toLong)
+          .filter(cv => Files.exists(dir.resolve(commitName(cv))))
+          .map(cv => readCommit(cv).entries.count(_._2 == seg))
+          .filter(_ > 0)
+          .getOrElse(p)
+        segBytes(seg) * (p.toDouble / carried)
+      }.sum.toLong
+      val amp = if (live <= 0L) 1.0 else referenced.toDouble / live
+      ScatterSignal(pointed.size, referenced, math.max(live, 1L), amp,
+        pointed.size > maxSegments || amp > maxAmplification)
+    }
+
   /** Delete segments unreferenced by the newest `keepVersions`
     * commits, plus orphaned staging dirs — age-gated (newest nested
     * mtime) so a LIVE writer's just-published segment awaiting its
     * CAS, or an in-flight staged write, is never swept. Old commit
     * files beyond the retention window are dropped too (time travel
-    * ends there, like CdcTable.vacuum). */
+    * ends there, like CdcTable.vacuum) — EXCEPT the delta chain
+    * anchoring the oldest kept version: a kept delta commit is only
+    * readable through its checkpoint, so retention extends down to
+    * that checkpoint (its intermediate deltas ride along; ≤
+    * `checkpointInterval` extra small files, never data). Referenced
+    * segments come from the RESOLVED maps — a delta commit's raw
+    * entry list names only the touched pairs, and the carried-forward
+    * pointers it inherits are live too. */
   def vacuum(keepVersions: Int = 1,
       maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = currentVersion match {
     case None => Nil
     case Some(v) =>
       val keep = (math.max(0L, v - keepVersions + 1) to v)
         .filter(k => Files.exists(dir.resolve(commitName(k))))
-      val referenced = keep.flatMap(k => readCommit(k).entries.values).toSet
+      val referenced = keep.flatMap(k =>
+        resolved(k).map(_.entries.values).getOrElse(Nil)).toSet
+      // anchor: walk the oldest kept version's delta chain to its
+      // checkpoint — every commit file at or above this stays
+      val anchor = {
+        var a = keep.head
+        while (a > 0 && Files.exists(dir.resolve(commitName(a))) &&
+          readCommit(a).delta) a -= 1
+        a
+      }
       val cutoff = System.currentTimeMillis() - maxAgeMs
       val removed = Fs.withListing(dir)(_.toSeq).filter { p =>
         val n = p.getFileName.toString
@@ -514,7 +659,7 @@ class ConsolidatedStore(
       val droppedCommits = Fs.withListing(dir)(_.toSeq).filter { p =>
         "commit-(\\d+)".r.findFirstMatchIn(p.getFileName.toString)
           .exists(m => m.matched == p.getFileName.toString &&
-            m.group(1).toLong < keep.head)
+            m.group(1).toLong < anchor)
       }.map { p => Files.deleteIfExists(p); p.getFileName.toString }
       (removed ++ droppedCommits).sorted
   }

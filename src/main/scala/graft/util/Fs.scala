@@ -37,6 +37,20 @@ private[graft] object Fs {
            _: java.io.UncheckedIOException => Long.MaxValue
     }
 
+  /** Total file bytes under `p` (0 if absent). Same vanished-entry
+    * tolerance as [[newestMtime]]: a concurrent delete mid-walk
+    * reports what was seen, never crashes a maintenance signal. */
+  def sizeOf(p: Path): Long =
+    try {
+      if (!Files.exists(p)) 0L
+      else if (!Files.isDirectory(p)) Files.size(p)
+      else withListing(p)(_.map(sizeOf).sum)
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.nio.file.DirectoryIteratorException |
+           _: java.io.UncheckedIOException => 0L
+    }
+
   def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       withListing(p)(_.toSeq).foreach(deleteRecursively)

@@ -370,6 +370,121 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     assert(r.store.currentVersion == v2)
   }
 
+  private def sparseTouch(t: Int, seq: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(1).select(lit(s"t$t").as("table_name"),
+      struct(lit(0L).as("id"), lit(s"s$seq").as("val")).as("row"),
+      lit("UPDATE").as("op"), key(seq))
+  }
+
+  test("delta-manifest cadence: between checkpoints a commit writes " +
+      "only the touched pairs (O(touched) driver bytes, the Delta-log " +
+      "shape); every reader resolves the chain and agrees with a " +
+      "checkpoint-every-commit store, cold-cache included") {
+    val root = freshDir("cstore-delta")
+    val s = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      numBuckets = 2, checkpointInterval = 4)
+    val ref = new ConsolidatedStore(spark, freshDir("cstore-deltaref"),
+      _ => Seq("id"), numBuckets = 2, checkpointInterval = 1)
+    for (st <- Seq(s, ref)) st.applyBatch(inserts(8, 3, 0L), 0L)
+    for (seq <- 1L to 6L; st <- Seq(s, ref))
+      st.applyBatch(sparseTouch((seq % 8).toInt, seq), seq)
+    // cadence: v0 full (first commit), v4 full (interval), rest delta
+    for (v <- 0L to 6L)
+      assert(s.readCommit(v).delta == (v != 0L && v != 4L),
+        s"commit $v cadence")
+    // O(touched): a one-pair batch's delta manifest carries ONE entry;
+    // the checkpoint carries the whole fleet's pointer map
+    assert(s.readCommit(3L).entries.size == 1)
+    assert(s.readCommit(4L).entries.size >= 8)
+    // every reader shape resolves the chain to the same answers as
+    // the full-manifest store: state, feeds, knownTables
+    assert(s.knownTables == ref.knownTables)
+    import spark.implicits._
+    def feedRows(df: DataFrame): Seq[String] =
+      df.select($"id", $"val", $"_is_deleted")
+        .collect().map(_.toString).sorted.toSeq
+    for (n <- s.knownTables) {
+      assert(rows(s.state(n).get) == rows(ref.state(n).get), s"state $n")
+      for (v <- 0L to 6L)
+        assert(s.changeFeed(n, v).map(feedRows) ==
+          ref.changeFeed(n, v).map(feedRows), s"feed $n@v$v")
+    }
+    // a FRESH instance (cold resolve cache) reads from files alone
+    val cold = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      numBuckets = 2, checkpointInterval = 4)
+    assert(rows(cold.state("t5").get) == rows(ref.state("t5").get))
+  }
+
+  test("vacuum keeps the delta chain anchoring the oldest kept " +
+      "version (kept deltas stay readable through their checkpoint), " +
+      "drops commits below the anchor, never strands a referenced " +
+      "segment") {
+    val root = freshDir("cstore-anchor")
+    val s = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      checkpointInterval = 4)
+    s.applyBatch(inserts(6, 2, 0L), 0L)
+    for (seq <- 1L to 6L) // touches t1,t2,t0,t1,t2,t0 — t3..t5 carried
+      s.applyBatch(sparseTouch((seq % 3).toInt, seq), seq)
+    val before = (0 until 6).map(i => rows(s.state(s"t$i").get))
+    val swept = s.vacuum(keepVersions = 1, maxAgeMs = -60000)
+    // keep head = v6 (delta) → anchor walks 6 → 5 → checkpoint 4:
+    // commits 0-3 drop, 4-6 stay (≤ interval extra small files)
+    assert((0L to 3L).forall(v => swept.contains(s"commit-$v")))
+    assert((4L to 6L).forall(v =>
+      Files.exists(Paths.get(root).resolve(s"commit-$v"))))
+    // a COLD instance reconstructs current state from files alone
+    val cold = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      checkpointInterval = 4)
+    assert((0 until 6).map(i => rows(cold.state(s"t$i").get)) == before)
+    // time travel below the anchor is gone; a kept delta version whose
+    // segments survived (t5's pointers are carried-forward, hence
+    // referenced by v6 too) still reads
+    assert(cold.stateAt("t5", 3L).isEmpty)
+    assert(cold.stateAt("t5", 5L).nonEmpty)
+  }
+
+  test("a manifest chain broken OUTSIDE vacuum's retention rules " +
+      "fails loudly — reads answer None, merges refuse (never a " +
+      "silent merge against unknown prior state)") {
+    val root = freshDir("cstore-broken")
+    val s = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      checkpointInterval = 100) // v0 full, everything after delta
+    s.applyBatch(inserts(4, 2, 0L), 0L)
+    s.applyBatch(mutations(4, 1L), 1L)
+    Files.delete(Paths.get(root).resolve("commit-0"))
+    val cold = new ConsolidatedStore(spark, root, _ => Seq("id"),
+      checkpointInterval = 100)
+    assert(cold.state("t1").isEmpty)
+    intercept[IllegalStateException](cold.applyBatch(mutations(4, 2L), 2L))
+  }
+
+  test("scatterSignal drives the compact cadence: a fresh store reads " +
+      "amplification 1; sparse touches strand stale copies until a " +
+      "bar trips; compact resets the signal") {
+    val s = new ConsolidatedStore(spark, freshDir("cstore-scatter"),
+      _ => Seq("id"))
+    s.applyBatch(inserts(6, 4, 0L), 0L)
+    val sig0 = s.scatterSignal().get
+    assert(sig0.segments == 1)
+    assert(sig0.amplification == 1.0)
+    assert(!sig0.needsCompact)
+    // four sparse touches on DIFFERENT tables scatter the pointer set
+    // across five segments; the untouched tables' rows in seg-v0 stay
+    // live but its touched tables' copies are stale bytes
+    for (seq <- 1L to 4L) s.applyBatch(sparseTouch((seq % 6).toInt, seq), seq)
+    val sig = s.scatterSignal(maxSegments = 3).get
+    assert(sig.segments == 5)
+    assert(sig.amplification > 1.0)
+    assert(sig.referencedBytes > sig.liveBytesEstimate)
+    assert(sig.needsCompact)
+    s.compact()
+    val sigC = s.scatterSignal(maxSegments = 3).get
+    assert(sigC.segments == 1)
+    assert(sigC.amplification == 1.0)
+    assert(!sigC.needsCompact)
+  }
+
   test("time travel, compaction, and vacuum: stateAt reads old " +
       "commits; compact folds scattered pointers into one segment " +
       "without changing state; vacuum reaps unreferenced segments " +

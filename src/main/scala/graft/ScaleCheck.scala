@@ -94,7 +94,11 @@ object ScaleCheck {
     // wall at 100× is NO LONGER output-bound (m10's 19 M-pair
     // relation collapses to per-doc degrees map-side) — and the BPE
     // trainer, whose rounds are vocab-bound after one corpus pass
-    "d26_dup_degree", "m12_phash_degree", "t25_bpe_train")
+    "d26_dup_degree", "m12_phash_degree", "t25_bpe_train",
+    // late round 12: BPE encode — vocabulary-bounded fold passes plus
+    // one corpus join; wall should track corpus size ~linearly with
+    // the vocab passes amortized
+    "t26_bpe_encode")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

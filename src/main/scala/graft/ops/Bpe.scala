@@ -39,6 +39,19 @@ import org.apache.spark.sql.functions._
   * rhs ASC, binary collation both here and in the SQL oracle). */
 object Bpe {
 
+  /** One merge rule applied as a leftmost-non-overlapping fold over a
+    * symbol array — the scan semantics both [[train]]'s
+    * re-segmentation and [[encode]] share (a freshly merged symbol
+    * never re-merges with the next token in the same pass). */
+  private def mergeFold(syms: org.apache.spark.sql.Column, l: String,
+      r: String): org.apache.spark.sql.Column =
+    aggregate(syms, lit(Array.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     // corpus pass: word frequencies (empty tokens from repeated
@@ -76,16 +89,8 @@ object Bpe {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((round, l, r, c))
-        val lLit = lit(l); val rLit = lit(r); val lrLit = lit(l + r)
         val old = vocab
-        vocab = vocab.withColumn("syms",
-          aggregate(col("syms"),
-            lit(Array.empty[String]),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                  element_at(acc, -1) === lLit && x === rLit,
-                concat(slice(acc, lit(1), size(acc) - 1), array(lrLit)))
-                .otherwise(concat(acc, array(x)))))
+        vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
           .localCheckpoint(true)
         old.unpersist()
         round += 1
@@ -96,6 +101,49 @@ object Bpe {
     merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
   }
 
+  /** ENCODE — apply a learned merge table to tokenize `docs`,
+    * completing the train → encode tokenizer pipeline. Rules apply in
+    * training order, each with [[mergeFold]]'s leftmost-
+    * non-overlapping scan, so on the training corpus the output
+    * reproduces the trainer's final vocabulary segmentation exactly
+    * (the t26 oracle), and unseen words tokenize the way any BPE
+    * runtime would.
+    *
+    * Scale shape: tokenization runs on the DISTINCT-WORD relation
+    * (vocabulary-bounded — k fold passes over words, localCheckpointed
+    * so plan depth stays O(1) in k), then one join carries
+    * word → tokens back onto the per-document word counts; the corpus
+    * is read once and never re-scanned per rule. The merge table
+    * itself lives in the plan as literals — the broadcast-the-model
+    * discipline every scoring op here uses.
+    *
+    * Returns `(idCol, token, n)` — the tokenization multiset per
+    * document. */
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("wn"))
+    var vocab = docWords.select(col("word")).distinct()
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    for ((l, r) <- merges) {
+      val old = vocab
+      vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, r))
+        .localCheckpoint(true)
+      old.unpersist()
+    }
+    // the final vocab stays checkpointed: the returned plan reads its
+    // blocks lazily (an eager unpersist here would drop them before
+    // the caller's action; session teardown reclaims them)
+    docWords.join(vocab, "word")
+      .select(col(idCol), explode(col("syms")).as("token"), col("wn"))
+      .groupBy(col(idCol), col("token")).agg(sum(col("wn")).as("n"))
+  }
+
   /** The DuckDB replay of [[train]] — k merge rounds expressed as
     * chained CTEs (pair count + argmax per round; re-segmentation via
     * the run-parity window trick: inside a maximal chain of eligible
@@ -104,6 +152,32 @@ object Bpe {
     * fold's leftmost-non-overlapping scan). Generated, not
     * hand-written, so the oracle replays EXACTLY k rounds. */
   def oracleSql(rounds: Int): String = {
+    val finalSelect = (1 to rounds).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS round, l AS lhs, r AS rhs,
+         |  CAST(c AS BIGINT) AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"${trainCtes(rounds)}\n$finalSelect\nORDER BY round"
+  }
+
+  /** The DuckDB replay of [[encode]] on the training corpus: the
+    * trained chain's final vocabulary v_k IS the encoding of every
+    * training word (same rules, same order, same scan), so the oracle
+    * joins per-document word counts to v_k and unnests — while the
+    * Spark side runs the real encoder path (fresh char split + k
+    * fold passes), making the gate an independent-construction
+    * equivalence, not a replay of itself. */
+  def encodeOracleSql(rounds: Int): String =
+    s"""${trainCtes(rounds)},
+       |dw AS (
+       |  SELECT doc_id, u AS word, COUNT(*) AS wn
+       |  FROM documents, unnest(string_split(text, ' ')) t(u)
+       |  WHERE len(u) >= 1 GROUP BY 1, 2)
+       |SELECT doc_id, tok AS token, CAST(SUM(wn) AS BIGINT) AS n
+       |FROM dw JOIN v$rounds USING (word), unnest(syms) u(tok)
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, token""".stripMargin
+
+  private def trainCtes(rounds: Int): String = {
     val init =
       """WITH w AS (
         |  SELECT u AS word, COUNT(*) AS cnt
@@ -142,10 +216,6 @@ object Bpe {
          |      FILTER (WHERE NOT prev_mrg) AS syms, cnt
          |  FROM u$k GROUP BY word, cnt)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val finalSelect = (1 to rounds).map { k =>
-      s"""SELECT CAST($k AS INTEGER) AS round, l AS lhs, r AS rhs,
-         |  CAST(c AS BIGINT) AS pair_count FROM m$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"$init$perRound\n$finalSelect\nORDER BY round"
+    s"$init$perRound"
   }
 }

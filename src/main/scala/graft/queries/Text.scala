@@ -329,6 +329,25 @@ object Text {
         .orderBy($"round")
     },
 
+    // ---- BPE ENCODE (t25's other half: train → tokenize) ----
+    // applies the learned merge table in training order over the
+    // DISTINCT-WORD relation (k codegen fold passes, vocabulary-
+    // bounded), then one join carries word → tokens back to per-doc
+    // counts. The oracle replays the trainer chain and reads the
+    // final vocabulary's segmentation — rule order + the leftmost-
+    // non-overlapping scan must reproduce it from a fresh char split,
+    // an independent-construction gate (BpeSpec pins unseen-word
+    // encoding against a driver-side reference).
+    "t26_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val docs = load(s, d, "documents")
+      val merges = graft.ops.Bpe.train(docs, "text", rounds = 4)
+        .orderBy($"round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Bpe.encode(docs, "text", "doc_id", merges)
+        .orderBy($"doc_id", $"token")
+    },
+
     // ---- term-blocklist filter (profanity/spam/marker terms) ----
     // the other standard corpus gate next to t08's quality score: drop
     // any document containing a blocklisted token. Expression-only
@@ -836,6 +855,8 @@ object Text {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t25_bpe_train" -> graft.ops.Bpe.oracleSql(rounds = 4),
+
+    "t26_bpe_encode" -> graft.ops.Bpe.encodeOracleSql(rounds = 4),
 
     "t15_bpe_count" ->
       """SELECT doc_id,

@@ -108,6 +108,74 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  // encode reference: the merge rules in training order, each a
+  // leftmost-non-overlapping scan — what any BPE runtime does
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) {
+      case (syms, (l, r)) => mergeScan(syms, l, r)
+    }
+
+  test("encode: per-doc token multiset equals the reference scan — " +
+      "training words AND unseen words (the generalization the " +
+      "t26 oracle can't see)") {
+    import spark.implicits._
+    val trainWords = Seq("aaaa", "abab", "abab", "baba", "aabb", "ab",
+      "aaab")
+    val merges = refTrain(trainWords, 4).map { case (_, l, r, _) =>
+      (l, r)
+    }
+    assert(merges.size == 4)
+    // unseen: longer runs, novel chars, a doc with repeated words and
+    // a double space (empty token drops on both sides)
+    val docs = Seq(
+      (1L, "aaaa abab xyz"),
+      (2L, "bbbb  aab abababa aab"),
+      (3L, "q")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "text", "doc_id", merges)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val want = Seq(
+      1L -> Seq("aaaa", "abab", "xyz"),
+      2L -> Seq("bbbb", "aab", "abababa", "aab"),
+      3L -> Seq("q")).flatMap { case (id, ws) =>
+        ws.flatMap(w => refEncode(w, merges))
+          .groupBy(identity).map { case (t, ts) => (id, t, ts.size.toLong) }
+      }.sorted
+    assert(got == want)
+  }
+
+  test("encode ≡ reference on pseudo-random corpora and rule tables " +
+      "across seeds (runs, ties, chained merges)") {
+    import spark.implicits._
+    var state = 777L
+    def next(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % n).toInt + n) % n
+    }
+    for (trial <- 0 until 2) {
+      val trainWords = (0 until 30).map { _ =>
+        (0 until (1 + next(5))).map(_ => "abc" (next(3))).mkString
+      }
+      val merges = refTrain(trainWords, 4).map { case (_, l, r, _) =>
+        (l, r)
+      }
+      val encWords = (0 until 25).map { _ =>
+        (0 until (1 + next(7))).map(_ => "abcd" (next(4))).mkString
+      }
+      val docs = encWords.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val got = Bpe.encode(docs, "text", "doc_id", merges)
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val want = encWords.grouped(5).zipWithIndex.flatMap {
+        case (ws, i) =>
+          ws.flatMap(w => refEncode(w, merges)).groupBy(identity)
+            .map { case (t, ts) => (i.toLong, t, ts.size.toLong) }
+      }.toSeq.sorted
+      assert(got == want, s"diverged on trial $trial")
+    }
+  }
+
   test("exhausted vocabulary stops early: fewer merges than rounds " +
       "when no pair remains") {
     // single-char words only — zero pairs, zero merges

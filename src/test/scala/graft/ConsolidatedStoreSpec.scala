@@ -485,6 +485,60 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     assert(!sigC.needsCompact)
   }
 
+  test("widen on a CONSOLIDATED router: mid-stream table addition " +
+      "backfills committed-but-undecoded history and converges to " +
+      "the from-scratch full-allowlist state (one fleet CAS per " +
+      "batch throughout)") {
+    import graft.cdc.TableAllowlist
+    import graft.sources.DatastreamAvro
+    import org.apache.spark.sql.streaming.Trigger
+    val fixtures = "/root/reference/src/test/resources"
+    val trig = Trigger.ProcessingTime(100L)
+    val src = Files.createTempDirectory(Paths.get("target"), "cwiden-src")
+    Files.copy(Paths.get(s"$fixtures/dump.avro"),
+      src.resolve("EMPLOYEES_0_dump.avro"))
+    retable(s"$fixtures/insert.avro",
+      src.resolve("DEPARTMENTS_0_hist.avro"), "DEPARTMENTS")
+    val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+    def tmp(tag: String) =
+      Files.createTempDirectory(Paths.get("target"), tag).toString
+    val r1 = new CdcRouter(spark, tmp("cwiden-root"),
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2,
+      allowlist = TableAllowlist(Seq("HR.EMPLOYEES")),
+      databaseName = "xe", filenameKeyed = true, consolidated = true)
+    val ckpt = tmp("cwiden-ckpt")
+    val q1 = r1.start(s"$src/*.avro", schema, ckpt, trigger = trig)
+    q1.processAllAvailable()
+    assert(r1.store.knownTables == Seq("EMPLOYEES"))
+    val (r2, q2) = r1.widen(Seq("HR.DEPARTMENTS"), q1, s"$src/*.avro",
+      schema, ckpt, trigger = trig)
+    Files.copy(Paths.get(s"$fixtures/update.avro"),
+      src.resolve("EMPLOYEES_1_upd.avro"))
+    retable(s"$fixtures/update.avro",
+      src.resolve("DEPARTMENTS_1_upd.avro"), "DEPARTMENTS")
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+    assert(r2.store.knownTables == Seq("DEPARTMENTS", "EMPLOYEES"))
+    val rb = new CdcRouter(spark, tmp("cwiden-ref"),
+      _ => Seq("EMPLOYEE_ID"), numBuckets = 2,
+      allowlist = TableAllowlist(Seq("HR.EMPLOYEES", "HR.DEPARTMENTS")),
+      databaseName = "xe", filenameKeyed = true, consolidated = true)
+    val qb = rb.start(s"$src/*.avro", schema, tmp("cwiden-refckpt"),
+      trigger = trig)
+    qb.processAllAvailable()
+    qb.stop(); qb.awaitTermination()
+    def state(r: CdcRouter, t: String): Seq[String] =
+      r.store.state(t).get
+        .select(col("EMPLOYEE_ID"), col("FIRST_NAME"), col("SALARY"),
+          col("_is_deleted"))
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    for (t <- Seq("DEPARTMENTS", "EMPLOYEES")) {
+      val got = state(r2, t)
+      assert(got.nonEmpty && got == state(rb, t),
+        s"$t diverged from the from-scratch consolidated run")
+    }
+  }
+
   test("time travel, compaction, and vacuum: stateAt reads old " +
       "commits; compact folds scattered pointers into one segment " +
       "without changing state; vacuum reaps unreferenced segments " +

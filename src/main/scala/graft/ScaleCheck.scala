@@ -97,8 +97,10 @@ object ScaleCheck {
     "d26_dup_degree", "m12_phash_degree", "t25_bpe_train",
     // late round 12: BPE encode — vocabulary-bounded fold passes plus
     // one corpus join; wall should track corpus size ~linearly with
-    // the vocab passes amortized
-    "t26_bpe_encode")
+    // the vocab passes amortized — and exact-substring coverage,
+    // whose window explode + gram group + join-back is linear in
+    // corpus windows (count-only, no pair relation)
+    "t26_bpe_encode", "d28_substring_coverage")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -1031,4 +1031,50 @@ object Dedup {
         col("cl").as("cl"))).getField("cl").as("cluster"))
     clusterGreedyStrict(emb, idCol, vecCol, asgn, tau)
   }
+
+  /** Per-document EXACT-substring duplication coverage — the removal
+    * signal of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", public method): for
+    * every document, how many of its k-token windows occur verbatim
+    * in at least one OTHER document. d10 reports the hottest shared
+    * grams corpus-wide; this is the per-document report a pipeline
+    * acts on (drop/trim docs past a dup_frac bar).
+    *
+    * Shape: one window explode (positions, not distinct grams —
+    * coverage counts every duplicated span), one map-side-combined
+    * group per gram whose ≥2-distinct-docs test is `min(doc) <>
+    * max(doc)` (no COUNT DISTINCT shuffle), one left join back, one
+    * per-doc count — no pair relation is ever materialized, the same
+    * count-only discipline as the dup-degree reports. With
+    * `hashWindows` the join/group key is `xxhash64(window)` instead
+    * of the window text (the 100 TB form: 8-byte keys in the
+    * shuffle; collision odds are birthday-in-2^64 — the report
+    * tolerates them, a collision can only overcount coverage by one
+    * window). The oracled entry keeps text keys so DuckDB replays
+    * byte-identically; DedupKernelSpec pins both forms equal. */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = false): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val wins = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " ")))
+        .as("g0"))
+      .withColumn("g",
+        if (hashWindows) xxhash64(col("g0")) else col("g0"))
+      .drop("g0")
+    val dup = wins.groupBy(col("g"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("dup"))
+      .filter(col("dup"))
+      .select(col("g"), lit(1).as("_dup"))
+    wins.join(dup, Seq("g"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_dup"), lit(0))).cast("long")
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
 }

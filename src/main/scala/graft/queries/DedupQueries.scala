@@ -196,6 +196,24 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- EXACT-substring duplication coverage per document ----
+    // the removal signal of exact-substring dedup (Lee et al. 2022):
+    // for every doc, the fraction of its 8-token windows that occur
+    // VERBATIM in another doc. d10 reports the hottest shared grams
+    // corpus-wide; this is the per-document report a pipeline ACTS on
+    // (drop/trim past a dup_frac bar). Count-only discipline: one
+    // window explode, min≠max per gram for the ≥2-distinct-docs test
+    // (no COUNT DISTINCT), one join back — no pair relation. The
+    // xxhash64-keyed scale form is pinned equal in DedupKernelSpec.
+    "d28_substring_coverage" -> { (s, d) =>
+      import s.implicits._
+      Dedup.substringDupStats(
+          load(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+    },
+
     // ---- STREAMING near-dup detection: d02 as a continuous ingest ----
     // the near-dup complement of p02's exact dedupe-at-the-door: as
     // documents land, shingle → MinHash → band buckets run stateless
@@ -824,6 +842,25 @@ object DedupQueries {
     // form (d27), the d02/d18/d19 multi-discipline pattern
     "d26_dup_degree" -> bruteForceDegreeSql,
     "d27_index_degree" -> bruteForceDegreeSql,
+
+    "d28_substring_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+        |    i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |d AS (
+        |  SELECT g, 1 AS _dup FROM w
+        |  GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id))
+        |SELECT w.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(SUM(_dup), 0) AS BIGINT) AS n_dup_windows,
+        |  round(CAST(COALESCE(SUM(_dup), 0) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_frac
+        |FROM w LEFT JOIN d USING (g)
+        |GROUP BY w.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the streaming detector must converge to the SAME pair set as
     // batch d02 — one oracle, two execution disciplines

@@ -735,4 +735,32 @@ class DedupKernelSpec extends AnyFunSuite {
       assert(math.abs(got(k) - j) < 1e-6, s"pair $k: got ${got(k)}, want $j")
     }
   }
+
+  test("substringDupStats: coverage equals a hand count (positions, " +
+      "not distinct grams; intra-doc repeats alone never count); the " +
+      "xxhash64-keyed scale form is identical") {
+    import spark.implicits._
+    // k=3 windows. doc 1 and 2 share "a b c" (and 2 repeats it twice:
+    // both positions count toward 2's coverage). doc 3's "x y z x y z"
+    // repeats a window INTRA-doc only — zero dup coverage. doc 4 is
+    // too short for any window.
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows: abc bcd cde → 1 dup (abc)
+      (2L, "a b c q a b c"),    // abc bcq cqa qab abc → 2 dup
+      (3L, "x y z x y z"),      // xyz yzx zxy xyz → 0 dup (same doc)
+      (4L, "p q")               // no windows → absent from output
+    ).toDF("doc_id", "text")
+    def run(hash: Boolean): Map[Long, (Long, Long, Double)] =
+      Dedup.substringDupStats(docs, "doc_id", "text", k = 3,
+          hashWindows = hash)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+    val got = run(hash = false)
+    assert(got == Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((5L, 2L, 0.4)),
+      3L -> ((4L, 0L, 0.0))))
+    assert(run(hash = true) == got)
+  }
 }

@@ -400,45 +400,61 @@ object Multimodal {
     Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
 
+  /** Shared RIFF/WAVE PCM header parse: `[channels, rate, bits,
+    * dataOff, dataLen]` with the full malformed-input contract
+    * (null), the one parsing of the wave grammar [[WavDecoder]] and
+    * [[WavFrameEnergies]] both read through — the [[ppmHeader]]
+    * discipline for audio. */
+  private[ops] def wavHeader(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length
+    def u8(i: Int) = bytes(i) & 0xFF
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String) =
+      bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+        bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+    if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var i = 12L
+    var fmtOk = false
+    var channels = 0; var rate = 0L; var bits = 0; var blockAlign = 0
+    var dataOff = -1L; var dataLen = 0L
+    while (i + 8 <= n) {
+      val body = i + 8
+      val sz = le32(i.toInt + 4)
+      if (tag(i.toInt, "fmt ")) {
+        if (sz < 16 || body + 16 > n) return null
+        if (le16(body.toInt) != 1) return null // PCM only
+        channels = le16(body.toInt + 2)
+        rate = le32(body.toInt + 4)
+        blockAlign = le16(body.toInt + 12)
+        bits = le16(body.toInt + 14)
+        fmtOk = true
+      } else if (tag(i.toInt, "data")) {
+        dataOff = body; dataLen = sz
+      }
+      i = body + sz + (sz & 1L) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || channels <= 0 || rate <= 0) return null
+    if (bits != 8 && bits != 16) return null
+    val bps = bits / 8
+    if (blockAlign != channels * bps) return null
+    if (dataOff + dataLen > n) return null
+    val nSamples = dataLen / bps
+    if (dataLen % bps != 0 || nSamples % channels != 0) return null
+    Array(channels.toLong, rate, bits.toLong, dataOff, dataLen)
+  }
+
   object WavDecoder extends MediaDecoder {
     def features(bytes: Array[Byte]): Array[Float] = {
-      val n = bytes.length
+      val h = wavHeader(bytes)
+      if (h == null) return null
+      val Array(channels, rate, bits, dataOff, dataLen) = h
       def u8(i: Int) = bytes(i) & 0xFF
       def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
-      def le32(i: Int): Long =
-        u8(i).toLong | (u8(i + 1).toLong << 8) |
-          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
-      def tag(i: Int, s: String) =
-        bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
-          bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
-      if (n < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return null
-      var i = 12L
-      var fmtOk = false
-      var channels = 0; var rate = 0L; var bits = 0; var blockAlign = 0
-      var dataOff = -1L; var dataLen = 0L
-      while (i + 8 <= n) {
-        val body = i + 8
-        val sz = le32(i.toInt + 4)
-        if (tag(i.toInt, "fmt ")) {
-          if (sz < 16 || body + 16 > n) return null
-          if (le16(body.toInt) != 1) return null // PCM only
-          channels = le16(body.toInt + 2)
-          rate = le32(body.toInt + 4)
-          blockAlign = le16(body.toInt + 12)
-          bits = le16(body.toInt + 14)
-          fmtOk = true
-        } else if (tag(i.toInt, "data")) {
-          dataOff = body; dataLen = sz
-        }
-        i = body + sz + (sz & 1L) // chunks are word-aligned
-      }
-      if (!fmtOk || dataOff < 0 || channels <= 0 || rate <= 0) return null
-      if (bits != 8 && bits != 16) return null
-      val bps = bits / 8
-      if (blockAlign != channels * bps) return null
-      if (dataOff + dataLen > n) return null
+      val bps = (bits / 8).toInt
       val nSamples = dataLen / bps
-      if (dataLen % bps != 0 || nSamples % channels != 0) return null
       val nFrames = nSamples / channels
       var sum = 0L
       var j = 0L
@@ -454,6 +470,47 @@ object Multimodal {
         else BigDecimal(sum.toDouble / (nSamples.toDouble * full))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
       Array(channels.toFloat, rate.toFloat, nFrames.toFloat, mean)
+    }
+  }
+
+  /** Per-frame PCM energy sums for audio fingerprinting: the sample
+    * stream splits into `frames` contiguous segments (floor
+    * boundaries — segment f covers samples [f·n/F, (f+1)·n/F)) and
+    * each reports its EXACT integer sum of absolute amplitudes
+    * (|v−128| for 8-bit, |v| for 16-bit). Raw long sums, not
+    * normalized means: the fingerprint downstream compares
+    * NEIGHBORING frames, and integer sums make that comparison
+    * engine-exact (a rounded float mean could flip a near-tie bit
+    * between engines). Exact while a frame's sum < 2²⁴ (float32
+    * mantissa) — ~130 k samples/frame at 8-bit full scale, far above
+    * the fingerprint's operating shape. Same null contract as
+    * [[WavDecoder]]. */
+  case class WavFrameEnergies(frames: Int) extends MediaDecoder {
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val h = wavHeader(bytes)
+      if (h == null) return null
+      val Array(_, _, bits, dataOff, dataLen) = h
+      def u8(i: Int) = bytes(i) & 0xFF
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val bps = (bits / 8).toInt
+      val nSamples = (dataLen / bps).toInt
+      val out = new Array[Float](frames)
+      var f = 0
+      while (f < frames) {
+        val lo = (f.toLong * nSamples / frames).toInt
+        val hi = ((f + 1).toLong * nSamples / frames).toInt
+        var sum = 0L
+        var j = lo
+        while (j < hi) {
+          val off = (dataOff + j.toLong * bps).toInt
+          sum += (if (bits == 8) math.abs(u8(off) - 128)
+                  else math.abs(le16(off).toShort.toInt))
+          j += 1
+        }
+        out(f) = sum.toFloat
+        f += 1
+      }
+      out
     }
   }
 

@@ -247,6 +247,44 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- audio energy-delta fingerprint: exact-hash audio dedup ----
+    // the audio counterpart of m09's image dHash: each PCM payload
+    // frames into 32 segments, per-frame EXACT integer energy sums
+    // (Multimodal.WavFrameEnergies — raw longs, not rounded means, so
+    // the neighbor comparisons below are engine-exact), and the
+    // 31-bit fingerprint packs sign(energy[j+1] - energy[j]) — the
+    // classic band-energy-delta audio hash shape. Identical
+    // fingerprints group as duplicate candidates (one linear groupBy,
+    // the radius-0 report that scales unconditionally). Payload
+    // construction is m08's byte-identical WAV build, so the oracle
+    // re-derives frame energies straight from the document's ascii
+    // codes.
+    "m13_audio_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      import Multimodal.{wavLe16 => le16, wavLe32 => le32}
+      val hdr: Array[Byte] =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + 256) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+          "data".getBytes("US-ASCII") ++ le32(256)
+      val media = load(s, d, "documents").select($"doc_id",
+        concat(lit(hdr),
+          encode(rpad(regexp_replace($"text", "[^\\x20-\\x7e]", "?"),
+            256, " "), "UTF-8")).as("payload"))
+      val fp = Multimodal.extractFeatures(media, "doc_id", "payload",
+          Multimodal.WavFrameEnergies(32))
+        .withColumn("fingerprint", expr(
+          "aggregate(sequence(1, 31), 0L, (acc, j) -> acc + " +
+            "IF(element_at(features, j + 1) > element_at(features, j), " +
+            "shiftleft(1L, j - 1), 0L))"))
+        .select($"id".as("doc_id"), $"fingerprint")
+      val counts = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_docs"))
+      fp.join(counts, "fingerprint")
+        .select($"doc_id", $"fingerprint", $"n_docs")
+        .orderBy($"doc_id")
+    },
+
     // ---- perceptual image near-dup: dHash + pigeonhole hamming join ----
     // the image counterpart of d03's SimHash text pass — the near-dup
     // check an image pipeline runs on thumbnails. Every payload is a
@@ -379,6 +417,31 @@ object MultimodalQueries {
         |    j -> ascii(substring(raster, CAST(3 * j + 3 AS INT), 1))))
         |    / (16 * h * 255.0), 6) AS mean_b
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // m13: frame energies re-derived from the padded document's ascii
+    // codes (the m08 byte identity); fingerprint bit j set iff frame
+    // j+1's exact integer energy sum exceeds frame j's
+    "m13_audio_fingerprint" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    rpad(regexp_replace(text, '[^\x20-\x7e]', '?', 'g'),
+        |      256, ' ') AS s
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, list_transform(range(1, 33), f ->
+        |    list_sum(list_transform(range(1, 9), m ->
+        |      abs(ascii(substring(s,
+        |        CAST((f - 1) * 8 + m AS INT), 1)) - 128)))) AS en
+        |  FROM p),
+        |fp AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 32),
+        |    j -> CASE WHEN en[CAST(j AS INT) + 1] > en[CAST(j AS INT)]
+        |      THEN 1 << (j - 1) ELSE 0 END)) AS BIGINT) AS fingerprint
+        |  FROM e)
+        |SELECT doc_id, fingerprint,
+        |  CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+        |    AS n_docs
+        |FROM fp ORDER BY doc_id""".stripMargin,
 
     // m08: 8-bit PCM samples are the padded document's ascii codes;
     // mean absolute amplitude = Σ|code − 128| / (256·128), exact

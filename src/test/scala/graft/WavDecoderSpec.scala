@@ -92,4 +92,33 @@ class WavDecoderSpec extends AnyFunSuite {
       dataChunk(Array.empty[Byte])))
     assert(f != null && f(2) == 0f && f(3) == 0f)
   }
+
+  test("WavFrameEnergies: exact per-frame integer sums, floor frame " +
+      "boundaries on non-divisible counts, 16-bit magnitude, shared " +
+      "malformed → null contract") {
+    import graft.ops.Multimodal.WavFrameEnergies
+    // 8 samples, 4 frames of 2: |v-128| sums per frame hand-counted
+    val s8 = Array[Byte](128.toByte, 129.toByte, // 0+1   = 1
+      192.toByte, 64,                            // 64+64 = 128
+      255.toByte, 0,                             // 127+128 = 255
+      128.toByte, 130.toByte)                    // 0+2   = 2
+    val e = WavFrameEnergies(4).features(wav(fmtChunk(1, 8000, 8),
+      dataChunk(s8)))
+    assert(e.toSeq == Seq(1f, 128f, 255f, 2f))
+    // 5 samples into 2 frames: floor boundaries [0,2) and [2,5)
+    val s5 = Array[Byte](129.toByte, 129.toByte, 129.toByte,
+      129.toByte, 130.toByte)
+    val e2 = WavFrameEnergies(2).features(wav(fmtChunk(1, 8000, 8),
+      dataChunk(s5)))
+    assert(e2.toSeq == Seq(2f, 4f))
+    // 16-bit signed magnitudes: -3 and +5 → frames [3, 5]
+    val s16 = le16(-3 & 0xFFFF) ++ le16(5)
+    val e3 = WavFrameEnergies(2).features(wav(fmtChunk(1, 8000, 16),
+      dataChunk(s16)))
+    assert(e3.toSeq == Seq(3f, 5f))
+    // malformed input → null, same contract as WavDecoder
+    assert(WavFrameEnergies(4).features("junk".getBytes) == null)
+    assert(WavFrameEnergies(4).features(wav(fmtChunk(1, 8000, 12),
+      dataChunk(Array[Byte](0, 0)))) == null)
+  }
 }

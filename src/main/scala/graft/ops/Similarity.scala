@@ -940,4 +940,50 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cos"), col("rank"))
   }
+
+  /** Embedding-space OUTLIER report — the curation filter that flags
+    * off-manifold junk (mis-embedded, corrupted, or out-of-domain
+    * rows) by low cosine to the corpus MEAN embedding, the standard
+    * first-pass centroid heuristic. Returns the bottom `k` rows as
+    * `(rank, id, cos)`, rank ascending by rounded cosine with id
+    * tie-break.
+    *
+    * Exactness discipline: per-dimension sums accumulate as
+    * DECIMAL(28,12) (order-independent — a double sum would make the
+    * mean depend on partition order and diverge from any replay);
+    * the mean is then narrowed to float32 so an oracle can reproduce
+    * the exact centroid, and the cosine ranks on its ROUNDED value
+    * (6 dp, the bruteForceTopK parity pattern). Cost: one linear
+    * posexplode aggregate (64 × dims rows), a dims-row collect, and
+    * one scan with the centroid as plan literals — the
+    * broadcast-the-model shape, no join, no pair work. */
+  def centroidOutliers(corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sums = corpus
+      .select(posexplode(col("vec")).as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(sum($"x".cast("decimal(28,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .orderBy($"i")
+      .collect()
+    require(sums.nonEmpty, "centroidOutliers: empty corpus")
+    val mean = array(sums.map { r =>
+      lit((r.getDecimal(1).doubleValue() / r.getLong(2)).toFloat)
+        .cast("float")
+    }.toIndexedSeq: _*)
+    // bottom-k via sort+limit (TakeOrdered — per-partition heaps, no
+    // global window shuffle); the ranking window then runs over only
+    // the k survivors
+    val scored = corpus
+      .withColumn("cos",
+        round(Vectors.cosine(col("vec"), mean), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").asc, col("id"))
+      .limit(k)
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").asc, col("id"))))
+      .select(col("rank"), col("id"), col("cos"))
+  }
 }

@@ -248,6 +248,23 @@ object SimilarityQueries {
         .orderBy($"qid", $"rank")
     },
 
+    // ---- embedding-space outlier report (curation filter) ----
+    // flags off-manifold rows (mis-embedded / corrupted / out-of-
+    // domain) by LOW cosine to the corpus mean embedding — the
+    // standard first-pass centroid heuristic. Per-dimension sums
+    // accumulate as DECIMAL (order-independent, so the oracle's mean
+    // is bit-identical), the mean narrows to float32 on both sides,
+    // and ranking is rounded-cosine ascending with id tie-break.
+    // Plan: one linear posexplode aggregate + one scan with the
+    // centroid as literals + TakeOrdered — no join, no pair work.
+    "s21_centroid_outliers" -> { (s, d) =>
+      import s.implicits._
+      Similarity.centroidOutliers(
+          corpusDf(s, d).select($"id", $"vec"), k = 20)
+        .select($"rank", $"id".as("vec_id"), $"cos")
+        .orderBy($"rank")
+    },
+
     // ---- kNN majority-label classification ----
     "s02_knn_label" -> { (s, d) =>
       import s.implicits._
@@ -1065,6 +1082,28 @@ object SimilarityQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, id) AS rank
          |  FROM ($topkSql) t) r
          |WHERE rank <= $K ORDER BY qid, rank""".stripMargin,
+
+    "s21_centroid_outliers" ->
+      """WITH pos AS (
+        |  SELECT CAST(i AS INT) AS i,
+        |    CAST(CAST(SUM(CAST(embedding[CAST(i AS INT)]
+        |        AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS FLOAT)
+        |      AS mx
+        |  FROM embeddings, range(1, 65) t(i)
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |  GROUP BY 1),
+        |m AS (SELECT list(CAST(mx AS DOUBLE) ORDER BY i) AS mvec
+        |  FROM pos),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], m.mvec),
+        |      6) AS cos
+        |  FROM embeddings, m
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cos ASC, vec_id)
+        |    AS rank, vec_id, cos
+        |FROM scored
+        |ORDER BY cos ASC, vec_id LIMIT 20""".stripMargin,
 
     "s02_knn_label" ->
       s"""WITH topk AS (

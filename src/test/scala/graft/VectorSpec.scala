@@ -729,4 +729,34 @@ class VectorSpec extends AnyFunSuite {
     assert(recall >= 0.9)
     assert(run().toSeq == sq.toSeq) // no RNG anywhere → replays identically
   }
+
+  test("centroidOutliers: flags the row most anti-aligned with the " +
+      "corpus mean, rank ascending with id tie-break") {
+    import spark.implicits._
+    // mean = (0.6, 0.2, 0); ascending cosine order is 5 (−0.894,
+    // anti-aligned), 2 (0.316), 3 (0.894), then the colinear 1/4 tie
+    // at 0.949 (broken by id)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0f, 0.0f)),
+      (4L, Seq(2.0f, 0.0f, 0.0f)),
+      (5L, Seq(-1.0f, -1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val got = Similarity.centroidOutliers(corpus, k = 3)
+      .collect().map(r => (r.getInt(1 - 1), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == Seq(5L, 2L, 3L))
+    assert(got.head._3 < 0, s"anti-aligned row must score negative: " +
+      got.toSeq)
+    // ranks are 1..k and ascending in cos
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    // ids 1 and 4 are colinear → equal rounded cosine → id order
+    val all = Similarity.centroidOutliers(corpus, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val c1 = all.find(_._1 == 1L).get._2
+    val c4 = all.find(_._1 == 4L).get._2
+    assert(c1 == c4)
+    assert(all.map(_._1).indexOf(1L) < all.map(_._1).indexOf(4L))
+  }
 }

@@ -100,7 +100,11 @@ object ScaleCheck {
     // the vocab passes amortized — and exact-substring coverage,
     // whose window explode + gram group + join-back is linear in
     // corpus windows (count-only, no pair relation)
-    "t26_bpe_encode", "d28_substring_coverage")
+    "t26_bpe_encode", "d28_substring_coverage",
+    // audio fingerprint (linear decode + one groupBy) and centroid
+    // outliers (one posexplode aggregate + literal-centroid scan +
+    // TakeOrdered) — both must track data ~linearly
+    "m13_audio_fingerprint", "s21_centroid_outliers")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -434,10 +434,36 @@ class CdcRouter(
       trigger))
   }
 
-  /** Stream a directory of avro change files into per-table targets. */
+  /** Signal-gated maintenance for the CONSOLIDATED fleet — the
+    * router-level analog of CdcStream's per-table compact+vacuum
+    * cadence (the reference's 90 s TTL task,
+    * DatastreamEventReader.java:96,172): compact ONLY when
+    * [[graft.cdc.ConsolidatedStore.scatterSignal]] says the
+    * sparse-touch scatter crossed a bar (an every-cadence compact
+    * would rewrite the whole fleet each time), then vacuum
+    * unreferenced segments and reap orphaned router staging.
+    * Pool-path fleets maintain per table through CdcStream's own
+    * cadence — calling this there is a config error, refused loudly.
+    * Returns everything removed. */
+  def maintain(maxSegments: Int = 16, maxAmplification: Double = 2.0,
+      keepVersions: Int = 2,
+      maxAgeMs: Long = 60L * 60 * 1000): Seq[String] = {
+    require(consolidated,
+      "maintain() drives the consolidated store; pool-path tables " +
+        "compact/vacuum on CdcStream's per-table cadence")
+    if (store.scatterSignal(maxSegments, maxAmplification)
+        .exists(_.needsCompact)) { store.compact(); () }
+    store.vacuum(keepVersions, maxAgeMs) ++ sweepStaging(maxAgeMs)
+  }
+
+  /** Stream a directory of avro change files into per-table targets.
+    * `maintenanceEvery` > 0 (consolidated mode) runs [[maintain]]
+    * with default bars on every Nth committed batch — the in-stream
+    * maintenance piggyback CdcStream gives per-table pipelines. */
   def start(sourceGlob: String, schema: StructType, checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintenanceEvery: Int = 0): StreamingQuery = {
     val opts = decodeOpts.copy(allowlist = allowlist)
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
       pathFilter =
@@ -448,6 +474,8 @@ class CdcRouter(
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) applyBatch(batch, id)
+        if (consolidated && maintenanceEvery > 0 &&
+          (id + 1) % maintenanceEvery == 0) { maintain(); () }
       }
       .start()
   }

@@ -342,7 +342,11 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     val r = new CdcRouter(spark, root.resolve("store").toString,
       _ => Seq("EMPLOYEE_ID"), numBuckets = 2, databaseName = "xe",
       consolidated = true)
-    val q1 = r.start(s"$src/*.avro", schema, ckpt)
+    // maintenanceEvery exercises the in-stream maintain() wiring live:
+    // default bars never compact this small fleet and young segments
+    // are age-spared, so exactly-once and final state must be
+    // untouched by the piggyback
+    val q1 = r.start(s"$src/*.avro", schema, ckpt, maintenanceEvery = 1)
     q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
     assert(r.store.knownTables == Seq("DEPARTMENTS", "EMPLOYEES"))
     assert(r.store.state("EMPLOYEES").get.count() == 108)
@@ -352,7 +356,7 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     drop("update.avro", "b1_oracle-cdc-logminer_0_2.avro")
     drop("update-pk.avro", "b1_oracle-cdc-logminer_0_3.avro")
     drop("delete.avro", "b1_oracle-cdc-logminer_0_4.avro")
-    val q2 = r.start(s"$src/*.avro", schema, ckpt)
+    val q2 = r.start(s"$src/*.avro", schema, ckpt, maintenanceEvery = 1)
     q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
     val emp = r.store.state("EMPLOYEES").get.collect()
       .map(x => x.getAs[Long]("EMPLOYEE_ID") -> x).toMap
@@ -457,6 +461,38 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
       checkpointInterval = 100)
     assert(cold.state("t1").isEmpty)
     intercept[IllegalStateException](cold.applyBatch(mutations(4, 2L), 2L))
+  }
+
+  test("router maintain(): scatter-gated compaction + vacuum keep a " +
+      "sparse-touch fleet's read path flat without changing state; " +
+      "pool mode refuses") {
+    val r = new CdcRouter(spark, freshDir("cstore-maint2"),
+      _ => Seq("id"), consolidated = true)
+    r.applyBatch(inserts(6, 3, 0L), 0L)
+    for (seq <- 1L to 4L)
+      r.applyBatch(sparseTouch((seq % 6).toInt, seq), seq)
+    val before = r.store.knownTables.map(n =>
+      n -> rows(r.store.state(n).get))
+    assert(r.store.scatterSignal(maxSegments = 3).get.needsCompact)
+    // keepVersions = 1: retaining the pre-compact version would keep
+    // every scattered segment referenced (its resolved map spans them)
+    val removed = r.maintain(maxSegments = 3, keepVersions = 1,
+      maxAgeMs = -60000)
+    // compaction happened (signal reset), old segments vacuumed,
+    // state unchanged
+    assert(r.store.scatterSignal(maxSegments = 3).get.segments == 1)
+    assert(removed.count(_.startsWith("seg-v")) >= 2)
+    assert(r.store.knownTables.map(n =>
+      n -> rows(r.store.state(n).get)) == before)
+    // under the default bars the same fleet would NOT compact — the
+    // gate is the signal, not the cadence
+    val v = r.store.currentVersion
+    r.maintain(maxAgeMs = -60000)
+    assert(r.store.currentVersion == v)
+    // pool mode refuses loudly
+    val pool = new CdcRouter(spark, freshDir("cstore-maint2p"),
+      _ => Seq("id"))
+    intercept[IllegalArgumentException](pool.maintain())
   }
 
   test("scatterSignal drives the compact cadence: a fresh store reads " +

@@ -59,7 +59,10 @@ class CdcRouter(
     // ConsolidatedStore (many tables per physical file, one CAS for
     // the whole fleet) instead of per-table CdcTables. Requires a
     // uniform-PK fleet; reads go through [[store]], not [[table]]
-    consolidated: Boolean = false) {
+    consolidated: Boolean = false,
+    // consolidated-mode manifest cadence: FULL checkpoints every N
+    // commits, delta manifests between (ConsolidatedStore)
+    consolidatedCheckpointInterval: Int = 8) {
 
   private val tables = scala.collection.concurrent.TrieMap.empty[String, CdcTable]
   private val rootDdl = Paths.get(rootPath).resolve("_ddl.jsonl")
@@ -69,7 +72,7 @@ class CdcRouter(
   lazy val store: graft.cdc.ConsolidatedStore = {
     require(consolidated, "store is only available in consolidated mode")
     new graft.cdc.ConsolidatedStore(spark, s"$rootPath/_store",
-      pkColsFor, numBuckets)
+      pkColsFor, numBuckets, consolidatedCheckpointInterval)
   }
 
   private val rootAbs = Paths.get(rootPath).toAbsolutePath.normalize
@@ -422,7 +425,7 @@ class CdcRouter(
     val widened = new CdcRouter(spark, rootPath, pkColsFor, numBuckets,
       TableAllowlist(allowlist.patterns ++ added), databaseName,
       filenameKeyed, mergePoolWidth, partitionedApplyMinTables,
-      consolidated)
+      consolidated, consolidatedCheckpointInterval)
     val addedOnly = TableAllowlist(added)
     val envelope = DatastreamAvro.read(spark, sourceGlob, Some(schema),
       pathFilter =
@@ -459,11 +462,18 @@ class CdcRouter(
   /** Stream a directory of avro change files into per-table targets.
     * `maintenanceEvery` > 0 (consolidated mode) runs [[maintain]]
     * with default bars on every Nth committed batch — the in-stream
-    * maintenance piggyback CdcStream gives per-table pipelines. */
+    * maintenance piggyback CdcStream gives per-table pipelines. With
+    * `maintenanceLease`, only the current lease holder runs it (the
+    * CdcStream election discipline: compaction commits through the
+    * same fleet CAS as batches, so two workers compacting
+    * concurrently would trade retryable conflicts for no progress —
+    * one elected maintainer, with failover when its lease ages out). */
   def start(sourceGlob: String, schema: StructType, checkpoint: String,
       decodeOpts: Decode.Options = Decode.Options(),
       trigger: Trigger = Trigger.AvailableNow(),
-      maintenanceEvery: Int = 0): StreamingQuery = {
+      maintenanceEvery: Int = 0,
+      maintenanceLease: Option[(WorkerLease, String)] = None)
+      : StreamingQuery = {
     val opts = decodeOpts.copy(allowlist = allowlist)
     val envelope = DatastreamAvro.readStream(spark, sourceGlob, schema,
       pathFilter =
@@ -475,7 +485,12 @@ class CdcRouter(
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) applyBatch(batch, id)
         if (consolidated && maintenanceEvery > 0 &&
-          (id + 1) % maintenanceEvery == 0) { maintain(); () }
+          (id + 1) % maintenanceEvery == 0) {
+          val owns = maintenanceLease.forall { case (lease, me) =>
+            lease.tryAcquire(me).isDefined
+          }
+          if (owns) { maintain(); () }
+        }
       }
       .start()
   }

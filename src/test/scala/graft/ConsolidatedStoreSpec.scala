@@ -495,6 +495,54 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](pool.maintain())
   }
 
+  test("in-stream maintenance is lease-elected: the holder's " +
+      "maintain() drops retention-expired commit files; a non-holder " +
+      "skips maintenance entirely") {
+    import graft.sources.DatastreamAvro
+    import graft.streaming.WorkerLease
+    import org.apache.spark.sql.streaming.Trigger
+    val fixtures = "/root/reference/src/test/resources"
+    val trig = Trigger.ProcessingTime(100L)
+    // checkpointInterval = 1 → every commit is a full checkpoint, so
+    // vacuum's anchor equals the retention head and commit files
+    // below keepVersions drop on every maintain — the observable
+    // election effect, independent of segment ages
+    def run(leaseHolder: String): (Long, Boolean) = {
+      val root = Files.createTempDirectory(Paths.get("target"),
+        s"cstore-lease-$leaseHolder")
+      val src = root.resolve("in"); Files.createDirectories(src)
+      val lease = new WorkerLease(root.resolve("lease").toString,
+        ttlMs = 60000L)
+      assert(lease.tryAcquire(leaseHolder).isDefined)
+      val r = new CdcRouter(spark, root.resolve("store").toString,
+        _ => Seq("EMPLOYEE_ID"), databaseName = "xe",
+        consolidated = true, consolidatedCheckpointInterval = 1)
+      val schema = DatastreamAvro.sparkSchema(s"$fixtures/dump.avro")
+      val q = r.start(s"$src/*.avro", schema,
+        root.resolve("ckpt").toString, trigger = trig,
+        maintenanceEvery = 1, maintenanceLease = Some((lease, "me")))
+      for ((f, i) <- Seq("dump.avro", "insert.avro", "update.avro")
+          .zipWithIndex) {
+        Files.copy(Paths.get(s"$fixtures/$f"),
+          src.resolve(s"b${i}_oracle-cdc_0.avro"))
+        q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      val v = r.store.currentVersion.get
+      (v, Files.exists(root.resolve("store/_store/commit-0")))
+    }
+    // holder "me": three commits, maintain ran each batch →
+    // commit-0 fell out of the keepVersions=2 window
+    val (vMe, commit0Me) = run("me")
+    assert(vMe == 2L && !commit0Me,
+      "lease holder must vacuum retention-expired commits")
+    // a foreign holder: same batches, maintenance skipped — every
+    // commit file survives and the foreign lease is never stolen
+    val (vOther, commit0Other) = run("other-worker")
+    assert(vOther == 2L && commit0Other,
+      "non-holder must not run maintenance")
+  }
+
   test("scatterSignal drives the compact cadence: a fresh store reads " +
       "amplification 1; sparse touches strand stale copies until a " +
       "bar trips; compact resets the signal") {

@@ -101,6 +101,11 @@ object ScaleCheck {
     // whose window explode + gram group + join-back is linear in
     // corpus windows (count-only, no pair relation)
     "t26_bpe_encode", "d28_substring_coverage",
+    // ...and the trim (d29): same linear window/gram plumbing plus a
+    // keyed anti-join and per-doc reassembly — output is corpus-sized
+    // (the trimmed text), so the wall must track corpus size, never
+    // the dup-pair count
+    "d29_substring_trim",
     // audio fingerprint (linear decode + one groupBy) and centroid
     // outliers (one posexplode aggregate + literal-centroid scan +
     // TakeOrdered) — both must track data ~linearly

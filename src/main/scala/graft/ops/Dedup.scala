@@ -1077,4 +1077,67 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
+
+  /** Exact-substring TRIM — the removal step of exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): drop every token covered by a k-token window
+    * that occurs verbatim in ANOTHER document, keep the rest, and
+    * reassemble the trimmed text. [[substringDupStats]] (d28) is the
+    * per-document REPORT; this is the ACTION a curation pipeline
+    * takes past the dup_frac bar when dropping whole documents would
+    * lose too much unique text.
+    *
+    * Shape — linear and key-partitioned end to end, no pair relation:
+    * one positioned window explode; the same `min(doc) <> max(doc)`
+    * cross-doc test per gram (map-side combined, no COUNT DISTINCT);
+    * duplicated windows fan out to their k covered token indices
+    * (bounded k× blowup on the DUPLICATED subset only), distinct'd
+    * per (doc, index) — overlap/interval merging as a hash aggregate
+    * with partial combine rather than a per-doc sorted scan; one
+    * anti-join keyed (doc, index) keeps the surviving tokens; one
+    * per-doc aggregate reassembles them in order (sort_array over a
+    * single document's tokens — bounded by document length, never by
+    * corpus). Every shuffle is keyed; nothing is quadratic in corpus
+    * size. `hashWindows` swaps the gram text for xxhash64 as the
+    * group/join key (8-byte shuffle keys, the 100 TB form; a
+    * birthday-in-2^64 collision can only over-trim one window's
+    * span). Docs shorter than k tokens have no windows and pass
+    * through untouched; a fully-covered doc trims to the empty
+    * string (the caller's drop signal).
+    *
+    * Output: (idCol, n_tokens, n_removed, trimmed_text), one row per
+    * input document. */
+  def substringTrim(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, hashWindows: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    // (id, p0, g): window starting at 0-based token index p0
+    val wins = base
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " "))))
+      .select(col(idCol), col("pos").as("p0"),
+        (if (hashWindows) xxhash64(col("col")) else col("col")).as("g"))
+    val dup = wins.groupBy(col("g"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("dup"))
+      .filter(col("dup")).select("g")
+    val covered = wins.join(dup, Seq("g"))
+      .select(col(idCol),
+        explode(sequence(col("p0"), col("p0") + (k - 1))).as("i"))
+      .distinct()
+    val tokens = base.select(col(idCol),
+      posexplode(col("toks")).as(Seq("i", "tok")))
+    val kept = tokens.join(covered, Seq(idCol, "i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok")), " ").as("trimmed"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("trimmed"), lit("")).as("trimmed_text"))
+  }
 }

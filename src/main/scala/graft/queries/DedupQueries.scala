@@ -214,6 +214,24 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ...and the ACTION that report gates: Lee et al.'s removal step.
+    // Every token covered by an 8-token window occurring verbatim in
+    // another doc is dropped and the survivors reassembled in order —
+    // per-doc trim counts plus the trimmed text itself. Same linear
+    // count-only plumbing as d28 (no pair relation); the interval
+    // merge over overlapping duplicated windows is a (doc, token_idx)
+    // hash-distinct, so overlap resolution map-side combines instead
+    // of sorting per doc. Short docs pass through; a fully-covered
+    // doc trims to '' (the drop signal).
+    "d29_substring_trim" -> { (s, d) =>
+      import s.implicits._
+      Dedup.substringTrim(
+          load(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 8)
+        .orderBy($"doc_id")
+    },
+
     // ---- STREAMING near-dup detection: d02 as a continuous ingest ----
     // the near-dup complement of p02's exact dedupe-at-the-door: as
     // documents land, shingle → MinHash → band buckets run stateless
@@ -860,6 +878,45 @@ object DedupQueries {
         |    AS dup_frac
         |FROM w LEFT JOIN d USING (g)
         |GROUP BY w.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the trim replays the identical text-keyed plan: positioned
+    // windows, min<>max dup grams, covered = dup-window fan-out to
+    // the 8 token indices (DISTINCT = the interval merge), anti-join
+    // survivors reassembled in token order. 1-based here, 0-based in
+    // Spark — same kept set either way.
+    "d29_substring_trim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
+        |  FROM toks WHERE len(t) >= 8),
+        |w AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS g
+        |  FROM w0),
+        |dupg AS (
+        |  SELECT g FROM w GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS i
+        |  FROM w JOIN dupg USING (g)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) off),
+        |tok0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |tok AS (SELECT doc_id, i, t[i] AS tk FROM tok0),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.i, tok.tk
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+        |  WHERE cov.doc_id IS NULL),
+        |kc AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tk, ' ' ORDER BY i) AS trimmed
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text,' ')) - COALESCE(kc.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  COALESCE(kc.trimmed, '') AS trimmed_text
+        |FROM documents d LEFT JOIN kc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // the streaming detector must converge to the SAME pair set as

@@ -763,4 +763,44 @@ class DedupKernelSpec extends AnyFunSuite {
       3L -> ((4L, 0L, 0.0))))
     assert(run(hash = true) == got)
   }
+
+  test("substringTrim: hand fixture — overlapping dup windows merge, " +
+      "intra-doc repeats don't trim, short docs pass through, a " +
+      "fully-covered doc trims to ''; hashed form identical; agrees " +
+      "with substringDupStats on which docs lose text") {
+    import spark.implicits._
+    // k=3. docs 1/2/5 share "a b c"; doc 2 holds it at two positions
+    // (covered indices 0-2 and 4-6 — only index 3 "q" survives); doc 5
+    // IS "a b c" so it trims to empty; doc 3's repeat is intra-doc
+    // only; doc 4 is too short for any window.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c q a b c"),
+      (3L, "x y z x y z"),
+      (4L, "p q"),
+      (5L, "a b c")
+    ).toDF("doc_id", "text")
+    def run(hash: Boolean): Map[Long, (Long, Long, String)] =
+      Dedup.substringTrim(docs, "doc_id", "text", k = 3,
+          hashWindows = hash)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+    val got = run(hash = false)
+    assert(got == Map(
+      1L -> ((5L, 3L, "d e")),
+      2L -> ((7L, 6L, "q")),
+      3L -> ((6L, 0L, "x y z x y z")),
+      4L -> ((2L, 0L, "p q")),
+      5L -> ((3L, 3L, ""))))
+    assert(run(hash = true) == got)
+
+    // trim and the d28 report must agree on WHICH docs lose text:
+    // dup_frac > 0 ⇔ n_removed > 0 (for docs long enough to window)
+    val frac = Dedup.substringDupStats(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    frac.foreach { case (id, f) =>
+      assert((f > 0) == (got(id)._2 > 0), s"doc $id: frac $f vs $got")
+    }
+  }
 }

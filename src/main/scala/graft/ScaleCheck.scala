@@ -109,7 +109,10 @@ object ScaleCheck {
     // audio fingerprint (linear decode + one groupBy) and centroid
     // outliers (one posexplode aggregate + literal-centroid scan +
     // TakeOrdered) — both must track data ~linearly
-    "m13_audio_fingerprint", "s21_centroid_outliers")
+    "m13_audio_fingerprint", "s21_centroid_outliers",
+    // JL projection gate: projection is linear in corpus values, the
+    // compressed scan is Q-broadcast x N — wall must track N
+    "s22_jl_topk")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

@@ -622,6 +622,22 @@ object SimilarityQueries {
         .orderBy($"qid", $"id")
     },
 
+    // ---- JL random-projection ANN: compressed scan over a 32-dim
+    //      deterministic sparse Achlioptas projection + exact
+    //      re-rank of the projected shortlist; recall gate vs brute
+    //      force. The dimensionality-reduction member of the
+    //      compressed-scan family (LSH/IVF/PQ/SQ8/JL). Bound 0.3 is
+    //      the measured worst case on this near-random corpus (JL's
+    //      ~1/√dOut angular noise vs cosines concentrated near 0 —
+    //      see jlTopK's recall-boundary note; the s03 sign-LSH gate
+    //      uses the same honest-worst-case discipline) ----
+    "s22_jl_topk" -> { (s, d) =>
+      import s.implicits._
+      val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
+      recallGate(Similarity.jlTopK(q, c, K),
+        Similarity.bruteForceTopK(q, c, K), K, "proj_dims" -> 32L, 0.3)
+    },
+
     // ---- PQ-ADC ANN: code-compressed scan + exact re-rank; recall
     //      gate vs brute force ----
     "s08_pq_adc" -> { (s, d) =>
@@ -957,6 +973,7 @@ object SimilarityQueries {
     "s03_ann_lsh" -> recallOracleSql("num_bits" -> 8L),
     "s04_ann_ivf" -> recallOracleSql("nprobe" -> 4L),
     "s20_sq8" -> recallOracleSql("shortlist" -> 50L),
+    "s22_jl_topk" -> recallOracleSql("proj_dims" -> 32L),
     "s08_pq_adc" -> recallOracleSql("shortlist" -> 50L),
     "s13_ivf_pq" -> recallOracleSql("nprobe" -> 4L),
     "s14_vector_index" -> recallOracleSql("nprobe" -> 4L,

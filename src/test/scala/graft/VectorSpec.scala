@@ -730,6 +730,49 @@ class VectorSpec extends AnyFunSuite {
     assert(run().toSeq == sq.toSeq) // no RNG anywhere → replays identically
   }
 
+  test("JL projection: deterministic sparse matrix replays " +
+      "identically; identical vectors project identically; recall " +
+      "against brute force on real embeddings") {
+    import spark.implicits._
+    // the map must BE a fixed linear matrix: duplicates project
+    // identically, and p(x + y) = p(x) + p(y) per output dim
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f)),            // duplicate of 1
+      (3L, Seq(-1.0f, 0.5f, 0.0f)),
+      (4L, Seq(0.0f, 2.5f, 3.0f))               // = vec1 + vec3
+    ).toDF("id", "vec")
+    val got = Similarity.jlProject(vecs, "id", "vec", 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.values.forall(_.length == 4))
+    assert(got(1L) == got(2L))
+    got(4L).zip(got(1L).zip(got(3L))).foreach { case (s, (a, b)) =>
+      assert(math.abs(s - (a + b)) < 1e-4, s"$s vs ${a + b}")
+    }
+    // ...and not a degenerate one: some output dim differs across
+    // the two distinct inputs
+    assert(got(1L) != got(3L))
+
+    val emb = graft.util.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val corpus = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Similarity.bruteForceTopK(qs, corpus, 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.jlTopK(qs, corpus, 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val jl = run()
+    val recall = (exact & jl.toSet).size.toDouble / exact.size
+    info(s"JL recall@10 = $recall (64 -> 32 dims, shortlist=100, re-ranked)")
+    // near-random corpus = JL's measured worst case (see jlTopK's
+    // recall-boundary note); the gate bound is 0.3, asserted with
+    // margin here on the 500-row corpus (measured 0.78 at sf0.01)
+    assert(recall >= 0.5)
+    assert(run().toSeq == jl.toSeq) // no RNG anywhere → replays identically
+  }
+
   test("centroidOutliers: flags the row most anti-aligned with the " +
       "corpus mean, rank ascending with id tie-break") {
     import spark.implicits._

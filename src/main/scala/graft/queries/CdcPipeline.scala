@@ -506,21 +506,7 @@ object CdcPipeline {
     // final state verbatim: identical semantics, different physics.
     "c25_consolidated_fleet" -> { (s, _) =>
       import s.implicits._
-      val store = consolidatedCache.computeIfAbsent(s, _ => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-cstore")
-        val r = new graft.streaming.CdcRouter(s, dir.toString,
-          _ => Seq("EMPLOYEE_ID"), numBuckets = 4, databaseName = "xe",
-          consolidated = true)
-        replayFiles.zipWithIndex.foreach {
-          case (f, i) =>
-            val e = Decode.fromAvro(s, s"$fixtures/$f")
-              .withColumn("table_name",
-                when($"row.EMPLOYEE_ID" % 2 === 0, "EMP_EVEN")
-                  .otherwise("EMP_ODD"))
-            r.applyBatch(e, i.toLong)
-        }
-        r.store
-      })
+      val store = consolidatedStore(s)
       store.knownTables.map { t =>
         store.state(t).get.select(
           lit(t).as("table_name"),
@@ -530,8 +516,54 @@ object CdcPipeline {
           $"_is_deleted".as("deleted"))
       }.reduce(_.unionByName(_))
         .orderBy($"table_name", $"employee_id")
+    },
+
+    // ...and the store's SECOND IVM contract driver-gated (c25 gates
+    // final state): the per-table post-image change feed at commit 3
+    // — the update-pk commit, the same version c11 gates on the
+    // per-table layout, so the golden rows are c11's split across the
+    // two fleet tables (210 even → EMP_EVEN delete-side, 211 odd →
+    // EMP_ODD insert-side). Feed cost is bounded by the COMMIT, not
+    // the fleet: only pairs RE-POINTED at v read their v/v−1
+    // segments (pushed table/bucket predicates prune the rest) — the
+    // O(touched) property the delta manifests exist for.
+    "c26_consolidated_feed" -> { (s, _) =>
+      import s.implicits._
+      val store = consolidatedStore(s)
+      store.knownTables.flatMap { t =>
+        store.changeFeed(t, 3L).map(_.select(
+          lit(t).as("table_name"),
+          $"EMPLOYEE_ID".as("employee_id"),
+          $"FIRST_NAME".as("first_name"),
+          $"SALARY".cast("double").as("salary"),
+          $"_is_deleted".as("deleted")))
+      }.reduce(_.unionByName(_))
+        .orderBy($"table_name", $"employee_id")
     }
   )
+
+  /** One consolidated-fleet replay per session (the c25/c26 shared
+    * fixture): c09's multiplexed replay merged through the
+    * consolidated layout — segment files shared by both tables, ONE
+    * fleet-wide CAS per batch (the 2,048+-table physics). */
+  private def consolidatedStore(s: SparkSession)
+      : graft.cdc.ConsolidatedStore =
+    consolidatedCache.computeIfAbsent(s, _ => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-cstore")
+      val r = new graft.streaming.CdcRouter(s, dir.toString,
+        _ => Seq("EMPLOYEE_ID"), numBuckets = 4, databaseName = "xe",
+        consolidated = true)
+      replayFiles.zipWithIndex.foreach {
+        case (f, i) =>
+          val e = Decode.fromAvro(s, s"$fixtures/$f")
+            .withColumn("table_name",
+              when($"row.EMPLOYEE_ID" % 2 === 0, "EMP_EVEN")
+                .otherwise("EMP_ODD"))
+          r.applyBatch(e, i.toLong)
+      }
+      r.store
+    })
 
   val oracle: Map[String, String] = Map(
     // positions are decode-time facts of the FIXED reference fixtures
@@ -627,5 +659,16 @@ object CdcPipeline {
       // aggregate as c18's base+deltas derivation
       "c19_stream_ivm" -> CdcGoldenOracles.map("c18_incremental_agg"),
       // consolidated layout, identical semantics: c09's golden state
-      "c25_consolidated_fleet" -> CdcGoldenOracles.map("c09_router_multiplex"))
+      "c25_consolidated_fleet" -> CdcGoldenOracles.map("c09_router_multiplex"),
+
+    // c11's golden feed rows split across the two fleet tables by the
+    // even/odd routing — same fixed-fixture VALUES discipline
+    "c26_consolidated_feed" ->
+      """SELECT * FROM (VALUES
+        |  ('EMP_EVEN', CAST(210 AS BIGINT), 'Sean',
+        |   CAST(12131.0 AS DOUBLE), true),
+        |  ('EMP_ODD', CAST(211 AS BIGINT), 'Sean',
+        |   CAST(12131.0 AS DOUBLE), false))
+        |  AS t(table_name, employee_id, first_name, salary, deleted)
+        |ORDER BY table_name, employee_id""".stripMargin)
 }

@@ -106,6 +106,10 @@ object ScaleCheck {
     // (the trimmed text), so the wall must track corpus size, never
     // the dup-pair count
     "d29_substring_trim",
+    // containment search (d30): DF-capped inverted index — per-gram
+    // pair fan-out bounded by maxDf², so the wall must track corpus
+    // postings, never N²
+    "d30_containment",
     // audio fingerprint (linear decode + one groupBy) and centroid
     // outliers (one posexplode aggregate + literal-centroid scan +
     // TakeOrdered) — both must track data ~linearly

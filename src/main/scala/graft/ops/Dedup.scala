@@ -1078,6 +1078,65 @@ object Dedup {
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }
 
+  /** Containment near-dup search — the ASYMMETRIC complement of
+    * Jaccard LSH (d02): C(a,b) = |Sh(a)∩Sh(b)| / |Sh(a)| flags a
+    * document (nearly) CONTAINED in another — quotes, excerpts,
+    * subset/superset revisions — which Jaccard-thresholded search
+    * misses by construction (a 10-token doc verbatim inside a
+    * 1000-token doc has J ≈ 0.01 but C = 1). Broder (1997)'s
+    * containment, computed EXACTLY over a DF-capped inverted index:
+    * shingles with document frequency in [2, maxDf] are indexable
+    * (df = 1 shingles can pair with nobody; df > maxDf shingles are
+    * stop-shingles — the d10 hot-gram discipline, bounding every
+    * per-shingle pair fan-out at maxDf² so no key degenerates the
+    * join toward N²). CONTRACT: denominators are each side's FULL
+    * distinct-shingle count (df=1 shingles are a doc's own mass and
+    * MUST deflate its containment-in-others — dropping them would
+    * read any two docs sharing only their indexable shingles as
+    * mutual containments); the INTERSECTION is counted over
+    * indexable shingles only, so a shared stop-shingle undercounts
+    * C/J by at most its one count — the blocking is part of the
+    * operator's semantics, like d04's blockCols, and the oracle
+    * replays it exactly.
+    *
+    * Shape: one shingle explode (distinct per doc), one df aggregate,
+    * per-gram doc lists unfolded to ordered pairs (array work bounded
+    * by maxDf² per gram — the d22 one-relation discipline, no
+    * self-join), one map-side-combined (a,b) count, two broadcastable
+    * per-doc-size joins. Output: ordered pairs a-contained-in-b with
+    * exact containment and jaccard. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => array_join(slice(col("t"), i, lit(k)), " ")))).as("g"))
+    val idx = sh.join(
+      sh.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf).select("g"),
+      Seq("g"))
+    val nAll = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = idx.groupBy("g").agg(collect_list(col("id")).as("ids"))
+      .select(explode(flatten(transform(col("ids"), a =>
+        transform(col("ids"), b => struct(a.as("a"), b.as("b"))))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(nAll.select(col("id").as("a"), col("n").as("na")), Seq("a"))
+      .join(nAll.select(col("id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("na"), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")), 6))
+      .select(col("a"), col("b"), col("containment"), col("jaccard"))
+  }
+
   /** Exact-substring TRIM — the removal step of exact-substring dedup
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): drop every token covered by a k-token window

@@ -232,6 +232,26 @@ object DedupQueries {
         .orderBy($"doc_id")
     },
 
+    // ---- containment search: the ASYMMETRIC near-dup relation ----
+    // C(a,b) = |Sh(a)∩Sh(b)|/|Sh(a)| flags a document (nearly)
+    // CONTAINED in another — quotes, excerpts, subset revisions —
+    // which Jaccard-thresholded LSH (d02) misses by construction
+    // (verbatim 10-in-1000 tokens: J≈0.01, C=1). Exact, over a
+    // DF-capped inverted index whose blocking is part of the
+    // operator contract (d04 discipline); the hand-fixture spec
+    // carries the asymmetry claim — this corpus' 0.9-containment
+    // pairs all sit inside its symmetric near-dup clusters (no
+    // excerpt structure in synthetic text), so the gate here proves
+    // exact agreement, not asymmetric coverage.
+    "d30_containment" -> { (s, d) =>
+      import s.implicits._
+      Dedup.containmentPairs(
+          load(s, d, "documents")
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 3, threshold = 0.9, maxDf = 64)
+        .orderBy($"a", $"b")
+    },
+
     // ---- STREAMING near-dup detection: d02 as a continuous ingest ----
     // the near-dup complement of p02's exact dedupe-at-the-door: as
     // documents land, shingle → MinHash → band buckets run stateless
@@ -918,6 +938,34 @@ object DedupQueries {
         |  COALESCE(kc.trimmed, '') AS trimmed_text
         |FROM documents d LEFT JOIN kc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // exact containment over the same DF-capped index contract the
+    // operator declares: [2, 64]-df shingles, intersection counts
+    // from the index join, denominators |indexable(side)|
+    "d30_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, gg AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+        |      i -> array_to_string(t[i:i+2],' '))) AS gg
+        |    FROM toks WHERE len(t) >= 3)),
+        |idx AS (
+        |  SELECT sh.doc_id, sh.g FROM sh
+        |  JOIN (SELECT g FROM sh GROUP BY g
+        |        HAVING COUNT(*) BETWEEN 2 AND 64) d USING (g)),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+        |  FROM idx x JOIN idx y USING (g)
+        |  WHERE x.doc_id <> y.doc_id GROUP BY 1, 2)
+        |SELECT a, b,
+        |  round(n_inter::DOUBLE / na.n, 6) AS containment,
+        |  round(n_inter::DOUBLE / (na.n + nb.n - n_inter), 6) AS jaccard
+        |FROM inter JOIN n na ON inter.a = na.doc_id
+        |           JOIN n nb ON inter.b = nb.doc_id
+        |WHERE round(n_inter::DOUBLE / na.n, 6) >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     // the streaming detector must converge to the SAME pair set as
     // batch d02 — one oracle, two execution disciplines

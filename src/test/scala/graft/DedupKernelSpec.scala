@@ -803,4 +803,43 @@ class DedupKernelSpec extends AnyFunSuite {
       assert((f > 0) == (got(id)._2 > 0), s"doc $id: frac $f vs $got")
     }
   }
+
+  test("containmentPairs: the ASYMMETRIC relation — a short doc " +
+      "verbatim inside a long one is flagged a→b only, at a jaccard " +
+      "LSH could never threshold on; df=1 shingles pair nobody; " +
+      "df>maxDf stop-shingles are excluded by contract") {
+    import spark.implicits._
+    // doc 1 = 4 tokens, verbatim prefix of doc 2 (20 tokens).
+    // k=3 shingles of 1: {abc, bcd} — both also in 2 → C(1,2)=1.0,
+    // while J = 2/18 ≈ 0.111 (doc 2 has 18 distinct shingles, all
+    // df≤2 except the hot one below). docs 3/4/5 share one HOT
+    // shingle "z z z" (df=3 > maxDf=2) which must NOT create pairs.
+    val long2 = "a b c d " + (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, long2),
+      (3L, "z z z p q"),
+      (4L, "z z z r s"),
+      (5L, "z z z u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.9, maxDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // exactly ONE pair: 1 contained in 2 (not 2 in 1 — C(2,1)=2/18)
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    assert(got((1L, 2L))._1 == 1.0)
+    assert(got((1L, 2L))._2 == 0.111111, s"jaccard ${got((1L, 2L))._2}")
+
+    // same fixture with maxDf = 64: the z-shingle becomes indexable
+    // and 3/4/5 pair up — but their containment is 1/3 each, far
+    // under threshold, so the OUTPUT is unchanged while the
+    // candidate space is not (lower the threshold to see them)
+    val loose = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.3, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((3L, 4L)) && loose.contains((5L, 3L)),
+      s"hot shingle should pair 3/4/5 under maxDf=64: $loose")
+  }
 }

@@ -1168,7 +1168,10 @@ object Dedup {
     * input document. */
   def substringTrim(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, hashWindows: Boolean = false): DataFrame = {
-    val base = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    // null text behaves as empty (a real corpus carries nulls; without
+    // the coalesce, size(null) = -1 leaks into n_tokens/n_removed)
+    val base = docs.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), " ").as("toks"))
     // (id, p0, g): window starting at 0-based token index p0
     val wins = base
       .filter(size(col("toks")) >= k)

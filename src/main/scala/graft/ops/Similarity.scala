@@ -487,6 +487,33 @@ object Similarity {
     *
     * Deterministic end-to-end ([[pqTrain]] has no RNG); recall is
     * gated against [[bruteForceTopK]] in VectorSpec. */
+  /** Shared tail of the compressed-scan family (PQ-ADC / IVF+PQ /
+    * SQ8 / JL): keep each query's `shortlist` best candidates by the
+    * approximate score in `ascore` (descending, ties to the lower id;
+    * NULL scores — rows a kernel refused, e.g. wrong-dimension
+    * vectors — DROP rather than order into the window), then
+    * exact-cosine re-rank ONLY the shortlist against full vectors.
+    * One definition so a change to the tie-break / null / re-rank
+    * contract lands in every family member at once. `scored` needs
+    * (qid, qvec, id, ascore); extra carried columns are fine. */
+  private def shortlistRerank(scored: DataFrame, corpus: DataFrame,
+      ascore: String, shortlist: Int, k: Int): DataFrame = {
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col(ascore).desc, col("id"))
+    val short = scored
+      .filter(col(ascore).isNotNull)
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= shortlist)
+      .select(col("qid"), col("qvec"), col("id"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
+      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rank"))
+  }
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 16, ksub: Int = 32, shortlist: Int = 50): DataFrame = {
     val e = corpus.select(col("id"), col("vec"))
@@ -517,23 +544,12 @@ object Similarity {
     val adc = (0 until m).map(s =>
       element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val wa = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("id"))
-    val short = broadcast(qlut).crossJoin(codes)
-      .filter(col("qid") =!= col("id"))
-      .withColumn("adc", adc)
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= shortlist)
-      .select(col("qid"), col("qvec"), col("id"))
-
-    // (3) exact re-rank of the shortlist only
-    val wr = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("id"))
-    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
-      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rank"))
+    // (3) shortlist + exact re-rank: the family's shared tail
+    shortlistRerank(
+      broadcast(qlut).crossJoin(codes)
+        .filter(col("qid") =!= col("id"))
+        .withColumn("adc", adc),
+      corpus, "adc", shortlist, k)
   }
 
   /** Per-dim [min, step] SQ8 parameters (mins[0..d-1] ++ steps[0..d-1],
@@ -580,28 +596,18 @@ object Similarity {
     // (id, d-byte code) — vectors are never read again until re-rank
     val codes = e.select(col("id"),
       graft.functions.ScalarQuantizer.encode(col("vec"), params).as("codes"))
-    val wa = Window.partitionBy(col("qid"))
-      .orderBy(col("acos").desc, col("id"))
-    val short = broadcast(queries
-        .filter(Vectors.norm(col("qvec")) > 0.0)
-        .select(col("qid"), col("qvec")))
-      .crossJoin(codes)
-      .filter(col("qid") =!= col("id"))
-      .withColumn("acos", graft.functions.ScalarQuantizer.cosine(
-        col("qvec"), col("codes"), params))
-      // wrong-dimension corpus vectors dequantize to null — drop them
-      // rather than letting null order into the shortlist window
-      .filter(col("acos").isNotNull)
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= shortlist)
-      .select(col("qid"), col("qvec"), col("id"))
-    val wr = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("id"))
-    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
-      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rank"))
+    // wrong-dimension corpus vectors dequantize to a NULL acos — the
+    // shared tail drops them rather than letting null order into the
+    // shortlist window
+    shortlistRerank(
+      broadcast(queries
+          .filter(Vectors.norm(col("qvec")) > 0.0)
+          .select(col("qid"), col("qvec")))
+        .crossJoin(codes)
+        .filter(col("qid") =!= col("id"))
+        .withColumn("acos", graft.functions.ScalarQuantizer.cosine(
+          col("qvec"), col("codes"), params)),
+      corpus, "acos", shortlist, k)
   }
 
   /** Deterministic sparse random projection (Achlioptas 2003): output
@@ -624,8 +630,13 @@ object Similarity {
       posexplode(col(vecCol)).as(Seq("d", "x")))
     val sums = (0 until dOut).map { j =>
       val m = pmod(xxhash64(lit(j), col("d")), lit(6))
+      // accumulate as DECIMAL so the sum is partition-order-independent
+      // (the s21 centroid discipline) — a double sum would perturb
+      // low-order bits under a different parallelism and could flip a
+      // round(pcos,6) near-tie at the shortlist boundary, breaking the
+      // replays-identically-anywhere contract
       sum(when(m === 0, col("x")).when(m === 1, -col("x"))
-        .otherwise(lit(0.0f))).as(s"p$j")
+        .otherwise(lit(0.0f)).cast("decimal(28,12)")).as(s"p$j")
     }
     dims.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"),
@@ -654,7 +665,8 @@ object Similarity {
     * noise, so top-k discrimination needs the true top-k separated
     * from the bulk by more than that. On NEAR-RANDOM high-dim
     * vectors (this corpus: cosines concentrate near 0) recall@10 at
-    * dOut=32/shortlist=100 measures 0.78 on a 500-row corpus and
+    * dOut=32/shortlist=100 measures 0.78 on sf0.01's 500-row corpus
+    * (0.66 on sf0.001's different 500 rows) and
     * 0.46 at 2,000 rows; on real embedding manifolds (clustered,
     * top-k well separated) the same noise bound costs far less. The
     * gate bound is set under the measured worst case, like s03's
@@ -670,22 +682,14 @@ object Similarity {
       .select(col("id").as("qid"), col("pvec").as("qpvec"))
       .filter(Vectors.norm(col("qpvec")) > 0.0)
       .join(qs, "qid")
-    val wa = Window.partitionBy(col("qid"))
-      .orderBy(col("pcos").desc, col("id"))
-    val short = broadcast(qside).crossJoin(cp)
-      .filter(col("qid") =!= col("id"))
-      .withColumn("pcos", round(Vectors.cosine(col("qpvec"), col("pvec")), 6))
-      .filter(col("pcos").isNotNull)
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= shortlist)
-      .select(col("qid"), col("qvec"), col("id"))
-    val wr = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("id"))
-    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
-      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rank"))
+    // projected-cosine shortlist (rounded so the cut is tie-broken
+    // deterministically) + exact re-rank: the family's shared tail
+    shortlistRerank(
+      broadcast(qside).crossJoin(cp)
+        .filter(col("qid") =!= col("id"))
+        .withColumn("pcos",
+          round(Vectors.cosine(col("qpvec"), col("pvec")), 6)),
+      corpus, "pcos", shortlist, k)
   }
 
   /** IVF+PQ top-k — the combined billion-vector index shape (an IVF
@@ -752,23 +756,13 @@ object Similarity {
     val adc = (0 until m).map(s =>
       element_at(col("lut"), lit(s * ksub) + element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val wa = Window.partitionBy(col("qid"))
-      .orderBy(col("adc").desc, col("id"))
-    val short = broadcast(qprobe).join(index, "cid")
-      .filter(col("qid") =!= col("id"))
-      .withColumn("adc", adc)
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= shortlist)
-      .select(col("qid"), col("qvec"), col("id"))
-
-    // exact re-rank of the shortlist only
-    val wr = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("id"))
-    broadcast(short).join(corpus.select(col("id"), col("vec")), "id")
-      .withColumn("cos", round(Vectors.cosine(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("cos"), col("rank"))
+    // probed-cell ADC shortlist + exact re-rank: the family's shared
+    // tail (the probe join replaces the full crossJoin scan)
+    shortlistRerank(
+      broadcast(qprobe).join(index, "cid")
+        .filter(col("qid") =!= col("id"))
+        .withColumn("adc", adc),
+      corpus, "adc", shortlist, k)
   }
 
   /** Exact cosine RANGE search: every corpus vector with cos ≥ minCos

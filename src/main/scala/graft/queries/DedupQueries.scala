@@ -907,7 +907,8 @@ object DedupQueries {
     // Spark — same kept set either way.
     "d29_substring_trim" ->
       """WITH toks AS (
-        |  SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+        |  SELECT doc_id, text,
+        |    string_split(COALESCE(text,''),' ') AS t FROM documents),
         |w0 AS (
         |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos
         |  FROM toks WHERE len(t) >= 8),
@@ -932,16 +933,21 @@ object DedupQueries {
         |    string_agg(tk, ' ' ORDER BY i) AS trimmed
         |  FROM kept GROUP BY doc_id)
         |SELECT d.doc_id,
-        |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(string_split(d.text,' ')) - COALESCE(kc.n_kept, 0)
-        |    AS BIGINT) AS n_removed,
+        |  CAST(len(string_split(COALESCE(d.text,''),' ')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(string_split(COALESCE(d.text,''),' '))
+        |    - COALESCE(kc.n_kept, 0) AS BIGINT) AS n_removed,
         |  COALESCE(kc.trimmed, '') AS trimmed_text
         |FROM documents d LEFT JOIN kc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // exact containment over the same DF-capped index contract the
     // operator declares: [2, 64]-df shingles, intersection counts
-    // from the index join, denominators |indexable(side)|
+    // from the index join, denominators the FULL per-doc
+    // distinct-shingle counts (n reads from sh, NOT idx — indexable-
+    // only denominators would read any two docs sharing only their
+    // indexable shingles as mutual containments; see containmentPairs'
+    // CONTRACT note and the spec leg that pins it)
     "d30_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -116,7 +116,10 @@ object ScaleCheck {
     "m13_audio_fingerprint", "s21_centroid_outliers",
     // JL projection gate: projection is linear in corpus values, the
     // compressed scan is Q-broadcast x N — wall must track N
-    "s22_jl_topk")
+    "s22_jl_topk",
+    // full-outer stream-stream join: state is the 30-min window per
+    // user on both sides; wall tracks event volume like q45/q66
+    "q67_stream_full_join")
 
   def generate(spark: SparkSession, outDir: String, replicas: Int,
       tables: Set[String]): Unit = {

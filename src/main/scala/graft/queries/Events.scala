@@ -43,6 +43,48 @@ object Events {
 
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
+  /** q66/q67's shared staged corpus: one filesystem copy of events
+    * plus two far-future sentinel files carrying BOTH event types (the
+    * q65 discipline) so the min-watermark advances past every real
+    * row's join window and the outer sides emit. Sentinels are written
+    * in the corpus's OWN ts encoding (nanos-long corpora shipped
+    * before; the type-adaptive loader reads both). */
+  private def stageQ66Corpus(s: SparkSession, d: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stageDir: java.io.File): Unit = {
+    import s.implicits._
+    val evRaw = load(s, d, "events")
+    val mtime0 = System.currentTimeMillis() - 3600L * 1000
+    val ev0 = new java.io.File(stageDir, "ev00.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
+    ev0.setLastModified(mtime0)
+    val tsIsLong = schema("ts").dataType
+      .isInstanceOf[org.apache.spark.sql.types.LongType]
+    def plusDays(c: org.apache.spark.sql.Column, days: Int) =
+      if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
+      else c + expr(s"INTERVAL $days DAYS")
+    val tmp = new java.io.File(stageDir, "_tmp")
+    val maxRow = evRaw.orderBy($"ts".desc).limit(1)
+    for (j <- 1 to 2) {
+      val sdir = new java.io.File(tmp, s"sent$j")
+      maxRow.withColumn("ts", plusDays($"ts", j))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("event_type",
+          explode(array(lit("purchase"), lit("click"))))
+        .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
+      val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(stageDir, f"sent0$j.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime0 + j * 2000L)
+    }
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- tumbling-window (hourly) aggregation ----
@@ -216,39 +258,7 @@ object Events {
       // is the claim and stays fresh)
       val stage = graft.util.Staging.once("q66", d,
           graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
-        val evRaw = load(s, d, "events")
-        val mtime0 = System.currentTimeMillis() - 3600L * 1000
-        // the corpus itself: one filesystem copy, no rewrite
-        val ev0 = new java.io.File(stageDir, "ev00.parquet")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
-        ev0.setLastModified(mtime0)
-        // sentinels in the corpus's OWN ts encoding (nanos-long corpora
-        // shipped before; the type-adaptive loader reads both)
-        val tsIsLong = schema("ts").dataType
-          .isInstanceOf[org.apache.spark.sql.types.LongType]
-        def plusDays(c: org.apache.spark.sql.Column, days: Int) =
-          if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
-          else c + expr(s"INTERVAL $days DAYS")
-        val tmp = new java.io.File(stageDir, "_tmp")
-        val maxRow = evRaw.orderBy($"ts".desc).limit(1)
-        for (j <- 1 to 2) {
-          val sdir = new java.io.File(tmp, s"sent$j")
-          maxRow.withColumn("ts", plusDays($"ts", j))
-            .withColumn("user_id", lit(-1L))
-            .withColumn("event_id", lit(-1L))
-            .withColumn("event_type",
-              explode(array(lit("purchase"), lit("click"))))
-            .coalesce(1).write.mode("overwrite").parquet(sdir.getPath)
-          val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(stageDir, f"sent0$j.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(mtime0 + j * 2000L)
-        }
-        def deleteRec(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
-        }
-        deleteRec(tmp)
+        stageQ66Corpus(s, d, schema, stageDir)
       }
 
       def src = s.readStream.schema(schema)
@@ -281,6 +291,61 @@ object Events {
         .groupBy($"event_id")
         .agg(count($"c_t").as("n_clicks")) // non-null only: 0 = organic
         .orderBy($"event_id")
+    },
+
+    // ---- FULL OUTER stream-stream join: completes the family (q45
+    //      inner, q66 left) — BOTH orphan kinds emit explicitly once
+    //      the min-watermark passes their join window: purchases with
+    //      no prior click (q66's organic rows) AND clicks that never
+    //      led to a purchase within the next 30 minutes (the
+    //      abandoned-intent rows a funnel pipeline wants). Same
+    //      staged corpus + far-future sentinels as q66 — the fixture
+    //      is a pure function of the source, so the SAME Staging key
+    //      is correct and the two queries share one staged copy. ----
+    "q67_stream_full_join" -> { (s, d) =>
+      import s.implicits._
+      val schema = load(s, d, "events").schema
+      val stage = graft.util.Staging.once("q66", d,
+          graft.util.Staging.fingerprint(s"$d/events.parquet")) { stageDir =>
+        stageQ66Corpus(s, d, schema, stageDir)
+      }
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.getPath)
+        .filter($"user_id" % 10 === 0 || $"user_id" < 0) // q45's sample
+        .withColumn("t", timestamp_micros(Tables.tsMicros(schema)))
+      val purchases = src.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"t".as("p_t"),
+          $"event_id".as("event_id"))
+        .withWatermark("p_t", "1 hour")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"t".as("c_t"))
+        .withWatermark("c_t", "1 hour")
+      val joined = purchases.join(clicks,
+        $"p_user" === $"c_user" &&
+          $"c_t" >= $"p_t" - expr("INTERVAL 30 MINUTES") &&
+          $"c_t" <= $"p_t",
+        "full_outer")
+      withStatePartitions(s, 4) {
+        val q = joined.select($"event_id", $"c_user", $"c_t").writeStream
+          .format("memory").queryName("q67_stream_full_join_sink")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val sink = s.table("q67_stream_full_join_sink")
+      // purchase side: n_clicks per purchase (0 = organic, like q66);
+      // click side: orphan clicks per user (event_id null = the
+      // purchase side never existed for this row). Sentinel rows
+      // (ids/users < 0) drop on both legs.
+      val pSide = sink.filter($"event_id".isNotNull && $"event_id" >= 0)
+        .groupBy($"event_id").agg(count($"c_t").as("n"))
+        .select(lit("purchase").as("side"), $"event_id".as("key"), $"n")
+      val cSide = sink.filter($"event_id".isNull && $"c_user" >= 0)
+        .groupBy($"c_user").agg(count(lit(1)).as("n"))
+        .select(lit("click_orphan").as("side"), $"c_user".as("key"), $"n")
+      pSide.unionByName(cSide).orderBy($"side", $"key")
     },
 
     // ---- Structured Streaming parity: q17 through a streaming plan ----
@@ -739,6 +804,32 @@ object Events {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.c_ts BETWEEN p.ts_us - 1800000000 AND p.ts_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // FULL OUTER: q66's purchase-side counts PLUS the clicks no
+    // purchase followed within 30 minutes (anti-join per user) — the
+    // two orphan kinds the inner join drops
+    "q67_stream_full_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts)//1000 AS ts_us FROM events
+        |           WHERE user_id % 10 = 0),
+        |p AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts FROM e
+        |      WHERE event_type = 'click'),
+        |pc AS (SELECT 'purchase' AS side, p.event_id AS key,
+        |         COUNT(c.c_ts) AS n
+        |       FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |         AND c.c_ts BETWEEN p.ts_us - 1800000000 AND p.ts_us
+        |       GROUP BY 2),
+        |co AS (SELECT 'click_orphan' AS side, c.user_id AS key,
+        |         COUNT(*) AS n
+        |       FROM c WHERE NOT EXISTS (SELECT 1 FROM p
+        |         WHERE p.user_id = c.user_id
+        |           AND c.c_ts BETWEEN p.ts_us - 1800000000 AND p.ts_us)
+        |       GROUP BY 2)
+        |SELECT side, key, n
+        |FROM (SELECT * FROM pc UNION ALL SELECT * FROM co)
+        |ORDER BY side, key""".stripMargin,
 
     "q45_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -55,16 +55,52 @@ object Events {
     import s.implicits._
     val evRaw = load(s, d, "events")
     val mtime0 = System.currentTimeMillis() - 3600L * 1000
-    val ev0 = new java.io.File(stageDir, "ev00.parquet")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"), ev0.toPath)
-    ev0.setLastModified(mtime0)
+    // the corpus may be a single parquet FILE (the sf dirs) or a
+    // DIRECTORY of part files (ScaleCheck replicas, any real lake). A
+    // bare Files.copy of a directory staged an EMPTY corpus and the
+    // stream joined near-nothing — caught by the q67 100× panel
+    // reading FASTER than its base. And copying the parts verbatim
+    // would be just as wrong: hash-distributed parts each span the
+    // whole time range, so under maxFilesPerTrigger=1 the first part
+    // advances the watermark to (global max − 1 h) and every later
+    // part's older rows silently drop as late. Directory corpora are
+    // therefore re-sliced by EVENT TIME (the q65 staging discipline):
+    // time-ordered batches never produce late data, and cross-slice
+    // joins stay inside the 1 h watermark delay (> the 30 min window).
+    val src0 = new java.io.File(s"$d/events.parquet")
+    val tmp = new java.io.File(stageDir, "_tmp") // _-prefixed: unlisted
+    if (src0.isDirectory) {
+      val slices = 8
+      val tsUs = Tables.tsMicros(schema)
+      val mm = evRaw.agg(min(tsUs), max(tsUs)).head()
+      require(!mm.isNullAt(0), s"events corpus under $src0 is empty")
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = (mx - mn) / slices + 1
+      evRaw.withColumn("_slice", floor((tsUs - mn) / span).cast("int"))
+        .repartition(slices, col("_slice"))
+        .write.mode("overwrite").partitionBy("_slice").parquet(tmp.getPath)
+      for {
+        i <- 0 until slices
+        sd = new java.io.File(tmp, s"_slice=$i") if sd.isDirectory
+        part <- sd.listFiles.filter(_.getName.endsWith(".parquet")).headOption
+      } {
+        val dst = new java.io.File(stageDir, f"ev$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // strictly increasing, all BEFORE the sentinels' mtimes
+        dst.setLastModified(mtime0 - (slices - i) * 1000L)
+        ()
+      }
+    } else {
+      val ev0 = new java.io.File(stageDir, "ev0000.parquet")
+      java.nio.file.Files.copy(src0.toPath, ev0.toPath)
+      ev0.setLastModified(mtime0)
+      ()
+    }
     val tsIsLong = schema("ts").dataType
       .isInstanceOf[org.apache.spark.sql.types.LongType]
     def plusDays(c: org.apache.spark.sql.Column, days: Int) =
       if (tsIsLong) c + lit(days.toLong * 86_400_000_000_000L)
       else c + expr(s"INTERVAL $days DAYS")
-    val tmp = new java.io.File(stageDir, "_tmp")
     val maxRow = evRaw.orderBy($"ts".desc).limit(1)
     for (j <- 1 to 2) {
       val sdir = new java.io.File(tmp, s"sent$j")

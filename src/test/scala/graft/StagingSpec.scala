@@ -65,4 +65,40 @@ class StagingSpec extends AnyFunSuite {
     java.nio.file.Files.write(root.resolve("extra"), "x".getBytes)
     assert(Staging.fingerprint(root.toString) != fp2, "new file")
   }
+
+  test("stream-join gates read directory-shaped corpora identically " +
+      "to file-shaped ones (regression: a bare Files.copy staged a " +
+      "directory corpus EMPTY; and verbatim part copies would drop " +
+      "late rows under per-file triggers — the fixture re-slices by " +
+      "event time)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val srcSf = "/root/testdata/sf0.001"
+    // same rows, directory shape: 4 hash-distributed part files (each
+    // spans the whole time range — the shape that maximally provokes
+    // both failure modes)
+    val edgeDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dircorpus").toString
+    graft.util.Tables.load(spark, srcSf, "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$edgeDir/events.parquet")
+
+    def run(d: String): Set[(String, Long, Long)] =
+      SparkEntry.queries("q67_stream_full_join")(spark, d)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val fromFile = run(srcSf)
+    val fromDir = run(edgeDir)
+    assert(fromFile.nonEmpty && fromFile.exists(_._1 == "click_orphan"),
+      "fixture must exercise both join sides") // not vacuous
+    assert(fromDir == fromFile,
+      s"directory-shaped corpus diverged: ${
+        (fromDir diff fromFile).take(5)} missing=${
+        (fromFile diff fromDir).take(5)}")
+  }
 }

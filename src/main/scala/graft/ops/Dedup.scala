@@ -1107,12 +1107,17 @@ object Dedup {
     * exact containment and jaccard. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    // the shingle relation feeds THREE consumers (df aggregate, index
+    // join, per-doc denominators) — materialize the explode once
+    // (eager local checkpoint, the recallGate discipline) instead of
+    // paying the split+transform+explode three times per run
     val sh = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= k)
       .select(col("id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("t")) - (k - 1)),
           i => array_join(slice(col("t"), i, lit(k)), " ")))).as("g"))
+      .localCheckpoint(true)
     val idx = sh.join(
       sh.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= maxDf).select("g"),

@@ -49,6 +49,17 @@ object Events {
     * row's join window and the outer sides emit. Sentinels are written
     * in the corpus's OWN ts encoding (nanos-long corpora shipped
     * before; the type-adaptive loader reads both). */
+  /** `File.setLastModified` returns false on failure instead of
+    * throwing; a silent failure here leaves every staged file at its
+    * write-time mtime, so FileStreamSource's mtime ordering (which the
+    * watermark/late-data discipline depends on) becomes an arbitrary
+    * tie-break and older-slice rows could drop as late — fail staging
+    * loudly instead. */
+  private def stampMtime(f: java.io.File, t: Long): Unit =
+    require(f.setLastModified(t),
+      s"setLastModified failed for $f — staged mtime ordering would be " +
+        "arbitrary and the stream could drop older slices as late data")
+
   private def stageQ66Corpus(s: SparkSession, d: String,
       schema: org.apache.spark.sql.types.StructType,
       stageDir: java.io.File): Unit = {
@@ -82,19 +93,26 @@ object Events {
       for {
         i <- 0 until slices
         sd = new java.io.File(tmp, s"_slice=$i") if sd.isDirectory
-        part <- sd.listFiles.filter(_.getName.endsWith(".parquet")).headOption
       } {
+        val parts = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+        // repartition(slices, $"_slice") puts each slice in exactly one
+        // shuffle partition → one part file; if that invariant ever
+        // breaks (plan change, AQE coalescing), moving only the head
+        // would silently DROP rows — fail loudly instead
+        require(parts.length == 1,
+          s"staging invariant broken: ${sd.getName} has ${parts.length} " +
+            "part files (expected exactly 1 per slice)")
         val dst = new java.io.File(stageDir, f"ev$i%04d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // strictly increasing, all BEFORE the sentinels' mtimes
-        dst.setLastModified(mtime0 - (slices - i) * 1000L)
-        ()
+        java.nio.file.Files.move(parts.head.toPath, dst.toPath)
+        // strictly increasing, all BEFORE the sentinels' mtimes: the
+        // file source orders by mtime, and the watermark/late-data
+        // discipline depends on older slices listing first
+        stampMtime(dst, mtime0 - (slices - i) * 1000L)
       }
     } else {
       val ev0 = new java.io.File(stageDir, "ev0000.parquet")
       java.nio.file.Files.copy(src0.toPath, ev0.toPath)
-      ev0.setLastModified(mtime0)
-      ()
+      stampMtime(ev0, mtime0)
     }
     val tsIsLong = schema("ts").dataType
       .isInstanceOf[org.apache.spark.sql.types.LongType]
@@ -113,7 +131,7 @@ object Events {
       val part = sdir.listFiles.filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(stageDir, f"sent0$j.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime0 + j * 2000L)
+      stampMtime(dst, mtime0 + j * 2000L)
     }
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
@@ -511,8 +529,7 @@ object Events {
           // explicit, strictly increasing mtimes: the file source orders
           // by modification time, and slice order IS event-time order —
           // an out-of-order slice would be dropped as late data
-          dst.setLastModified(mtime0 + i * 2000L)
-          ()
+          stampMtime(dst, mtime0 + i * 2000L)
         }
         // ONE corpus pass stages every slice: repartition on the slice
         // key puts each slice's rows in one task, so partitionBy writes
@@ -525,8 +542,15 @@ object Events {
         for {
           i <- 0 until slices
           sd = new java.io.File(tmp, s"slice=$i") if sd.isDirectory
-          part <- sd.listFiles.filter(_.getName.endsWith(".parquet")).headOption
-        } place(i, part)
+        } {
+          val parts = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+          // one shuffle partition per slice ⇒ exactly one part file;
+          // fail loudly if the invariant ever breaks (rows would drop)
+          require(parts.length == 1,
+            s"staging invariant broken: ${sd.getName} has " +
+              s"${parts.length} part files (expected exactly 1)")
+          place(i, parts.head)
+        }
         // TWO sentinels: the watermark advances at the END of the batch
         // that read sentinel 1, and closed sessions emit in the NEXT
         // batch — sentinel 2 is that batch (without it the final ~gap of

@@ -83,22 +83,37 @@ class StagingSpec extends AnyFunSuite {
     // both failure modes)
     val edgeDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "dircorpus").toString
-    graft.util.Tables.load(spark, srcSf, "events")
-      .repartition(4)
-      .write.mode("overwrite").parquet(s"$edgeDir/events.parquet")
+    // each createTempDirectory path yields a NEW staging pathKey hash,
+    // so leaked stage dirs would accumulate one per suite run — reap
+    // exactly the temp corpus's own stage dir in the finally (the
+    // sf0.001 fixture stays: other suites share it, possibly in
+    // parallel)
+    val edgeStage = new java.io.File(
+      s"target/q66_stage_${math.abs(edgeDir.hashCode.toLong)}")
+    try {
+      graft.util.Tables.load(spark, srcSf, "events")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$edgeDir/events.parquet")
 
-    def run(d: String): Set[(String, Long, Long)] =
-      SparkEntry.queries("q67_stream_full_join")(spark, d)
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def run(d: String): Set[(String, Long, Long)] =
+        SparkEntry.queries("q67_stream_full_join")(spark, d)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
-    val fromFile = run(srcSf)
-    val fromDir = run(edgeDir)
-    assert(fromFile.nonEmpty && fromFile.exists(_._1 == "click_orphan"),
-      "fixture must exercise both join sides") // not vacuous
-    assert(fromDir == fromFile,
-      s"directory-shaped corpus diverged: ${
-        (fromDir diff fromFile).take(5)} missing=${
-        (fromFile diff fromDir).take(5)}")
+      val fromFile = run(srcSf)
+      val fromDir = run(edgeDir)
+      assert(fromFile.nonEmpty && fromFile.exists(_._1 == "click_orphan"),
+        "fixture must exercise both join sides") // not vacuous
+      assert(fromDir == fromFile,
+        s"directory-shaped corpus diverged: ${
+          (fromDir diff fromFile).take(5)} missing=${
+          (fromFile diff fromDir).take(5)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(edgeDir))
+      rm(edgeStage)
+    }
   }
 }

@@ -34,6 +34,27 @@ object RouterScale {
         lit(op).as("op"), key(seq))
   }
 
+  /** Hot-table batch: 90% of the volume lands on t0, the rest spreads
+    * uniformly — the skew shape the (table_name, _bucket) repartition
+    * keying exists for. Row ids stay disjoint per table so the merge
+    * width matches the uniform batch's. */
+  private def skewBatch(spark: SparkSession, nTables: Int, totalRows: Int,
+      seq: Long, op: String): DataFrame = {
+    val hot = (totalRows * 0.9).toInt
+    spark.range(totalRows.toLong)
+      .select(
+        when(col("id") < hot, lit("t0"))
+          .otherwise(concat(lit("t"),
+            (col("id") % (nTables - 1) + 1).cast("string")))
+          .as("table_name"),
+        struct(
+          when(col("id") < hot, col("id"))
+            .otherwise((col("id") - hot) / (nTables - 1))
+            .cast("long").as("id"),
+          concat(lit(s"$op-v$seq-"), col("id")).as("val")).as("row"),
+        lit(op).as("op"), key(seq))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,26 +91,34 @@ object RouterScale {
       // keyed (id), half (id, val) — measuring the grouped
       // partitioned apply (one single-job apply per PK-signature
       // group = 2 jobs) against the pool fallback such a fleet used
-      // to take (O(tables) jobs)
+      // to take (O(tables) jobs). "mixedcons": the same fleet at
+      // CONSOLIDATED physics — one store (one CAS) per PK group.
+      // "skewcons"/"unicons": hot-table skew (90% of volume on t0) vs
+      // uniform volume, both consolidated at numBuckets=32 — the
+      // (table_name, _bucket) repartition keying must keep the hot
+      // table spread across tasks instead of serializing its merge.
       val pkFor: String => Seq[String] =
         if (mode.startsWith("mixed"))
           n => if (n.drop(1).toInt % 2 == 0) Seq("id") else Seq("id", "val")
         else _ => Seq("id")
       val router = new CdcRouter(spark, root, pkFor,
-        numBuckets = 1,
+        numBuckets = if (mode == "skewcons" || mode == "unicons") 32 else 1,
         partitionedApplyMinTables =
           if (mode == "partitioned" || mode == "mixed") 1 else Int.MaxValue,
-        consolidated = mode == "consolidated")
+        consolidated = mode.endsWith("cons") || mode == "consolidated")
+      def mkBatch(seq: Long, op: String): DataFrame =
+        if (mode == "skewcons") skewBatch(spark, t, totalRows, seq, op)
+        else batch(spark, t, rowsPer, seq, op)
       // batch 0: creates; batch 1+: steady-state merge (the regime
       // that repeats every 30 s trigger — the number that matters)
       val t0 = System.nanoTime()
-      router.applyBatch(batch(spark, t, rowsPer, 0L, "INSERT"), 0L)
+      router.applyBatch(mkBatch(0L, "INSERT"), 0L)
       val create = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      router.applyBatch(batch(spark, t, rowsPer, 1L, "UPDATE"), 1L)
+      router.applyBatch(mkBatch(1L, "UPDATE"), 1L)
       val steady = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
-      router.applyBatch(batch(spark, t, rowsPer, 2L, "UPDATE"), 2L)
+      router.applyBatch(mkBatch(2L, "UPDATE"), 2L)
       val steady2 = (System.nanoTime() - t2) / 1e9
       println(f"ROUTER tables=$t%5d mode=$mode%-12s " +
         f"create=$create%7.2f s steady=$steady%7.2f s " +

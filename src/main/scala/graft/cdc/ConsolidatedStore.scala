@@ -90,6 +90,12 @@ class ConsolidatedStore(
       case v => Some(v)
     }
 
+  /** The fleet's committed PK signature (None before the first
+    * commit). Header fields are always current in every commit —
+    * delta or full — so this is one small-file read, no chain
+    * resolution. */
+  def pkSignature: Option[Seq[String]] = currentVersion.map(readCommit(_).pk)
+
   /** One committed fleet manifest: payload schema + (table, bucket) →
     * segment-dir entries. A DELTA commit's `entries` hold only the
     * pairs RE-POINTED at this version (the Delta-log shape — the
@@ -259,8 +265,9 @@ class ConsolidatedStore(
           "charset (names are manifest keys and data values here)")
       require(pkColsFor(n) == pk,
         s"consolidated store: table '$n' declares pk ${pkColsFor(n)}, " +
-          s"fleet pk is $pk — a consolidated fleet shares one PK shape " +
-          "(route mixed fleets through CdcRouter's grouped apply)")
+          s"fleet pk is $pk — ONE store holds one PK shape (CdcRouter's " +
+          "consolidated mode routes mixed fleets into one store per " +
+          "PK-signature group automatically)")
     }
 
     // widen-only drift, fleet-wide: validates via SchemaDrift (a type
@@ -307,9 +314,15 @@ class ConsolidatedStore(
         sequenceNum = batchId)
       .withColumn("_bucket",
         pmod(xxhash64(pk.map(col): _*), lit(numBuckets)).cast("int"))
-      // co-locate and SORT each table's rows so per-table readers
-      // prune row groups; file count = shuffle partitions, not T×B
-      .repartition(col("table_name"))
+      // co-locate and SORT each (table, bucket) so per-table readers
+      // prune row groups; file count = shuffle partitions, not T×B.
+      // Keyed by BOTH columns: hash-by-table-name alone serializes a
+      // hot table's whole batch through one task (fine for the
+      // 4,096-uniform-small-tables regime, a wall when one table
+      // carries most of the volume) — `_bucket` is already computed,
+      // so spreading a hot table across its buckets costs nothing and
+      // keeps (table, bucket) row-group locality intact
+      .repartition(col("table_name"), col("_bucket"))
       .sortWithinPartitions("table_name", "_bucket")
     val segName = s"seg-v$next-${nonce()}"
     val staging = dir.resolve(s"_staging-$segName")
@@ -361,6 +374,11 @@ class ConsolidatedStore(
   /** Tables present in the current commit. */
   def knownTables: Seq[String] =
     currentVersion.flatMap(resolved).map(_.tables).getOrElse(Nil)
+
+  /** Tables present at commit `v` (empty when `v` is unreadable) —
+    * the iteration set a fleet-feed follower fans a version out to. */
+  def tablesAt(v: Long): Seq[String] =
+    resolved(v).map(_.tables).getOrElse(Nil)
 
   def ddlEvents: Seq[String] =
     if (!Files.exists(dir.resolve("_ddl.jsonl"))) Nil
@@ -549,7 +567,8 @@ class ConsolidatedStore(
       s"broken manifest chain at current version $v"))
     val next = v + 1
     val all = stateAll.get
-      .repartition(col("table_name"))
+      // same skew-proof keying as the apply write
+      .repartition(col("table_name"), col("_bucket"))
       .sortWithinPartitions("table_name", "_bucket")
     val segName = s"seg-v$next-${nonce()}"
     val staging = dir.resolve(s"_staging-$segName")

@@ -107,6 +107,68 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     new java.io.File(r.store.location).listFiles.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("seg-v"))
 
+  test("mixed-PK fleet in consolidated mode: one store per " +
+      "PK-signature group (one CAS each), state ≡ pool path " +
+      "table-for-table; a restarted router rediscovers the groups") {
+    val nT = 8
+    val pkFor: String => Seq[String] =
+      n => if (n.drop(1).toInt % 2 == 0) Seq("id") else Seq("id", "val")
+    val consRoot = freshDir("cstore-mixed")
+    val cons = new CdcRouter(spark, consRoot, pkFor,
+      numBuckets = 2, consolidated = true)
+    val pool = new CdcRouter(spark, freshDir("cstore-mixedpool"), pkFor,
+      numBuckets = 2, partitionedApplyMinTables = Int.MaxValue)
+    for (r <- Seq(cons, pool)) {
+      r.applyBatch(inserts(nT, 5, 0L), 0L)
+      r.applyBatch(mutations(nT, 1L), 1L)
+    }
+    // two signature groups → two stores, each on its own CAS chain
+    // (the composition the round-12 verdict asked for: heterogeneous
+    // fleets get consolidated physics, not O(groups) pool jobs)
+    assert(cons.allStores.size == 2, s"stores: ${cons.allStores.keys}")
+    for ((_, st) <- cons.allStores)
+      assert(st.currentVersion.contains(1L))
+    for (i <- 0 until nT) {
+      val n = s"t$i"
+      // set compare: (id, val)-keyed tables hold several rows per id,
+      // and rows() sorts by id alone — order within a tie is free
+      assert(rows(cons.stateOf(n).get).toSet ==
+        rows(pool.table(n).state.get).toSet,
+        s"state diverged for $n")
+    }
+    assert(cons.knownTables == (0 until nT).map(i => s"t$i").sorted)
+    // the singular accessor refuses the ambiguity loudly
+    intercept[IllegalStateException](cons.store)
+    // a RESTARTED router (fresh instance, same root) discovers both
+    // stores from disk and keeps merging on the same chains
+    val reopened = new CdcRouter(spark, consRoot, pkFor,
+      numBuckets = 2, consolidated = true)
+    assert(reopened.allStores.size == 2)
+    reopened.applyBatch(mutations(nT, 2L), 2L) // replay: idempotent
+    for (i <- 0 until nT)
+      assert(rows(reopened.stateOf(s"t$i").get).toSet ==
+        rows(pool.table(s"t$i").state.get).toSet,
+        s"post-restart state diverged for t$i")
+  }
+
+  test("a legacy single-fleet _store dir claims its committed PK " +
+      "signature on discovery (pre-grouping layouts keep working)") {
+    val root = freshDir("cstore-legacy")
+    val legacy = new ConsolidatedStore(spark, s"$root/_store",
+      _ => Seq("id"), numBuckets = 2)
+    legacy.applyBatch(inserts(4, 3, 0L), 0L)
+    val r = new CdcRouter(spark, root, _ => Seq("id"),
+      numBuckets = 2, consolidated = true)
+    assert(r.store.location.endsWith("/_store"),
+      s"legacy dir not claimed: ${r.store.location}")
+    r.applyBatch(mutations(4, 1L), 1L)
+    assert(r.store.currentVersion.contains(1L))
+    assert(rows(r.stateOf("t0").get)
+      .exists(x => x._1 == 0L && x._2 == "updated"))
+    // still exactly ONE store — the signature mapped to the legacy dir
+    assert(r.allStores.size == 1)
+  }
+
   test("at-least-once replay is idempotent on final state") {
     val r = new CdcRouter(spark, freshDir("cstore-replay"), _ => Seq("id"),
       consolidated = true)
@@ -529,7 +591,7 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
       }
       q.stop(); q.awaitTermination()
       val v = r.store.currentVersion.get
-      (v, Files.exists(root.resolve("store/_store/commit-0")))
+      (v, Files.exists(Paths.get(r.store.location, "commit-0")))
     }
     // holder "me": three commits, maintain ran each batch →
     // commit-0 fell out of the keepVersions=2 window

@@ -35,7 +35,11 @@ class CdcLogSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("cdc-log source requires .load(tableDir)"))
-    new CdcLogTable(path)
+    // layout=consolidated follows a ConsolidatedStore's `commit-<v>`
+    // log instead of a CdcTable's `manifest-<v>.json` — same dense
+    // version numbering, same `_LATEST` pointer + tail-probe discovery
+    new CdcLogTable(path,
+      "consolidated".equalsIgnoreCase(properties.get("layout")))
   }
 }
 
@@ -44,7 +48,8 @@ object CdcLogSource {
     nullable = false)))
 }
 
-private[streaming] class CdcLogTable(path: String)
+private[streaming] class CdcLogTable(path: String,
+    consolidated: Boolean = false)
     extends Table with SupportsRead {
 
   override def name(): String = s"cdc-log($path)"
@@ -57,7 +62,7 @@ private[streaming] class CdcLogTable(path: String)
       override def build(): Scan = this
       override def readSchema(): StructType = CdcLogSource.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new CdcLogStream(path)
+        new CdcLogStream(path, consolidated)
     }
 }
 
@@ -65,10 +70,13 @@ private[streaming] class CdcLogTable(path: String)
   * Implements admission control so Spark hands back the restored
   * offset on restart (probing starts there, not at zero) and
   * AvailableNow by pinning the tail once at query start. */
-private[streaming] class CdcLogStream(path: String) extends MicroBatchStream
+private[streaming] class CdcLogStream(path: String,
+    consolidated: Boolean = false) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val dir = Paths.get(path)
+  private val fileFor: Long => String =
+    if (consolidated) v => s"commit-$v" else v => s"manifest-$v.json"
   // end bound pinned by prepareForTriggerAvailableNow (AvailableNow
   // runs against a fixed snapshot of the tail; commits landing during
   // the drain belong to the next run)
@@ -79,13 +87,14 @@ private[streaming] class CdcLogStream(path: String) extends MicroBatchStream
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def prepareForTriggerAvailableNow(): Unit =
-    pinned = Some(ManifestTail.latest(dir, -1L))
+    pinned = Some(ManifestTail.latest(dir, -1L, fileFor))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcLogOffset].v
     pinned match {
       case Some(end) => CdcLogOffset(math.max(s, end))
-      case None => CdcLogOffset(math.max(s, ManifestTail.latest(dir, s)))
+      case None =>
+        CdcLogOffset(math.max(s, ManifestTail.latest(dir, s, fileFor)))
     }
   }
 

@@ -47,7 +47,39 @@ object CdfFollow {
     * `changeFeedCdf`). Stop via the returned query. */
   def run(spark: SparkSession, table: CdcTable,
       checkpointDir: String, onVersion: (Long, org.apache.spark.sql.DataFrame) => Unit,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    follow(spark, table.location, consolidated = false, checkpointDir,
+      trigger) { v =>
+      table.changeFeedCdf(v).foreach(cdf => onVersion(v, cdf))
+    }
+
+  /** Follow a CONSOLIDATED store's fleet commit log — ONE streaming
+    * query (one offset log, one tail probe per trigger) subscribes a
+    * downstream IVM to EVERY table in a 4,096-table fleet; per-table
+    * CdfFollow loops would pay all of that per table. `onVersion(v,
+    * table, cdf)` runs once per (commit, table-present-at-v) in
+    * ascending version order, tables alphabetical within a commit;
+    * commits that didn't re-point a table deliver its empty feed (the
+    * store's changeFeedCdf contract), so consumers fold zero deltas —
+    * still version-aligned. Cost per commit stays O(touched): the
+    * untouched tables' feeds prune to a limit(0) on one bucket read,
+    * and touched tables read only their re-pointed segments. Delivery
+    * semantics (watermark dedup, single-version crash window) match
+    * [[run]]. */
+  def runStore(spark: SparkSession, store: graft.cdc.ConsolidatedStore,
+      checkpointDir: String,
+      onVersion: (Long, String, org.apache.spark.sql.DataFrame) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    follow(spark, store.location, consolidated = true, checkpointDir,
+      trigger) { v =>
+      store.tablesAt(v).foreach { t =>
+        store.changeFeedCdf(t, v).foreach(cdf => onVersion(v, t, cdf))
+      }
+    }
+
+  private def follow(spark: SparkSession, logDir: String,
+      consolidated: Boolean, checkpointDir: String, trigger: Trigger)
+      (deliver: Long => Unit): StreamingQuery = {
     val marker = Paths.get(checkpointDir, "delivered-watermark")
     def delivered(): Long =
       if (!Files.exists(marker)) -1L
@@ -63,7 +95,8 @@ object CdfFollow {
     }
     val versions = spark.readStream
       .format("graft.streaming.CdcLogSource")
-      .load(table.location)
+      .option("layout", if (consolidated) "consolidated" else "table")
+      .load(logDir)
     versions.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -72,7 +105,7 @@ object CdfFollow {
           .sorted
         val maxSeen = delivered()
         vs.filter(_ > maxSeen).foreach { v =>
-          table.changeFeedCdf(v).foreach(cdf => onVersion(v, cdf))
+          deliver(v)
           advance(v)
         }
         ()

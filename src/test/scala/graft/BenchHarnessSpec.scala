@@ -60,4 +60,17 @@ class BenchHarnessSpec extends AnyFunSuite {
     // a fastPath-accepted sample is within the needsResample floor
     assert(!Bench.needsResample("tiny", Bench.FastPathSec, prior))
   }
+
+  test("bench_audit selftest: committed-prior diffing, drift band, and " +
+      "load-canary refusal logic hold (the round-12 procedural lesson, " +
+      "mechanized — a burst-poisoned full run must be refused, not " +
+      "spliced into)") {
+    val p = new ProcessBuilder("python3", "tools/bench_audit.py",
+      "--selftest")
+    p.redirectErrorStream(true)
+    val proc = p.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assert(proc.waitFor() == 0, s"selftest failed:\n$out")
+    assert(out.contains("selftest OK"))
+  }
 }

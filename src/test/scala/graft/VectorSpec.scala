@@ -774,6 +774,39 @@ class VectorSpec extends AnyFunSuite {
     assert(run().toSeq == jl.toSeq) // no RNG anywhere → replays identically
   }
 
+  test("JL recall on a CLUSTERED manifold: the operator's pitch — " +
+      "real embedding corpora (cluster structure, not isotropic " +
+      "noise) pay far less than the near-random worst case — gated " +
+      "at recall@10 >= 0.8 with the same dOut/shortlist defaults") {
+    import spark.implicits._
+    // deterministic clustered corpus: 16 unit-ish centers in 64 dims,
+    // 2,000 points = center + small noise (the sf0.1 size where the
+    // near-random corpus measured 0.46 — same scale, favorable
+    // geometry). Seeded RNG: replays identically.
+    val rnd = new scala.util.Random(42)
+    val dims = 64
+    val centers = Array.fill(16)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val pts = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.zipWithIndex.map { case (x, _) =>
+        x + 0.15f * rnd.nextGaussian().toFloat }.toSeq)
+    }
+    val corpus = pts.toDF("id", "vec")
+    val qs = pts.take(5).map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val exact = Similarity.bruteForceTopK(qs, corpus, 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jl = Similarity.jlTopK(qs, corpus, 10)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & jl).size.toDouble / exact.size
+    info(s"JL clustered-manifold recall@10 = $recall " +
+      "(64 -> 32 dims, shortlist=100, 2000 rows, 16 clusters)")
+    assert(recall >= 0.8,
+      s"clustered-manifold recall $recall under the 0.8 bar — the " +
+        "favorable-geometry claim is part of the operator's contract")
+  }
+
   test("centroidOutliers: flags the row most anti-aligned with the " +
       "corpus mean, rank ascending with id tie-break") {
     import spark.implicits._

@@ -1,26 +1,39 @@
 #!/usr/bin/env python3
 """Post-run bench artifact audit (the round-5 verdict's procedure,
 made mechanical): diff BENCH_FULL.json per-query values against the
-previous committed artifact, re-measure every >1.5x drift in a fresh
+COMMITTED artifact (git show HEAD: — never the possibly-just-
+overwritten working file), re-measure every >1.5x drift in a fresh
 isolated JVM (graft.BenchSub), and splice in the MIN of the committed
 and isolation numbers — co-tenant noise only ever adds time, so the
 quietest observation is the best estimate of the code's cost. Repeats
 until clean or the attempt budget runs out (a sustained burst can span
 one audit pass too).
 
+Load-canary refusal (the round-12 verdict's item 4): if the working
+artifact's canary queries (t07/d02 — small, stable, touched by nearly
+no code change) read >2x their committed values, the WHOLE run was
+burst-poisoned; splicing a few drifted queries into it would leave the
+rest inflated and poison the next round's drift prior. The audit
+refuses (exit 2): restore the committed artifact and re-run the full
+bench in a quieter window. GRAFT_AUDIT_FORCE=1 overrides.
+
 Usage: python3 tools/bench_audit.py [max_attempts] [extra_query,...]
+       python3 tools/bench_audit.py --selftest
 The optional query list forces an isolation pass for those queries on
 the first attempt even if they sit inside the drift band (for a value
 a spot-audit showed to be burst-inflated but <1.5x prior).
 Writes BENCH_FULL.json in place; prints one line per splice.
 """
 import json
+import os
 import re
 import subprocess
 import sys
 
 THRESH = 1.5
 ABS_FLOOR = 0.4
+CANARIES = ("t07_char_trigrams", "d02_minhash_pairs")
+CANARY_THRESH = 2.0
 
 
 def parse(text):
@@ -28,7 +41,44 @@ def parse(text):
             re.finditer(r'"([a-z][0-9a-z_]+)":([0-9.]+)', text)}
 
 
+def drifted_queries(prior, qs):
+    return [q for q, v in qs.items()
+            if q in prior and v > prior[q] * THRESH
+            and v - prior[q] > ABS_FLOOR]
+
+
+def poisoned_canaries(prior, qs):
+    """Canaries reading >CANARY_THRESH x committed → the run itself is
+    contended; name them so the refusal is actionable."""
+    return [c for c in CANARIES
+            if c in prior and c in qs and qs[c] > prior[c] * CANARY_THRESH]
+
+
+def selftest():
+    prior = {"q1": 1.0, "t07_char_trigrams": 0.5, "d02_minhash_pairs": 2.0}
+    # drift band: >1.5x AND >0.4s absolute
+    assert drifted_queries(prior, {"q1": 1.6}) == ["q1"]        # 1.6x, +0.6
+    assert drifted_queries(prior, {"q1": 1.39}) == []           # <+0.4 abs
+    assert drifted_queries(prior, {"q1": 1.48}) == []           # <1.5x ratio
+    assert drifted_queries(prior, {"qX": 99.0}) == []           # no prior
+    # canary refusal: strictly >2x a committed canary
+    assert poisoned_canaries(prior, {"t07_char_trigrams": 1.01}) == \
+        ["t07_char_trigrams"]
+    assert poisoned_canaries(prior, {"t07_char_trigrams": 0.99}) == []
+    assert poisoned_canaries(
+        prior, {"t07_char_trigrams": 1.2, "d02_minhash_pairs": 4.5}) == \
+        ["t07_char_trigrams", "d02_minhash_pairs"]
+    assert poisoned_canaries({}, {"t07_char_trigrams": 9.9}) == []  # no prior
+    # committed-prior parse accepts the artifact's compact shape
+    assert parse('{"queries":{"q1_agg":1.25,"d02_minhash_pairs":0.8}}') == \
+        {"q1_agg": 1.25, "d02_minhash_pairs": 0.8}
+    print("selftest OK")
+    return 0
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        return selftest()
     max_attempts = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     extra = sys.argv[2].split(",") if len(sys.argv) > 2 else []
     prior_txt = subprocess.run(
@@ -36,12 +86,22 @@ def main():
         capture_output=True, text=True).stdout
     prior = parse(prior_txt) if prior_txt else {}
 
+    cur0 = json.load(open("BENCH_FULL.json"))
+    bad = poisoned_canaries(prior, cur0["queries"])
+    if bad and os.environ.get("GRAFT_AUDIT_FORCE") != "1":
+        print("REFUSING to splice: load canaries "
+              f"{','.join(bad)} read >{CANARY_THRESH}x their committed "
+              "values - the whole run is burst-poisoned, not a few "
+              "queries. Restore the committed artifact "
+              "(git checkout HEAD -- BENCH_FULL.json) and re-run the "
+              "full bench in a quieter window. GRAFT_AUDIT_FORCE=1 "
+              "overrides.")
+        return 2
+
     for attempt in range(max_attempts):
         cur = json.load(open("BENCH_FULL.json"))
         qs = cur["queries"]
-        drifted = [q for q, v in qs.items()
-                   if q in prior and v > prior[q] * THRESH
-                   and v - prior[q] > ABS_FLOOR]
+        drifted = drifted_queries(prior, qs)
         if attempt == 0:
             drifted += [q for q in extra if q in qs and q not in drifted]
         if not drifted:
@@ -53,7 +113,7 @@ def main():
         out = subprocess.run(
             ["sbt", "-batch", f"runMain graft.BenchSub {','.join(drifted)}"],
             capture_output=True, text=True,
-            env={**__import__('os').environ,
+            env={**os.environ,
                  "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
                  "SPARK_GRAFT_CPUS": "32"}).stdout
         subs = {m.group(1): float(m.group(2)) for m in
@@ -69,8 +129,7 @@ def main():
         with open("BENCH_FULL.json", "w") as f:
             f.write(json.dumps(cur, separators=(",", ":")) + "\n")
     cur = json.load(open("BENCH_FULL.json"))
-    left = [q for q, v in cur["queries"].items()
-            if q in prior and v > prior[q] * THRESH and v - prior[q] > ABS_FLOOR]
+    left = drifted_queries(prior, cur["queries"])
     print(f"attempt budget exhausted; still >1.5x prior: {left} "
           f"(reproduced in isolation every pass - treat as real)")
     return 0

@@ -151,6 +151,41 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
         s"post-restart state diverged for t$i")
   }
 
+  test("mixed-PK consolidated batch: one group's injected crash rolls " +
+      "back ONLY that group (per-group atomicity — the grouped-apply " +
+      "partial-failure unit); the replay converges idempotently on " +
+      "the group that already committed") {
+    val nT = 8
+    val pkFor: String => Seq[String] =
+      n => if (n.drop(1).toInt % 2 == 0) Seq("id") else Seq("id", "val")
+    val r = new CdcRouter(spark, freshDir("cstore-mixed-crash"), pkFor,
+      numBuckets = 2, consolidated = true)
+    val pool = new CdcRouter(spark, freshDir("cstore-mixed-crash-pool"),
+      pkFor, numBuckets = 2, partitionedApplyMinTables = Int.MaxValue)
+    for (rt <- Seq(r, pool)) rt.applyBatch(inserts(nT, 4, 0L), 0L)
+    // crash ONE group's commit; the sibling group settles first
+    // (settle-all discipline) and its CAS stands
+    r.storeFor(Seq("id")).beforeCommitHook =
+      () => throw new RuntimeException("injected crash")
+    intercept[RuntimeException](r.applyBatch(mutations(nT, 1L), 1L))
+    assert(r.storeFor(Seq("id")).currentVersion.contains(0L),
+      "crashed group must stay at its previous version")
+    // the sibling group is independent: committed or not, its state
+    // must be one of the two LEGAL versions (never torn mid-table)
+    val sib = r.storeFor(Seq("id", "val")).currentVersion.get
+    assert(sib == 0L || sib == 1L)
+    // replay after the fault clears: both groups converge to the
+    // pool reference — the already-committed group absorbs the
+    // redelivery idempotently (sort-key-guarded LWW)
+    r.storeFor(Seq("id")).beforeCommitHook = () => ()
+    r.applyBatch(mutations(nT, 1L), 2L)
+    pool.applyBatch(mutations(nT, 1L), 1L)
+    for (i <- 0 until nT)
+      assert(rows(r.stateOf(s"t$i").get).toSet ==
+        rows(pool.table(s"t$i").state.get).toSet,
+        s"post-replay state diverged for t$i")
+  }
+
   test("a legacy single-fleet _store dir claims its committed PK " +
       "signature on discovery (pre-grouping layouts keep working)") {
     val root = freshDir("cstore-legacy")

@@ -204,6 +204,33 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     assert(r.allStores.size == 1)
   }
 
+  test("CdcLogSource layout=consolidated probes commit-<v> files: a " +
+      "commit published without its _LATEST pointer update (writer " +
+      "crash lag) is still discovered by roll-forward — proving the " +
+      "option reaches the stream (the pointer-only path would mask a " +
+      "wrong fileFor)") {
+    val dir = Paths.get(freshDir("cstore-lograw"))
+    // two commit files, NO _LATEST: discovery must come entirely from
+    // fileFor probes (pointer read degrades to -1)
+    Files.write(dir.resolve("commit-0"), "x".getBytes)
+    Files.write(dir.resolve("commit-1"), "x".getBytes)
+    def drain(layout: String): Seq[Long] = {
+      val ckpt = freshDir("cstore-lograw-ckpt")
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft.streaming.CdcLogSource")
+        .option("layout", layout).load(dir.toString)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }.start()
+      q.awaitTermination(); got.toSeq.sorted
+    }
+    assert(drain("consolidated") == Seq(0L, 1L))
+    // the per-table layout probes manifest-<v>.json and must see none
+    assert(drain("table").isEmpty)
+  }
+
   test("at-least-once replay is idempotent on final state") {
     val r = new CdcRouter(spark, freshDir("cstore-replay"), _ => Seq("id"),
       consolidated = true)

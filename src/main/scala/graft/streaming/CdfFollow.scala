@@ -65,7 +65,11 @@ object CdfFollow {
     * untouched tables' feeds prune to a limit(0) on one bucket read,
     * and touched tables read only their re-pointed segments. Delivery
     * semantics (watermark dedup, single-version crash window) match
-    * [[run]]. */
+    * [[run]] with one sharper edge: the watermark advances per
+    * VERSION, after all of its tables delivered — a crash mid-version
+    * re-delivers ALL of that version's tables on retry, so a consumer
+    * must either apply a version atomically or be idempotent on
+    * (version, table), the same contract [[run]] states per version. */
   def runStore(spark: SparkSession, store: graft.cdc.ConsolidatedStore,
       checkpointDir: String,
       onVersion: (Long, String, org.apache.spark.sql.DataFrame) => Unit,

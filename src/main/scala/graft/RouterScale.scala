@@ -40,6 +40,11 @@ object RouterScale {
     * width matches the uniform batch's. */
   private def skewBatch(spark: SparkSession, nTables: Int, totalRows: Int,
       seq: Long, op: String): DataFrame = {
+    // the cold tail spreads over (nTables - 1): one table means a
+    // division by zero below, so refuse the misconfiguration loudly
+    require(nTables >= 2,
+      s"skewBatch needs at least 2 tables (got $nTables): 90% of the " +
+        "volume lands on t0 and the rest spreads over the other tables")
     val hot = (totalRows * 0.9).toInt
     spark.range(totalRows.toLong)
       .select(

@@ -615,6 +615,106 @@ object CdcPipeline {
       val (n, sm) = state.get()
       Seq((nVersions.get(), nCheckDiff.get(), n, sm.doubleValue))
         .toDF("n_versions", "n_check_diff", "n_live", "sum_salary")
+    },
+
+    // ---- the DURABLE fleet-IVM consumer (round-13 verdict item 2):
+    // c27 proves the follower; this proves the CONSUMER survives a
+    // hard kill. CdfFollow's delivered-watermark persists across
+    // restarts, so a consumer whose fold state lives only in memory
+    // (c27's AtomicReference — fine for a drain-once gate) would
+    // resume from an EMPTY mart while the marker suppresses every
+    // already-delivered version: silent permanent under-count. The
+    // production shape is runStoreDurable + DurableMart — (state,
+    // version) committed as ONE atomic rename per version, BEFORE the
+    // watermark advances. Gate: run the follower, KILL it mid-version
+    // 3 (after EMP_EVEN's delta folded in memory, before EMP_ODD) by
+    // throwing from the fold; restart with a fresh mart INSTANCE on
+    // the same dirs. The restarted mart must resume from version 2
+    // (v3 never committed), v3 must redeliver IN FULL (the partial
+    // in-memory fold discarded — no double count), and the final mart
+    // must equal the from-scratch fleet aggregate at head = c18's
+    // golden row.
+    "c28_durable_stream_ivm" -> { (s, _) =>
+      import s.implicits._
+      val store = consolidatedStore(s)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-c28-ckpt").toString
+      val martDir = java.nio.file.Files
+        .createTempDirectory("graft-c28-mart").toString
+      def mkMart() = new graft.streaming.DurableMart[
+          (Long, java.math.BigDecimal)](
+        martDir, (0L, java.math.BigDecimal.ZERO),
+        st => s"${st._1}|${st._2.toPlainString}".getBytes("UTF-8"),
+        b => {
+          val Array(a, c) = new String(b, "UTF-8").split('|')
+          (a.toLong, new java.math.BigDecimal(c))
+        })
+      val killedAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+      def fold(kill: Boolean)(st: (Long, java.math.BigDecimal), v: Long,
+          t: String, cdf: org.apache.spark.sql.DataFrame)
+          : (Long, java.math.BigDecimal) = {
+        if (kill && v == 3L && t == "EMP_ODD") {
+          killedAt.set(v)
+          throw new RuntimeException("injected kill mid-version")
+        }
+        val d = cdf
+          .withColumn("sign", when($"_change_type"
+            .isin("insert", "update_postimage"), lit(1L))
+            .otherwise(lit(-1L)))
+          .agg(sum($"sign").as("dn"),
+            sum($"SALARY".cast("decimal(18,4)") * $"sign").as("ds"))
+          .collect().head
+        val dn = if (d.isNullAt(0)) 0L else d.getLong(0)
+        val ds = if (d.isNullAt(1)) java.math.BigDecimal.ZERO
+          else d.getDecimal(1)
+        (st._1 + dn, st._2.add(ds))
+      }
+      try {
+        val q1 = graft.streaming.CdfFollow.runStoreDurable(s, store,
+          ckpt, mkMart(), fold(kill = true))
+        val died =
+          try { if (!q1.awaitTermination(120000)) q1.stop(); false }
+          catch { case _: Exception => true }
+        require(died && killedAt.get() == 3L,
+          "c28: the injected mid-version kill did not fire — the gate " +
+            "would not be exercising the crash contract")
+        // restart: a FRESH mart instance reads (state, version) from
+        // disk; same checkpoint, so Spark replays the batch and the
+        // watermark re-delivers everything past the marker
+        val mart2 = mkMart()
+        val resumedFrom = mart2.version
+        val q2 = graft.streaming.CdfFollow.runStoreDurable(s, store,
+          ckpt, mart2, fold(kill = false))
+        if (!q2.awaitTermination(120000)) {
+          q2.stop()
+          throw new IllegalStateException(
+            "c28_durable_stream_ivm: restarted follower did not drain " +
+              "within 120 s; refusing to emit a partial gate")
+        }
+        val (n, sm) = mart2.state
+        // head check: the resumed fold must land the from-scratch
+        // fleet aggregate exactly (a double-folded EMP_EVEN v3 or a
+        // lost version would diverge here)
+        val head = store.currentVersion.get
+        val r = store.tablesAt(head).flatMap(store.stateAt(_, head))
+          .reduce(_ unionByName _)
+          .filter(!$"_is_deleted")
+          .agg(count(lit(1)).as("n"),
+            sum($"SALARY".cast("decimal(18,4)")).as("s"))
+          .collect().head
+        val headDiff =
+          if (r.getLong(0) == n && !r.isNullAt(1) &&
+            r.getDecimal(1).compareTo(sm) == 0) 0L
+          else 1L
+        Seq((killedAt.get(), resumedFrom, headDiff, n, sm.doubleValue))
+          .toDF("killed_at_version", "resumed_from", "head_check_diff",
+            "n_live", "sum_salary")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt)); rm(new java.io.File(martDir))
+      }
     }
   )
 
@@ -745,6 +845,16 @@ object CdcPipeline {
       ("SELECT CAST(5 AS BIGINT) AS n_versions, " +
         "CAST(0 AS BIGINT) AS n_check_diff, n_live, sum_salary FROM (" +
         CdcGoldenOracles.map("c18_incremental_agg") + ") t"),
+
+    // the durable consumer's crash-resume facts are structural
+    // constants of the fixed replay (killed mid-version 3, so the
+    // restarted mart resumes from 2) and the resumed fold must land
+    // c18's golden head aggregate with a 0-diff from-scratch check
+    "c28_durable_stream_ivm" ->
+      ("SELECT CAST(3 AS BIGINT) AS killed_at_version, " +
+        "CAST(2 AS BIGINT) AS resumed_from, " +
+        "CAST(0 AS BIGINT) AS head_check_diff, n_live, sum_salary " +
+        "FROM (" + CdcGoldenOracles.map("c18_incremental_agg") + ") t"),
 
     // c11's golden feed rows split across the two fleet tables by the
     // even/odd routing — same fixed-fixture VALUES discipline

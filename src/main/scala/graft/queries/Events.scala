@@ -43,12 +43,6 @@ object Events {
 
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
-  /** q66/q67's shared staged corpus: one filesystem copy of events
-    * plus two far-future sentinel files carrying BOTH event types (the
-    * q65 discipline) so the min-watermark advances past every real
-    * row's join window and the outer sides emit. Sentinels are written
-    * in the corpus's OWN ts encoding (nanos-long corpora shipped
-    * before; the type-adaptive loader reads both). */
   /** `File.setLastModified` returns false on failure instead of
     * throwing; a silent failure here leaves every staged file at its
     * write-time mtime, so FileStreamSource's mtime ordering (which the
@@ -60,6 +54,12 @@ object Events {
       s"setLastModified failed for $f — staged mtime ordering would be " +
         "arbitrary and the stream could drop older slices as late data")
 
+  /** q66/q67's shared staged corpus: one filesystem copy of events
+    * plus two far-future sentinel files carrying BOTH event types (the
+    * q65 discipline) so the min-watermark advances past every real
+    * row's join window and the outer sides emit. Sentinels are written
+    * in the corpus's OWN ts encoding (nanos-long corpora shipped
+    * before; the type-adaptive loader reads both). */
   private def stageQ66Corpus(s: SparkSession, d: String,
       schema: org.apache.spark.sql.types.StructType,
       stageDir: java.io.File): Unit = {

@@ -85,8 +85,12 @@ class CdcRouter(
       pk.mkString("+")
     else { // non-identifier column names: content-hash the signature
       val md = java.security.MessageDigest.getInstance("SHA-1")
+      // 10 digest bytes (80 bits): at 4 bytes two distinct signatures
+      // colliding into one `_store-h<hash>` dir was a realistic
+      // fleet-lifetime event, and it surfaced as a confusing fleet-PK
+      // mismatch failure; dir-name length costs nothing
       "h" + md.digest(pk.mkString("\n").getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
+        .take(10).map("%02x".format(_)).mkString
     }
 
   private def openStore(dirName: String): graft.cdc.ConsolidatedStore =
@@ -103,14 +107,35 @@ class CdcRouter(
     val root = Paths.get(rootPath)
     if (Files.exists(root)) {
       val ls = Files.list(root)
-      try ls.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        if (Files.isDirectory(p) &&
-          (n == "_store" || n.startsWith("_store-"))) {
-          val st = openStore(n)
-          st.pkSignature.foreach { pk => sigDir.putIfAbsent(pk, n); () }
-        }
-      } finally ls.close()
+      val committed =
+        try ls.iterator().asScala.toSeq
+          .map(_.getFileName.toString).sorted
+          .filter(n => (n == "_store" || n.startsWith("_store-")) &&
+            Files.isDirectory(root.resolve(n)))
+          .flatMap(n => openStore(n).pkSignature.map(_ -> n))
+        finally ls.close()
+      // one committed dir per signature, EVER — validated over the
+      // whole listing before any claim, so Files.list enumeration
+      // order can never pick a write target among duplicates. Two
+      // committed dirs sharing a signature (a rolling upgrade writing
+      // legacy `_store` after a grouped writer created `_store-<sig>`
+      // is the realistic path) would silently split the group's state
+      // across dirs — refuse loudly; the fix is an offline merge.
+      committed.groupBy(_._1).foreach { case (pk, dirs) =>
+        require(dirs.size == 1,
+          s"${dirs.size} committed consolidated stores claim PK " +
+            s"signature ${pk.mkString("(", ", ", ")")}: " +
+            dirs.map(d => s"'${d._2}'").mkString(", ") +
+            " — the group's state is split across two dirs (rolling " +
+            "upgrade with a legacy writer?); merge them before " +
+            "routing more batches")
+        val prev = sigDir.putIfAbsent(pk, dirs.head._2)
+        require(prev.forall(_ == dirs.head._2),
+          s"PK signature ${pk.mkString("(", ", ", ")")} was bound to " +
+            s"'${prev.get}' but disk now holds it committed in " +
+            s"'${dirs.head._2}' — the group's state is split across " +
+            "two dirs; merge them before routing more batches")
+      }
     }
   }
 
@@ -143,9 +168,11 @@ class CdcRouter(
     allStores.values.toSeq match {
       case Seq(one) => one
       case Seq() =>
-        // nothing committed yet: the uniform-fleet pre-apply accessor
-        // (hooks, location probes) — resolved through pkColsFor so the
-        // instance is the SAME one the first applyBatch will use
+        // nothing committed yet: `store` resolves AMONG existing
+        // stores, and before the first applyBatch there are none — a
+        // pre-apply caller (hooks, location probes) must name its
+        // group via storeFor(pk), which creates/claims the exact
+        // instance the first applyBatch will use
         throw new IllegalStateException(
           "no consolidated store exists yet — apply a batch first, or " +
             "open a specific group via storeFor(pk)")

@@ -81,6 +81,61 @@ object CdfFollow {
       }
     }
 
+  /** [[runStore]] with DURABLE consumer state — the production shape
+    * of the fleet IVM. [[runStore]]'s delivered-watermark survives
+    * restarts while a naive consumer's fold state does not, so a
+    * crash+restart silently loses every version already marked
+    * delivered. Here the consumer folds each version's per-table CDF
+    * deltas into `mart`, committing (state, version) as ONE atomic
+    * rename at each version boundary — BEFORE the watermark advances —
+    * so after any kill the mart is an exact prefix of the version
+    * chain and the fold is exactly-once per (version, table):
+    *
+    *  - versions ≤ mart.version redeliver as no-ops (the mart's own
+    *    guard — [[DurableMart.commit]]);
+    *  - a kill MID-version discards only that version's in-memory
+    *    accumulation; the watermark (< v, it advances after delivery)
+    *    re-delivers ALL of the version's tables on restart and the
+    *    fold restarts from the durable state.
+    *
+    * A checkpoint whose watermark is AHEAD of the mart means the mart
+    * dir was lost or swapped — the silent-loss trap this exists to
+    * close — and is refused loudly before the query starts.
+    *
+    * `fold(state, version, table, cdf)` must be a pure function of its
+    * arguments (it may re-run for a version that never commits). */
+  def runStoreDurable[S](spark: SparkSession,
+      store: graft.cdc.ConsolidatedStore, checkpointDir: String,
+      mart: DurableMart[S],
+      fold: (S, Long, String, org.apache.spark.sql.DataFrame) => S,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val marker = Paths.get(checkpointDir, "delivered-watermark")
+    if (Files.exists(marker)) {
+      val m = new String(Files.readAllBytes(marker)).trim.toLong
+      require(m <= mart.version,
+        s"checkpoint watermark says versions through $m were delivered " +
+          s"but the mart only reflects ${mart.version}: the mart dir " +
+          "was lost or swapped, and those versions would never " +
+          "redeliver — restore the mart or start a fresh checkpoint")
+    }
+    // per-version in-memory accumulation, committed once per version:
+    // single foreachBatch thread, alphabetical tables within a version
+    var acc: Option[(Long, S)] = None
+    runStore(spark, store, checkpointDir, { (v, t, cdf) =>
+      if (v > mart.version) {
+        val s0 = acc match {
+          case Some((`v`, s)) => s
+          case _ => mart.state
+        }
+        val s1 = fold(s0, v, t, cdf)
+        if (t == store.tablesAt(v).last) {
+          mart.commit(v)(_ => s1)
+          acc = None
+        } else acc = Some((v, s1))
+      }
+    }, trigger)
+  }
+
   private def follow(spark: SparkSession, logDir: String,
       consolidated: Boolean, checkpointDir: String, trigger: Trigger)
       (deliver: Long => Unit): StreamingQuery = {

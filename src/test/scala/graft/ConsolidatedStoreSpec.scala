@@ -204,6 +204,28 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     assert(r.allStores.size == 1)
   }
 
+  test("TWO committed stores claiming one PK signature (rolling " +
+      "upgrade: a legacy writer committed to _store after a grouped " +
+      "writer created _store-<sig>) are refused loudly on discovery — " +
+      "Files.list enumeration order must never pick the write target " +
+      "and silently split the group's state") {
+    val root = freshDir("cstore-split")
+    val legacy = new ConsolidatedStore(spark, s"$root/_store",
+      _ => Seq("id"), numBuckets = 2)
+    legacy.applyBatch(inserts(2, 3, 0L), 0L)
+    val grouped = new ConsolidatedStore(spark, s"$root/_store-id",
+      _ => Seq("id"), numBuckets = 2)
+    grouped.applyBatch(inserts(2, 3, 0L), 0L)
+    val r = new CdcRouter(spark, root, _ => Seq("id"),
+      numBuckets = 2, consolidated = true)
+    val e = intercept[IllegalArgumentException](r.allStores)
+    assert(e.getMessage.contains("split across two dirs"),
+      s"unexpected message: ${e.getMessage}")
+    // every discovery path refuses the same way — storeFor must not
+    // side-step the check and mint a THIRD dir for the signature
+    intercept[IllegalArgumentException](r.storeFor(Seq("id")))
+  }
+
   test("CdcLogSource layout=consolidated probes commit-<v> files: a " +
       "commit published without its _LATEST pointer update (writer " +
       "crash lag) is still discovered by roll-forward — proving the " +

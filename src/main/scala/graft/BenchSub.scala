@@ -20,6 +20,9 @@ object BenchSub {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stat0 = Bench.procStat()
+    val freq0 = Bench.curFreqKhz()
+    val load0 = Bench.load1()
     val names = args(0).split(",")
     names.foreach { n =>
       def once(): Double = {
@@ -36,6 +39,14 @@ object BenchSub {
       spark.streams.active.foreach(_.stop())
       println(f"SUB $n ${runs.min}%.3f")
     }
+    // machine-state telemetry for the isolation window (same fields
+    // as graft.Bench's artifact line): an isolation pass taken in a
+    // hot window is just as suspect as a main run, and this line lets
+    // the audit trail say so without reconstruction
+    println(f"SUBTELEMETRY load_start=$load0%.1f " +
+      f"load_end=${Bench.load1()}%.1f " +
+      f"idle_pct=${Bench.idlePct(stat0, Bench.procStat())}%.1f " +
+      s"freq_khz_start=$freq0 freq_khz_end=${Bench.curFreqKhz()}")
     // see graft.Bench: stop state-store maintenance before the context
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()

@@ -61,6 +61,56 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!Bench.needsResample("tiny", Bench.FastPathSec, prior))
   }
 
+  test("canaryVerdict: hot window iff a canary reads >2x its committed " +
+      "value; no prior or subset runs degrade to unknown, never to a " +
+      "false quiet") {
+    val committed = Map("t07_char_trigrams" -> 0.5,
+      "d02_minhash_pairs" -> 1.2, "q01_pricing_summary" -> 0.6)
+    // both canaries near their priors → quiet
+    val (r1, v1) = Bench.canaryVerdict(committed,
+      Map("t07_char_trigrams" -> 0.55, "d02_minhash_pairs" -> 1.1))
+    assert(v1 == "quiet" && math.abs(r1 - 1.1) < 1e-9)
+    // ONE hot canary is enough (max, not mean — the round-13 driver
+    // run had d02 at 2.1x while t07 sat quiet)
+    val (r2, v2) = Bench.canaryVerdict(committed,
+      Map("t07_char_trigrams" -> 0.5, "d02_minhash_pairs" -> 2.52))
+    assert(v2.startsWith("hot window") && r2 > 2.0, s"$r2 $v2")
+    // exactly 2.0x is NOT hot (mirrors bench_audit's strict >)
+    assert(Bench.canaryVerdict(committed,
+      Map("d02_minhash_pairs" -> 2.4))._2 == "quiet")
+    // no committed prior, or a subset run without the canaries
+    assert(Bench.canaryVerdict(Map.empty,
+      Map("t07_char_trigrams" -> 9.9)) == (-1.0, "unknown"))
+    assert(Bench.canaryVerdict(committed,
+      Map("q01_pricing_summary" -> 0.6)) == (-1.0, "unknown"))
+    // failed canary measurements (-1) never poison the ratio
+    assert(Bench.canaryVerdict(committed,
+      Map("t07_char_trigrams" -> -1.0)) == (-1.0, "unknown"))
+  }
+
+  test("telemetry fields ride in every artifact line (idle%, cpu " +
+      "frequency, canary verdict — the machine-state data the " +
+      "round-13 forensics had to reconstruct from git)") {
+    val frag = Bench.telemetryJson(3.2, 4.0, 87.5, 2400000L, 2200000L,
+      2.13, "hot window (2.1x committed canary)")
+    for (f <- Seq("\"load_start\":", "\"load_end\":", "\"idle_pct\":",
+      "\"freq_khz_start\":", "\"freq_khz_end\":", "\"canary_ratio\":",
+      "\"canary\":\""))
+      assert(frag.contains(f), s"missing $f in $frag")
+    assert(frag.contains("\"canary\":\"hot window"))
+    // /proc/stat parsing: idle = idle + iowait, total = all jiffies
+    assert(Bench.parseProcStat(
+      "cpu  100 0 50 800 50 0 0 0 0 0") == Some((850L, 1000L)))
+    assert(Bench.parseProcStat("cpu0 1 2 3 4") == None) // per-core line
+    assert(Bench.parseProcStat("garbage") == None)
+    // idle% across two samples; missing samples degrade to -1
+    assert(Bench.idlePct(Some((850L, 1000L)), Some((1750L, 2000L))) == 90.0)
+    assert(Bench.idlePct(None, Some((1L, 2L))) == -1.0)
+    assert(Bench.idlePct(Some((1L, 2L)), Some((1L, 2L))) == -1.0) // no Δ
+    // the live samplers never throw, whatever the host exposes
+    Bench.procStat(); Bench.curFreqKhz(); ()
+  }
+
   test("bench_audit selftest: committed-prior diffing, drift band, and " +
       "load-canary refusal logic hold (the round-12 procedural lesson, " +
       "mechanized — a burst-poisoned full run must be refused, not " +

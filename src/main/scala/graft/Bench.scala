@@ -95,17 +95,24 @@ object Bench {
     }
   }
 
-  /** First line of /proc/stat → (idle+iowait, total) jiffies. */
-  private[graft] def parseProcStat(line: String): Option[(Long, Long)] = {
+  /** First line of /proc/stat → (idle+iowait, steal, total) jiffies.
+    * Steal is the decisive field on this box: it is HOST-side
+    * co-tenancy — cycles the hypervisor ran someone else — which a
+    * fully idle guest (loadavg 0.0) still pays. The round-13/14
+    * "same code, same data, verified-idle box, 1.5–4× slower"
+    * windows are only explainable by fields like this one. */
+  private[graft] def parseProcStat(line: String)
+      : Option[(Long, Long, Long)] = {
     val parts = line.trim.split("\\s+")
     if (!parts.headOption.contains("cpu") || parts.length < 5) None
     else {
       val xs = parts.tail.map(_.toLong)
-      Some((xs(3) + (if (xs.length > 4) xs(4) else 0L), xs.sum))
+      Some((xs(3) + (if (xs.length > 4) xs(4) else 0L),
+        if (xs.length > 7) xs(7) else 0L, xs.sum))
     }
   }
 
-  private[graft] def procStat(): Option[(Long, Long)] =
+  private[graft] def procStat(): Option[(Long, Long, Long)] =
     try parseProcStat(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/stat"))).linesIterator.next())
     catch { case _: Throwable => None }
@@ -121,17 +128,26 @@ object Bench {
 
   /** System-wide idle % between two /proc/stat samples (co-tenant
     * load shows up as a LOW number); -1 if either sample is missing. */
-  private[graft] def idlePct(a: Option[(Long, Long)],
-      b: Option[(Long, Long)]): Double =
-    (for ((i0, t0) <- a; (i1, t1) <- b if t1 > t0)
+  private[graft] def idlePct(a: Option[(Long, Long, Long)],
+      b: Option[(Long, Long, Long)]): Double =
+    (for ((i0, _, t0) <- a; (i1, _, t1) <- b if t1 > t0)
       yield (i1 - i0).toDouble / (t1 - t0) * 100).getOrElse(-1.0)
+
+  /** HOST-side steal % between two /proc/stat samples; -1 if either
+    * sample is missing. Nonzero steal on an idle-guest window is the
+    * hypervisor's co-tenancy — the one machine-state signal guest
+    * loadavg cannot see. */
+  private[graft] def stealPct(a: Option[(Long, Long, Long)],
+      b: Option[(Long, Long, Long)]): Double =
+    (for ((_, s0, t0) <- a; (_, s1, t1) <- b if t1 > t0)
+      yield (s1 - s0).toDouble / (t1 - t0) * 100).getOrElse(-1.0)
 
   /** The telemetry fragment embedded in every artifact line. */
   private[graft] def telemetryJson(loadStart: Double, loadEnd: Double,
-      idlePct: Double, freqStart: Long, freqEnd: Long,
+      idlePct: Double, stealPct: Double, freqStart: Long, freqEnd: Long,
       canaryRatio: Double, canary: String): String =
     f""","load_start":$loadStart%.1f,"load_end":$loadEnd%.1f""" +
-      f""","idle_pct":$idlePct%.1f""" +
+      f""","idle_pct":$idlePct%.1f,"steal_pct":$stealPct%.2f""" +
       s""","freq_khz_start":$freqStart,"freq_khz_end":$freqEnd""" +
       f""","canary_ratio":$canaryRatio%.2f,"canary":"$canary""""
 
@@ -287,8 +303,9 @@ object Bench {
       // data ("canary":"hot window (2.1x committed canary)") instead
       // of a forensics exercise for the next judge
       val (cr, cv) = canaryVerdict(committed, results.toMap)
-      val loads = telemetryJson(l0, load1(), idlePct(stat0, procStat()),
-        freq0, curFreqKhz(), cr, cv)
+      val stat1 = procStat()
+      val loads = telemetryJson(l0, load1(), idlePct(stat0, stat1),
+        stealPct(stat0, stat1), freq0, curFreqKhz(), cr, cv)
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"queries":${jmap(results)}""" +
         loads + s""","sf":"$sfDir"}"""

@@ -43,9 +43,11 @@ object BenchSub {
     // as graft.Bench's artifact line): an isolation pass taken in a
     // hot window is just as suspect as a main run, and this line lets
     // the audit trail say so without reconstruction
+    val stat1 = Bench.procStat()
     println(f"SUBTELEMETRY load_start=$load0%.1f " +
       f"load_end=${Bench.load1()}%.1f " +
-      f"idle_pct=${Bench.idlePct(stat0, Bench.procStat())}%.1f " +
+      f"idle_pct=${Bench.idlePct(stat0, stat1)}%.1f " +
+      f"steal_pct=${Bench.stealPct(stat0, stat1)}%.2f " +
       s"freq_khz_start=$freq0 freq_khz_end=${Bench.curFreqKhz()}")
     // see graft.Bench: stop state-store maintenance before the context
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()

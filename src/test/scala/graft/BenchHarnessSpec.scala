@@ -91,22 +91,27 @@ class BenchHarnessSpec extends AnyFunSuite {
   test("telemetry fields ride in every artifact line (idle%, cpu " +
       "frequency, canary verdict — the machine-state data the " +
       "round-13 forensics had to reconstruct from git)") {
-    val frag = Bench.telemetryJson(3.2, 4.0, 87.5, 2400000L, 2200000L,
-      2.13, "hot window (2.1x committed canary)")
+    val frag = Bench.telemetryJson(3.2, 4.0, 87.5, 2.31, 2400000L,
+      2200000L, 2.13, "hot window (2.1x committed canary)")
     for (f <- Seq("\"load_start\":", "\"load_end\":", "\"idle_pct\":",
-      "\"freq_khz_start\":", "\"freq_khz_end\":", "\"canary_ratio\":",
-      "\"canary\":\""))
+      "\"steal_pct\":", "\"freq_khz_start\":", "\"freq_khz_end\":",
+      "\"canary_ratio\":", "\"canary\":\""))
       assert(frag.contains(f), s"missing $f in $frag")
     assert(frag.contains("\"canary\":\"hot window"))
-    // /proc/stat parsing: idle = idle + iowait, total = all jiffies
+    // /proc/stat parsing: idle = idle + iowait, steal = field 8,
+    // total = all jiffies
     assert(Bench.parseProcStat(
-      "cpu  100 0 50 800 50 0 0 0 0 0") == Some((850L, 1000L)))
+      "cpu  100 0 50 800 50 0 0 20 0 0") == Some((850L, 20L, 1020L)))
     assert(Bench.parseProcStat("cpu0 1 2 3 4") == None) // per-core line
     assert(Bench.parseProcStat("garbage") == None)
-    // idle% across two samples; missing samples degrade to -1
-    assert(Bench.idlePct(Some((850L, 1000L)), Some((1750L, 2000L))) == 90.0)
-    assert(Bench.idlePct(None, Some((1L, 2L))) == -1.0)
-    assert(Bench.idlePct(Some((1L, 2L)), Some((1L, 2L))) == -1.0) // no Δ
+    // idle%/steal% across two samples; missing samples degrade to -1
+    assert(Bench.idlePct(Some((850L, 0L, 1000L)),
+      Some((1750L, 0L, 2000L))) == 90.0)
+    assert(Bench.stealPct(Some((850L, 10L, 1000L)),
+      Some((1750L, 60L, 2000L))) == 5.0)
+    assert(Bench.idlePct(None, Some((1L, 0L, 2L))) == -1.0)
+    assert(Bench.stealPct(None, Some((1L, 0L, 2L))) == -1.0)
+    assert(Bench.idlePct(Some((1L, 0L, 2L)), Some((1L, 0L, 2L))) == -1.0)
     // the live samplers never throw, whatever the host exposes
     Bench.procStat(); Bench.curFreqKhz(); ()
   }

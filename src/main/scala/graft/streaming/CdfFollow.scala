@@ -119,8 +119,14 @@ object CdfFollow {
           "redeliver — restore the mart or start a fresh checkpoint")
     }
     // per-version in-memory accumulation, committed once per version:
-    // single foreachBatch thread, alphabetical tables within a version
+    // single foreachBatch thread, alphabetical tables within a version.
+    // The version's BOUNDARY table is resolved once per version, not
+    // once per delivery — tablesAt(v) re-resolves the delta-manifest
+    // chain for historical versions, and paying that per (version,
+    // table) would charge a 4,096-table fleet O(tables) chain reads
+    // per commit for a value that cannot change mid-version
     var acc: Option[(Long, S)] = None
+    var boundary: (Long, String) = (Long.MinValue, "")
     runStore(spark, store, checkpointDir, { (v, t, cdf) =>
       if (v > mart.version) {
         val s0 = acc match {
@@ -128,7 +134,8 @@ object CdfFollow {
           case _ => mart.state
         }
         val s1 = fold(s0, v, t, cdf)
-        if (t == store.tablesAt(v).last) {
+        if (boundary._1 != v) boundary = (v, store.tablesAt(v).last)
+        if (t == boundary._2) {
           mart.commit(v)(_ => s1)
           acc = None
         } else acc = Some((v, s1))

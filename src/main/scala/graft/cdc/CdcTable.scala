@@ -87,7 +87,11 @@ class CdcTable(
     // express the CAS (POSIX rename silently replaces), so the publish
     // is a hard link — atomically exclusive — and a lost race surfaces
     // as a conflict instead of a silent overwrite (the loser's bucket
-    // dirs are unreferenced garbage for vacuum)
+    // dirs are unreferenced garbage for vacuum). Durability scope:
+    // atomic against PROCESS failure; an OS crash/power loss can
+    // persist the link before the staged bytes (no fsync here) — on
+    // a filesystem without ordered metadata, recovery is re-emitting
+    // the batch, which the merge contract makes idempotent
     try {
       Files.createLink(dir.resolve(s"manifest-$v.json"), tmp)
       Files.deleteIfExists(tmp)

@@ -185,7 +185,10 @@ class ConsolidatedStore(
     Files.write(tmp, body.getBytes)
     // hard-link CAS, same discipline as CdcTable.writeManifest: the
     // link is atomically exclusive, a lost race is a retryable
-    // conflict, never a silent overwrite
+    // conflict, never a silent overwrite. Durability scope: atomic
+    // against PROCESS failure; OS crash/power loss can persist the
+    // link before the staged bytes (no fsync) — recovery is
+    // re-emitting the batch, idempotent under the merge contract
     try {
       Files.createLink(dir.resolve(commitName(c.version)), tmp)
       Files.deleteIfExists(tmp)
@@ -408,7 +411,7 @@ class ConsolidatedStore(
     else {
       // one footer probe for the sort-key shape, shared by every
       // segment group this read unions
-      val schema = segSchema(c.payload, sortKeyTypeOf(c))
+      val schema = segSchema(c.payload, sortKeyTypeOf(mine.head._2))
       Some(mine.groupBy(_._2).map { case (seg, pairs) =>
         spark.read.schema(schema).parquet(s"$path/$seg")
           .filter(col("table_name") === table &&
@@ -428,7 +431,7 @@ class ConsolidatedStore(
       .toDF("table_name", "_bucket", "_seg")
     val segs = c.entries.values.toSeq.distinct.sorted
     spark.read.schema(segSchema(c.payload,
-        sortKeyTypeOf(c))).parquet(segs.map(s => s"$path/$s"): _*)
+        sortKeyTypeOf(segs.head))).parquet(segs.map(s => s"$path/$s"): _*)
       .withColumn("_seg",
         regexp_extract(input_file_name(), "/(seg-v[^/]+)/", 1))
       .join(broadcast(wantedDf),
@@ -437,14 +440,17 @@ class ConsolidatedStore(
   }
 
 
-  // the sort-key struct shape is decode-defined; recover it from any
+  // the sort-key struct shape is decode-defined; recover it from a
   // committed segment's footer once per read call (driver-side, one
-  // footer) — segments always carry the column
-  private def sortKeyTypeOf(c: Commit)
-      : org.apache.spark.sql.types.DataType = {
-    val seg = c.entries.values.head
+  // footer) — segments always carry the column. The probe target must
+  // be a segment the READ itself touches (existence-checked by the
+  // caller): probing an arbitrary entry of the commit read a segment
+  // vacuum legitimately removed while every needed one survived —
+  // e.g. an untouched table's empty feed at a version whose OTHER
+  // tables' segments aged out (found by the round-15 partial-gap leg)
+  private def sortKeyTypeOf(seg: String)
+      : org.apache.spark.sql.types.DataType =
     spark.read.parquet(s"$path/$seg").schema("_sort_key").dataType
-  }
 
   /** Post-image change feed for one table at commit `v` — the same
     * contract as [[CdcTable.changeFeed]], so IVM consumers keep
@@ -533,7 +539,7 @@ class ConsolidatedStore(
       prev.entries.get((table, b))
     }).distinct
     if (!needed.forall(s => Files.exists(dir.resolve(s)))) return None
-    val schema = segSchema(c.payload, sortKeyTypeOf(c))
+    val schema = segSchema(c.payload, sortKeyTypeOf(repointed.head._2))
     def readPairs(pairs: Seq[(Int, String)]): DataFrame =
       pairs.groupBy(_._2).map { case (seg, ps) =>
         spark.read.schema(schema).parquet(s"$path/$seg")
@@ -547,7 +553,8 @@ class ConsolidatedStore(
     val pre =
       if (prePairs.isEmpty) None
       else {
-        val preSchema = segSchema(c.payload, sortKeyTypeOf(prev))
+        val preSchema = segSchema(c.payload,
+          sortKeyTypeOf(prePairs.head._2))
         Some(prePairs.groupBy(_._2).map { case (seg, ps) =>
           spark.read.schema(preSchema).parquet(s"$path/$seg")
             .filter(col("table_name") === table &&

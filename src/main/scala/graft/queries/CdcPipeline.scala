@@ -669,19 +669,28 @@ object CdcPipeline {
           else d.getDecimal(1)
         (st._1 + dn, st._2.add(ds))
       }
+      var mart1: graft.streaming.DurableMart[
+        (Long, java.math.BigDecimal)] = null
+      var mart2: graft.streaming.DurableMart[
+        (Long, java.math.BigDecimal)] = null
       try {
+        mart1 = mkMart()
         val q1 = graft.streaming.CdfFollow.runStoreDurable(s, store,
-          ckpt, mkMart(), fold(kill = true))
+          ckpt, mart1, fold(kill = true))
         val died =
           try { if (!q1.awaitTermination(120000)) q1.stop(); false }
           catch { case _: Exception => true }
         require(died && killedAt.get() == 3L,
           "c28: the injected mid-version kill did not fire — the gate " +
             "would not be exercising the crash contract")
+        // the crashed consumer's writer lock: in production the OS
+        // releases it with the dead process; in this single-JVM gate
+        // the close() stands in for the process exit
+        mart1.close()
         // restart: a FRESH mart instance reads (state, version) from
         // disk; same checkpoint, so Spark replays the batch and the
         // watermark re-delivers everything past the marker
-        val mart2 = mkMart()
+        mart2 = mkMart()
         val resumedFrom = mart2.version
         val q2 = graft.streaming.CdfFollow.runStoreDurable(s, store,
           ckpt, mart2, fold(kill = false))
@@ -710,6 +719,8 @@ object CdcPipeline {
           .toDF("killed_at_version", "resumed_from", "head_check_diff",
             "n_live", "sum_salary")
       } finally {
+        if (mart1 != null) mart1.close()
+        if (mart2 != null) mart2.close()
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }

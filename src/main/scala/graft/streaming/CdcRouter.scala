@@ -148,9 +148,34 @@ class CdcRouter(
       case Some(d) => openStore(d)
       case None =>
         discoverStores()
-        openStore(sigDir.getOrElseUpdate(pk, s"_store-${sanitizedSig(pk)}"))
+        openStore(sigDir.getOrElseUpdate(pk, {
+          val fresh = s"_store-${sanitizedSig(pk)}"
+          // the 4→10-byte hash widening renamed hashed-signature dirs.
+          // A COMMITTED legacy dir is rebound above via pkSignature
+          // discovery, but an UNCOMMITTED one (created by the old
+          // writer, first CAS still pending or crashed) is invisible
+          // to discoverStores — minting `fresh` beside it would orphan
+          // its staged work and leave two dirs for one signature, so
+          // adopt the legacy name when it exists and `fresh` doesn't
+          legacyHashedDir(pk)
+            .filter(old => old != fresh &&
+              Files.isDirectory(Paths.get(rootPath, old)) &&
+              !Files.isDirectory(Paths.get(rootPath, fresh)))
+            .getOrElse(fresh)
+        }))
     }
   }
+
+  /** The pre-widening (4-byte-hash) dir name for a non-identifier PK
+    * signature; None for identifier signatures (their names never
+    * changed). */
+  private def legacyHashedDir(pk: Seq[String]): Option[String] =
+    if (pk.nonEmpty && pk.forall(_.matches("[A-Za-z0-9_]+"))) None
+    else {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      Some("_store-h" + md.digest(pk.mkString("\n").getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString)
+    }
 
   /** All consolidated stores (registry ∪ disk), by dir name. */
   def allStores: Map[String, graft.cdc.ConsolidatedStore] = {

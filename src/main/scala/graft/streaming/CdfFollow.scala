@@ -69,7 +69,12 @@ object CdfFollow {
     * VERSION, after all of its tables delivered — a crash mid-version
     * re-delivers ALL of that version's tables on retry, so a consumer
     * must either apply a version atomically or be idempotent on
-    * (version, table), the same contract [[run]] states per version. */
+    * (version, table), the same contract [[run]] states per version.
+    * A (version, table) whose feed was vacuumed is SILENTLY skipped
+    * here (the callback never fires — same graceful degradation as
+    * `changeFeedCdf`); a consumer that must distinguish "no delta"
+    * from "delta lost to retention" needs [[runStoreDurable]], whose
+    * all-or-nothing fold records such versions as skipped. */
   def runStore(spark: SparkSession, store: graft.cdc.ConsolidatedStore,
       checkpointDir: String,
       onVersion: (Long, String, org.apache.spark.sql.DataFrame) => Unit,
@@ -87,9 +92,9 @@ object CdfFollow {
     * crash+restart silently loses every version already marked
     * delivered. Here the consumer folds each version's per-table CDF
     * deltas into `mart`, committing (state, version) as ONE atomic
-    * rename at each version boundary — BEFORE the watermark advances —
-    * so after any kill the mart is an exact prefix of the version
-    * chain and the fold is exactly-once per (version, table):
+    * rename per version — BEFORE the watermark advances — so after
+    * any process kill the mart is an exact prefix of the FOLDED
+    * version chain and the fold is exactly-once per (version, table):
     *
     *  - versions ≤ mart.version redeliver as no-ops (the mart's own
     *    guard — [[DurableMart.commit]]);
@@ -97,6 +102,19 @@ object CdfFollow {
     *    accumulation; the watermark (< v, it advances after delivery)
     *    re-delivers ALL of the version's tables on restart and the
     *    fold restarts from the durable state.
+    *
+    * A version is folded ALL-OR-NOTHING: its table set and every
+    * table's feed resolve first, and only a complete set folds and
+    * commits. When ANY feed is unavailable — the consumer lagged past
+    * the store's vacuum horizon, so pre/post segments or the commit
+    * file are gone — folding the surviving subset would silently
+    * commit a PARTIAL version (the exact contract violation this API
+    * exists to prevent), so the version is instead recorded durably
+    * as skipped ([[DurableMart.commitSkipped]]): state untouched,
+    * version advanced, the gap queryable via [[DurableMart.skipped]].
+    * This also keeps the startup check below honest — a wholly
+    * vacuumed version advances the mart alongside the watermark
+    * instead of tripping a false lost-mart refusal.
     *
     * A checkpoint whose watermark is AHEAD of the mart means the mart
     * dir was lost or swapped — the silent-loss trap this exists to
@@ -118,29 +136,28 @@ object CdfFollow {
           "was lost or swapped, and those versions would never " +
           "redeliver — restore the mart or start a fresh checkpoint")
     }
-    // per-version in-memory accumulation, committed once per version:
-    // single foreachBatch thread, alphabetical tables within a version.
-    // The version's BOUNDARY table is resolved once per version, not
-    // once per delivery — tablesAt(v) re-resolves the delta-manifest
-    // chain for historical versions, and paying that per (version,
-    // table) would charge a 4,096-table fleet O(tables) chain reads
-    // per commit for a value that cannot change mid-version
-    var acc: Option[(Long, S)] = None
-    var boundary: (Long, String) = (Long.MinValue, "")
-    runStore(spark, store, checkpointDir, { (v, t, cdf) =>
+    // single foreachBatch thread; tables alphabetical within a
+    // version. tablesAt(v) resolves the delta-manifest chain ONCE per
+    // version — per-delivery resolution would charge a 4,096-table
+    // fleet O(tables) chain reads per commit for a value that cannot
+    // change mid-version.
+    follow(spark, store.location, consolidated = true, checkpointDir,
+      trigger) { v =>
       if (v > mart.version) {
-        val s0 = acc match {
-          case Some((`v`, s)) => s
-          case _ => mart.state
-        }
-        val s1 = fold(s0, v, t, cdf)
-        if (boundary._1 != v) boundary = (v, store.tablesAt(v).last)
-        if (t == boundary._2) {
+        val tables = store.tablesAt(v)
+        val feeds = tables.map(t => t -> store.changeFeedCdf(t, v))
+        if (tables.isEmpty || feeds.exists(_._2.isEmpty))
+          mart.commitSkipped(v)
+        else {
+          val s1 = feeds.foldLeft(mart.state) {
+            case (s, (t, Some(cdf))) => fold(s, v, t, cdf)
+            case (s, _) => s
+          }
           mart.commit(v)(_ => s1)
-          acc = None
-        } else acc = Some((v, s1))
+        }
       }
-    }, trigger)
+      ()
+    }
   }
 
   private def follow(spark: SparkSession, logDir: String,
@@ -152,6 +169,12 @@ object CdfFollow {
       else
         try new String(Files.readAllBytes(marker)).trim.toLong
         catch { case _: Exception => -1L }
+    // stage + atomic rename: atomic against PROCESS failure (the
+    // crash window every gate injects), not OS crash/power loss —
+    // the kernel may persist the rename before the bytes. A torn
+    // watermark parses as -1 (delivered() below) and only causes
+    // redelivery, which the consumer contract already absorbs, so
+    // fsync hardening is deliberately not paid here.
     def advance(v: Long): Unit = {
       val tmp = Paths.get(checkpointDir, s".delivered-watermark.tmp")
       Files.createDirectories(tmp.getParent)

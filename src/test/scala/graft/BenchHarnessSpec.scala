@@ -95,13 +95,21 @@ class BenchHarnessSpec extends AnyFunSuite {
       2200000L, 2.13, "hot window (2.1x committed canary)")
     for (f <- Seq("\"load_start\":", "\"load_end\":", "\"idle_pct\":",
       "\"steal_pct\":", "\"freq_khz_start\":", "\"freq_khz_end\":",
-      "\"canary_ratio\":", "\"canary\":\""))
+      "\"canary_ratio\":", "\"canary\":\"", "\"canary_prior\":"))
       assert(frag.contains(f), s"missing $f in $frag")
     assert(frag.contains("\"canary\":\"hot window"))
+    assert(frag.contains("\"canary_prior\":\"committed\""))
+    assert(Bench.telemetryJson(0, 0, 0, 0, 0, 0, 1.1, "quiet",
+      "rebased(t07_char_trigrams)")
+      .contains("\"canary_prior\":\"rebased(t07_char_trigrams)\""))
     // /proc/stat parsing: idle = idle + iowait, steal = field 8,
-    // total = all jiffies
+    // total = user..steal (first 8)
     assert(Bench.parseProcStat(
       "cpu  100 0 50 800 50 0 0 20 0 0") == Some((850L, 20L, 1020L)))
+    // guest/guest_nice are already folded into user/nice by the
+    // kernel: the total must NOT double-count them
+    assert(Bench.parseProcStat(
+      "cpu  100 0 50 800 50 0 0 20 30 10") == Some((850L, 20L, 1020L)))
     assert(Bench.parseProcStat("cpu0 1 2 3 4") == None) // per-core line
     assert(Bench.parseProcStat("garbage") == None)
     // idle%/steal% across two samples; missing samples degrade to -1
@@ -114,6 +122,51 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(Bench.idlePct(Some((1L, 0L, 2L)), Some((1L, 0L, 2L))) == -1.0)
     // the live samplers never throw, whatever the host exposes
     Bench.procStat(); Bench.curFreqKhz(); ()
+  }
+
+  test("effectivePrior: the canary prior rebases to the machine state " +
+      "only when the last K windows AGREE within the band while ALL " +
+      "past the hot bar — a burst, a short history, or a quiet host " +
+      "keeps the committed prior (round-14 verdict item 1: the " +
+      "verdict must keep separating windows when the host moves)") {
+    val committed = Map("t07_char_trigrams" -> 0.2,
+      "d02_minhash_pairs" -> 1.0)
+    def w(vs: Double*): Seq[Map[String, Double]] =
+      vs.map(v => Map("t07_char_trigrams" -> v))
+    // adopt: 3 agreeing windows, all >2x committed → median, that
+    // canary only; the other keeps its committed value
+    val (eff, reb) = Bench.effectivePrior(committed, w(0.50, 0.54, 0.52))
+    assert(reb == Seq("t07_char_trigrams"))
+    assert(eff("t07_char_trigrams") == 0.52)
+    assert(eff("d02_minhash_pairs") == 1.0)
+    // refuse: only two windows yet
+    assert(Bench.effectivePrior(committed, w(0.50, 0.54))._2.isEmpty)
+    // refuse: windows disagree beyond the band (burst, not a state)
+    assert(Bench.effectivePrior(committed, w(0.50, 0.90, 0.52))._2.isEmpty)
+    // refuse: agreeing but not past the hot bar (nothing to fix)
+    assert(Bench.effectivePrior(committed, w(0.30, 0.31, 0.32))._2.isEmpty)
+    // only the TRAILING K windows decide: a host that returns to the
+    // committed state dissolves the rebase
+    assert(Bench.effectivePrior(committed,
+      w(0.50, 0.54, 0.52, 0.21, 0.20, 0.22))._2.isEmpty)
+    // the verdict downstream: machine-state window reads quiet against
+    // the adopted prior, a genuinely hot window still reads hot
+    assert(Bench.canaryVerdict(eff,
+      Map("t07_char_trigrams" -> 0.55))._2 == "quiet")
+    assert(Bench.canaryVerdict(eff,
+      Map("t07_char_trigrams" -> 1.2))._2.startsWith("hot window"))
+    // failed observations (-1) never count as windows
+    assert(Bench.effectivePrior(committed,
+      w(-1.0, 0.52, 0.54))._2.isEmpty)
+  }
+
+  test("provenanceJson: reconciled artifacts say so; single-window " +
+      "artifacts carry no provenance fields (round-14 verdict item " +
+      "2: min-reconciled values must not wear one window's verdict)") {
+    assert(Bench.provenanceJson(1) == "")
+    assert(Bench.provenanceJson(0) == "")
+    assert(Bench.provenanceJson(2) ==
+      ""","reconciled":true,"n_windows":2""")
   }
 
   test("bench_audit selftest: committed-prior diffing, drift band, and " +

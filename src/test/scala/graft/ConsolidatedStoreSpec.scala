@@ -226,6 +226,30 @@ class ConsolidatedStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](r.storeFor(Seq("id")))
   }
 
+  test("an UNCOMMITTED legacy-hash dir (pre-widening 4-byte name) is " +
+      "invisible to discovery (no committed signature to claim) but " +
+      "storeFor adopts it instead of minting a second dir for the " +
+      "same signature; fresh signatures still get the widened name") {
+    val root = freshDir("cstore-legacyhash")
+    val pk = Seq("id", "weird col") // non-identifier → hashed dir name
+    def hashDir(cols: Seq[String], bytes: Int): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      "_store-h" + md.digest(cols.mkString("\n").getBytes("UTF-8"))
+        .take(bytes).map("%02x".format(_)).mkString
+    }
+    val legacy = hashDir(pk, 4)
+    // the old writer created the dir but crashed before its first
+    // commit: no manifest, so pkSignature discovery cannot rebind it
+    Files.createDirectories(Paths.get(root, legacy))
+    val r = new CdcRouter(spark, root, _ => pk, numBuckets = 2,
+      consolidated = true)
+    assert(r.storeFor(pk).location == s"$root/$legacy",
+      s"minted a second dir beside '$legacy'")
+    // a signature with NO legacy dir on disk gets the 10-byte name
+    val pk2 = Seq("id", "other col")
+    assert(r.storeFor(pk2).location == s"$root/${hashDir(pk2, 10)}")
+  }
+
   test("CdcLogSource layout=consolidated probes commit-<v> files: a " +
       "commit published without its _LATEST pointer update (writer " +
       "crash lag) is still discovered by roll-forward — proving the " +

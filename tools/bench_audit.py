@@ -34,11 +34,52 @@ THRESH = 1.5
 ABS_FLOOR = 0.4
 CANARIES = ("t07_char_trigrams", "d02_minhash_pairs")
 CANARY_THRESH = 2.0
+REBASE_K = 3
+REBASE_BAND = 1.3
+HISTORY = "BENCH_CANARY_HISTORY.jsonl"
 
 
 def parse(text):
     return {m.group(1): float(m.group(2)) for m in
             re.finditer(r'"([a-z][0-9a-z_]+)":([0-9.]+)', text)}
+
+
+def effective_prior(committed, windows):
+    """Mirror of Bench.effectivePrior: when the last REBASE_K windows'
+    canary values agree within REBASE_BAND while ALL sitting past the
+    hot bar vs the committed value, the MACHINE moved, not the run -
+    adopt their median as the machine-state prior so the hot/quiet
+    verdict keeps separating windows. Returns (prior, rebased names);
+    the committed value stays in git as the quiet-machine reference."""
+    eff = dict(committed)
+    rebased = []
+    for c in CANARIES:
+        vs = [w[c] for w in windows if w.get(c, 0) > 0][-REBASE_K:]
+        p = committed.get(c)
+        if (p and len(vs) == REBASE_K and max(vs) <= min(vs) * REBASE_BAND
+                and min(vs) > p * CANARY_THRESH):
+            eff[c] = sorted(vs)[REBASE_K // 2]
+            rebased.append(c)
+    return eff, rebased
+
+
+def load_history():
+    """Window history (one line per full bench run, appended by
+    Bench itself)."""
+    try:
+        with open(HISTORY) as f:
+            return [parse(line) for line in f if line.strip()]
+    except OSError:
+        return []
+
+
+def stamp_reconciled(cur):
+    """A splice makes the artifact's values minima over one more
+    window; its line must say so instead of wearing the last window's
+    verdict as a single observation."""
+    cur["reconciled"] = True
+    cur["n_windows"] = int(cur.get("n_windows", 1)) + 1
+    return cur
 
 
 def drifted_queries(prior, qs):
@@ -72,6 +113,32 @@ def selftest():
     # committed-prior parse accepts the artifact's compact shape
     assert parse('{"queries":{"q1_agg":1.25,"d02_minhash_pairs":0.8}}') == \
         {"q1_agg": 1.25, "d02_minhash_pairs": 0.8}
+    # machine-state rebase: 3 agreeing windows all >2x committed ->
+    # adopt their median as the prior for THAT canary only
+    committed = {"t07_char_trigrams": 0.2, "d02_minhash_pairs": 1.0}
+    hot = [{"t07_char_trigrams": v} for v in (0.50, 0.54, 0.52)]
+    eff, reb = effective_prior(committed, hot)
+    assert reb == ["t07_char_trigrams"] and eff["t07_char_trigrams"] == 0.52
+    assert eff["d02_minhash_pairs"] == 1.0
+    # refuse: only 2 windows
+    assert effective_prior(committed, hot[:2])[1] == []
+    # refuse: windows disagree beyond the band (a burst, not a state)
+    assert effective_prior(committed, [
+        {"t07_char_trigrams": v} for v in (0.50, 0.90, 0.52)])[1] == []
+    # refuse: windows agree but are NOT past the hot bar (no need)
+    assert effective_prior(committed, [
+        {"t07_char_trigrams": v} for v in (0.30, 0.31, 0.32)])[1] == []
+    # the adopted prior flips the poison verdict for a machine-state
+    # window without loosening it for a genuinely hot one
+    assert poisoned_canaries(committed, {"t07_char_trigrams": 0.55}) == \
+        ["t07_char_trigrams"]
+    assert poisoned_canaries(eff, {"t07_char_trigrams": 0.55}) == []
+    assert poisoned_canaries(eff, {"t07_char_trigrams": 1.2}) == \
+        ["t07_char_trigrams"]
+    # reconciled artifacts carry their provenance
+    cur = {"value": 1.0}
+    assert stamp_reconciled(cur)["n_windows"] == 2 and cur["reconciled"]
+    assert stamp_reconciled(cur)["n_windows"] == 3
     print("selftest OK")
     return 0
 
@@ -87,11 +154,18 @@ def main():
     prior = parse(prior_txt) if prior_txt else {}
 
     cur0 = json.load(open("BENCH_FULL.json"))
-    bad = poisoned_canaries(prior, cur0["queries"])
+    eff_prior, rebased = effective_prior(prior, load_history())
+    if rebased:
+        print(f"canary prior rebased for {','.join(rebased)}: the last "
+              f"{REBASE_K} windows agree within {REBASE_BAND}x while "
+              f">{CANARY_THRESH}x the committed values - machine-state "
+              "change, judging this run against the adopted median")
+    bad = poisoned_canaries(eff_prior, cur0["queries"])
     if bad and os.environ.get("GRAFT_AUDIT_FORCE") != "1":
         print("REFUSING to splice: load canaries "
-              f"{','.join(bad)} read >{CANARY_THRESH}x their committed "
-              "values - the whole run is burst-poisoned, not a few "
+              f"{','.join(bad)} read >{CANARY_THRESH}x their prior "
+              f"({'rebased' if rebased else 'committed'}) values - the "
+              "whole run is burst-poisoned, not a few "
               "queries. Restore the committed artifact "
               "(git checkout HEAD -- BENCH_FULL.json) and re-run the "
               "full bench in a quieter window. GRAFT_AUDIT_FORCE=1 "
@@ -121,11 +195,15 @@ def main():
         if not subs:
             print("isolation pass produced no numbers; keeping artifact")
             return 1
+        spliced = False
         for q, v in subs.items():
             if v < qs[q]:
                 print(f"  splice {q}: {qs[q]} -> {v}")
                 qs[q] = round(v, 3)
+                spliced = True
         cur["value"] = round(sum(qs.values()), 3)
+        if spliced:
+            stamp_reconciled(cur)
         with open("BENCH_FULL.json", "w") as f:
             f.write(json.dumps(cur, separators=(",", ":")) + "\n")
     cur = json.load(open("BENCH_FULL.json"))

@@ -107,6 +107,9 @@ class DurableMart[S](dir: String, empty: S,
   def skipped: Seq[Long] = cached._2
 
   private def persist(v: Long, sk: Vector[Long], s1: S): Unit = {
+    require(lockChannel.isOpen,
+      s"DurableMart '$dir' is closed — committing after close() would " +
+        "write without the writer lock another instance may now hold")
     val payload = encode(s1)
     val bb = ByteBuffer.allocate(12 + 8 * sk.size + payload.length)
     bb.putLong(v)

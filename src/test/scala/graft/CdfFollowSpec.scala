@@ -297,6 +297,10 @@ class CdfFollowSpec extends AnyFunSuite {
     assert(m1.commit(0L)(_ + 1), "the holder keeps working")
     m1.close()
     m1.close() // idempotent
+    // a closed instance must not write lock-free into a dir another
+    // instance may now own
+    val e2 = intercept[IllegalArgumentException](m1.commit(1L)(_ + 1))
+    assert(e2.getMessage.contains("closed"))
     val m2 = countMart(dir)
     assert(m2.version == 0L && m2.state == 1L)
     m2.close()

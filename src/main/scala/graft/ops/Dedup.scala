@@ -444,13 +444,25 @@ object Dedup {
   def rankCanonical(corpus: DataFrame, idCol: String, pairs: DataFrame,
       iters: Int = 10): DataFrame = {
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    val cl = connectedComponents(p)
-    val rk = nearDupRank(corpus, idCol, p, iters)
-      .select(col("id"), col("rank"))
+    rankCanonicalFrom(corpus, idCol, connectedComponents(p),
+      nearDupRank(corpus, idCol, p, iters))
+  }
+
+  /** [[rankCanonical]] from PRECOMPUTED cluster labels
+    * ([[connectedComponents]] output: id, cluster) and rank relation
+    * ([[nearDupRank]] output: id, …, rank) — the shape for callers
+    * that already share those relations across several consumers
+    * (one clustering + one rank pass serves clusters, weights, splits
+    * and the canonical pick instead of each re-deriving them). Result
+    * is identical to [[rankCanonical]] when `clusters`/`rank` come
+    * from the same pair relation and iteration count. */
+  def rankCanonicalFrom(corpus: DataFrame, idCol: String,
+      clusters: DataFrame, rank: DataFrame): DataFrame = {
+    val rk = rank.select(col("id"), col("rank"))
     val byCluster = Window.partitionBy(col("cluster"))
       .orderBy(col("rank").desc, col("id"))
     corpus.select(col(idCol).cast("long").as("id"))
-      .join(cl, Seq("id"), "left_outer")
+      .join(clusters, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
       .join(rk, Seq("id"))
       .withColumn("keep", row_number().over(byCluster) === 1)
@@ -763,9 +775,18 @@ object Dedup {
     * output IS the kept corpus, with `n_members` recording how many
     * near-dups each kept doc absorbed. */
   def canonicalDedup(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold)
-    val clusters = connectedComponents(pairs)
+      threshold: Double): DataFrame =
+    canonicalDedupFromClusters(df, idCol, textCol,
+      connectedComponents(minhashPairs(df, idCol, textCol, threshold)))
+
+  /** [[canonicalDedup]] from PRECOMPUTED cluster labels
+    * ([[connectedComponents]] output: id, cluster) — for callers that
+    * already share the pair+clustering derivation across consumers.
+    * Identical result to [[canonicalDedup]] when `clusters` comes from
+    * the same corpus and threshold. */
+  def canonicalDedupFromClusters(df: DataFrame, idCol: String,
+      textCol: String, clustersIn: DataFrame): DataFrame = {
+    val clusters = clustersIn
       .withColumnRenamed("id", "__cid")
     val members = df
       .select(col(idCol).cast("long").as("doc"), length(col(textCol)).as("len"))

@@ -26,6 +26,21 @@ import graft.util.Tables.load
   */
 object Pipeline {
 
+  /** Materialize a 1-row NB stats relation as a LocalRelation (same
+    * schema, same single row). NbClassifier.applyDelta/scoreWith read
+    * `n_buckets` via stats.head() and broadcast the stats row into
+    * every scoring plan; on a LAZY or checkpointed stats relation each
+    * of those reads is a Spark job (and on a lazy one, a full
+    * re-aggregation of the model subtree). A LocalRelation's
+    * executeTake returns driver-side — zero jobs — so the c23/c24
+    * gates pay ONE job per stats generation instead of one per
+    * consumer (c24's serving loop had three head() jobs per folded
+    * version; guide §5: the driver should not re-run data work it
+    * already holds one row of). */
+  private def localStats(st: DataFrame): DataFrame =
+    st.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(st.head()), st.schema)
+
   /** Memoized three-commit CDC documents table for c24 (v0 snapshot =
     * the 90% base split, v1 re-texts as update pre/post images, v2
     * deletes + held-out inserts): deterministic setup in the c21
@@ -369,16 +384,21 @@ object Pipeline {
         .unionByName(docs
           .filter($"doc_id" % 7 =!= 0 && $"doc_id" % 3 === 0)
           .withColumn("op", lit("D"))) // before-image deletes
+      // base stats materialized to a LocalRelation FIRST: applyDelta's
+      // n_buckets head() and its nd-prior crossJoin both read it job-
+      // free instead of re-running the base-model aggregation each
+      val m0 = NbClassifier.train(base, "doc_id", "text", pred)
       val m1 = NbClassifier.applyDelta(
-        NbClassifier.train(base, "doc_id", "text", pred),
+        (m0._1, localStats(m0._2)),
         changes, "doc_id", "text", pred, $"op")
       val m2 = NbClassifier.train(
         docs.filter($"doc_id" % 7 === 0 ||
           ($"doc_id" % 7 =!= 0 && $"doc_id" % 3 =!= 0)),
         "doc_id", "text", pred)
-      // each model relation feeds two exceptAll legs — pin them
+      // each model relation feeds two exceptAll legs — pin them (term
+      // relations are V-sized → checkpoint; 1-row stats → local)
       val (t1, t2) = (m1._1.localCheckpoint(true), m2._1.localCheckpoint(true))
-      val (s1, s2) = (m1._2.localCheckpoint(true), m2._2.localCheckpoint(true))
+      val (s1, s2) = (localStats(m1._2), localStats(m2._2))
       val termDiff = t1.exceptAll(t2).unionAll(t2.exceptAll(t1))
         .agg(count(lit(1)).as("n_term_diff"))
       val statDiff = s1.exceptAll(s2).unionAll(s2.exceptAll(s1))
@@ -422,9 +442,13 @@ object Pipeline {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(ckpt, "delivered-watermark"),
         "0".getBytes)
-      val modelRef = new java.util.concurrent.atomic.AtomicReference(
-        NbClassifier.train(
-          t.stateAt(0L).get.filter(!$"_is_deleted"), "doc_id", "text", pred))
+      val modelRef = new java.util.concurrent.atomic.AtomicReference({
+        val m0 = NbClassifier.train(
+          t.stateAt(0L).get.filter(!$"_is_deleted"), "doc_id", "text", pred)
+        // terms pinned, stats local: the v1 delta and the first scorer
+        // read both without re-running the bootstrap aggregation
+        (m0._1.localCheckpoint(true), localStats(m0._2))
+      })
       val probe = docs.filter($"doc_id" % 11 === 0)
         .localCheckpoint(true)
       val nDiff = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -437,13 +461,19 @@ object Pipeline {
         val m1 = NbClassifier.applyDelta(m0, changes, "doc_id", "text",
           pred, $"op")
         // pin each round: the next delta and both scorers read these
-        // relations several times
-        val m = (m1._1.localCheckpoint(true), m1._2.localCheckpoint(true))
+        // relations several times (V-sized terms → checkpoint; 1-row
+        // stats → LocalRelation, so scoreWith/applyDelta head() reads
+        // and the stats broadcast cost no further jobs)
+        val m = (m1._1.localCheckpoint(true), localStats(m1._2))
         modelRef.set(m)
         val served = NbClassifier
           .scoreWith(probe, "doc_id", "text", m).localCheckpoint(true)
-        val retrain = NbClassifier.train(
+        val rt = NbClassifier.train(
           t.stateAt(v).get.filter(!$"_is_deleted"), "doc_id", "text", pred)
+        // same treatment for the from-scratch reference: its scorer
+        // would otherwise head() the LAZY stats (one full aggregation
+        // job) and then recompute it inside the scoring plan
+        val retrain = (rt._1, localStats(rt._2))
         val reserved = NbClassifier
           .scoreWith(probe, "doc_id", "text", retrain).localCheckpoint(true)
         nDiff.addAndGet(served.exceptAll(reserved)

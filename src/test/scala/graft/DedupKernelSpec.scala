@@ -695,6 +695,34 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(got.values.groupBy(_._1).forall(_._2.count(_._2) == 1))
   }
 
+  test("rankCanonicalFrom / canonicalDedupFromClusters: identical rows " +
+      "to the self-deriving forms on the same pair relation") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc"), (3L, "aa bb"),
+      (4L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val clusters = Dedup.connectedComponents(pairs).localCheckpoint(true)
+    val rank = Dedup.nearDupRank(docs, "doc_id", pairs, iters = 6)
+      .localCheckpoint(true)
+    val rcFrom = Dedup.rankCanonicalFrom(docs, "doc_id", clusters, rank)
+      .orderBy(col("id")).collect().toSeq
+    val rcSelf = Dedup.rankCanonical(docs, "doc_id", pairs, iters = 6)
+      .orderBy(col("id")).collect().toSeq
+    assert(rcFrom == rcSelf)
+    // canonicalDedup's internal derivation is minhashPairs + CC; give
+    // the FromClusters form the same CC labels it would derive
+    val th = 0.5
+    val selfCl = Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, "doc_id", "text", th))
+    val cdFrom = Dedup.canonicalDedupFromClusters(docs, "doc_id", "text",
+        selfCl)
+      .orderBy(col("cluster_id")).collect().toSeq
+    val cdSelf = Dedup.canonicalDedup(docs, "doc_id", "text", th)
+      .orderBy(col("cluster_id")).collect().toSeq
+    assert(cdFrom == cdSelf)
+  }
+
   test("crossPairs is bipartite: equals brute-force corpus×bench Jaccard, " +
       "never a within-side pair (identical left docs stay unpaired)") {
     import spark.implicits._

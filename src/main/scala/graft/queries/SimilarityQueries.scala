@@ -194,8 +194,14 @@ object SimilarityQueries {
   }
 
   /** Memoized full-corpus brute-force reference for the vec_id<5
-    * query set — byte-identical input to s14's and s16's recall legs
-    * (k×5 rows, checkpointed so the scan runs once per session). */
+    * query set at K — byte-identical input to the recall legs of
+    * every full-corpus K-gate (s03/s04/s08/s13/s14/s16/s20/s22) and
+    * to s02's classification input (k×5 rows, checkpointed so the
+    * exact scan runs once per session instead of once per gate per
+    * bench sample). s01 stays fresh-computed — the brute-force top-k
+    * ITSELF is s01's oracled claim; gates whose reference differs
+    * (s10 k=20, s15 filtered, s17 corpus-minus-deleted, s18 k=5
+    * sample) derive their own. */
   private val bfRefCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
@@ -268,8 +274,10 @@ object SimilarityQueries {
     // ---- kNN majority-label classification ----
     "s02_knn_label" -> { (s, d) =>
       import s.implicits._
-      val topk = Similarity.bruteForceTopK(queriesDf(s, d),
-        corpusDf(s, d).select($"id", $"vec"), K)
+      // neighbor relation via the session-memoized brute-force
+      // reference (identical derivation); the CLASSIFICATION is the
+      // claim and runs fresh
+      val topk = bruteForceRef(s, d)
       Similarity.knnClassify(topk,
           corpusDf(s, d).select($"id", $"label".cast("long").as("label")))
         .orderBy($"qid")
@@ -603,7 +611,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.annTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "num_bits" -> 8L, 0.05)
+        bruteForceRef(s, d), K, "num_bits" -> 8L, 0.05)
     },
 
     // ---- IVF ANN: recall@10 gate vs brute force ----
@@ -611,7 +619,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.ivfTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "nprobe" -> 4L, 0.7)
+        bruteForceRef(s, d), K, "nprobe" -> 4L, 0.7)
     },
 
     // ---- exact cosine range search (all matches, not top-k) ----
@@ -635,7 +643,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.jlTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "proj_dims" -> 32L, 0.3)
+        bruteForceRef(s, d), K, "proj_dims" -> 32L, 0.3)
     },
 
     // ---- PQ-ADC ANN: code-compressed scan + exact re-rank; recall
@@ -644,7 +652,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.pqTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "shortlist" -> 50L, 0.8)
+        bruteForceRef(s, d), K, "shortlist" -> 50L, 0.8)
     },
 
     // ---- SQ8 ANN: scalar-quantized (1 byte/dim) compressed scan +
@@ -655,7 +663,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.sqTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "shortlist" -> 50L, 0.8)
+        bruteForceRef(s, d), K, "shortlist" -> 50L, 0.8)
     },
 
     // ---- IVF+PQ ANN: probed-cell, code-compressed scan + exact
@@ -666,7 +674,7 @@ object SimilarityQueries {
       import s.implicits._
       val q = queriesDf(s, d); val c = corpusDf(s, d).select($"id", $"vec")
       recallGate(Similarity.ivfPqTopK(q, c, K),
-        Similarity.bruteForceTopK(q, c, K), K, "nprobe" -> 4L, 0.7)
+        bruteForceRef(s, d), K, "nprobe" -> 4L, 0.7)
     },
 
     // ---- the same index PERSISTED: build once (cell-partitioned

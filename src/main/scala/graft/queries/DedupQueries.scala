@@ -312,7 +312,8 @@ object DedupQueries {
       val cand = Dedup.streamCandidatePairs(
         Dedup.bandBucketRows(sig, numHashes, bands))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions",  // local default; env-overridable
+        graft.util.StreamConf.statePartitions(4).toString)
       try {
         val q = cand.writeStream
           .format("memory").queryName("d18_stream_near_dup_sink")

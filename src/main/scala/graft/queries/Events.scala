@@ -37,7 +37,11 @@ object Events {
     * a few stores, not the relational default. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // n is the LOCAL default; SPARK_GRAFT_STATE_PARTITIONS overrides
+    // for cluster runs (state partitioning is fixed at a stateful
+    // query's first run, so it must be deployment-sized, not baked)
+    s.conf.set("spark.sql.shuffle.partitions",
+      graft.util.StreamConf.statePartitions(n).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

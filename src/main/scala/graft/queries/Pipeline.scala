@@ -203,7 +203,8 @@ object Pipeline {
         .select(langId($"text").as("pred_lang"),
           tokenCount($"text").cast("long").as("n_tok"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions",  // local default; env-overridable
+        graft.util.StreamConf.statePartitions(4).toString)
       try {
         val q = stream.writeStream
           .format("memory").queryName("p02_stream_pipeline_sink")
@@ -331,7 +332,8 @@ object Pipeline {
       val ckDir = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), "p05ck").toString
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions",  // local default; env-overridable
+        graft.util.StreamConf.statePartitions(4).toString)
       try {
         val q = s.readStream.schema(docs.schema).parquet(s"$d/documents.*")
           .filter($"doc_id" % 10 =!= 0)

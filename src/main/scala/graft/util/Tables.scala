@@ -79,3 +79,18 @@ object Cols {
     * SUM(DECIMAL(18,4)) result type). */
   def big4(c: Column): Column = c.cast(DecimalType(38, 4))
 }
+
+/** Scale-dependent streaming knobs, parameterised per the optimization
+  * guide's rule that a constant tuned for one deployment must not be
+  * baked into the operator: streaming state-store partition counts
+  * (which pin each stateful query's state layout at its FIRST run)
+  * default to a local-mode value and read
+  * `SPARK_GRAFT_STATE_PARTITIONS` for cluster deployments — at scale
+  * the right number tracks state size (100 MB–1 GB per partition),
+  * not driver core count. The env override leaves the driver's bench
+  * (which never sets it) byte-identical. */
+object StreamConf {
+  def statePartitions(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
+      .getOrElse(default)
+}

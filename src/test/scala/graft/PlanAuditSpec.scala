@@ -217,8 +217,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin+row_number shape shuffled the corpus×nlist expansion;
     // assignCells folds it map-side so one row per vector crosses the
     // wire. The only windows left are candidate-ranking (query-bounded).
-    // (the queries also run the brute-force recall reference, whose
-    // final per-query rank adds one more candidate-bounded Window)
+    // (the brute-force recall reference is the session-shared
+    // pre-materialized bruteForceRef since r15, so its rank Window no
+    // longer appears in the gates' own plans — it scans ExistingRDD)
     def finalPlan(q: String): String = {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
@@ -227,11 +228,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p4 = finalPlan("s04_ann_ivf")
     assert(p4.contains("partial_min_by"), p4)       // corpus argmax leg
     assert(p4.contains("partial_collect_list"), p4) // query top-nprobe leg
-    assert("Window \\[".r.findAllIn(p4).size == 2, p4) // ivf rank + bf rank
+    assert("Window \\[".r.findAllIn(p4).size == 1, p4) // ivf candidate rank
     val p13 = finalPlan("s13_ivf_pq")
     assert(p13.contains("partial_min_by"), p13)
     assert(p13.contains("partial_collect_list"), p13)
-    assert("Window \\[".r.findAllIn(p13).size == 3, p13) // arank+rank+bf
+    assert("Window \\[".r.findAllIn(p13).size == 2, p13) // arank + rank
   }
 
   test("assignCells (shared by ivfTopK/ivfPqTopK/VectorIndex.writeCells/" +

@@ -50,6 +50,25 @@ object Bench {
       n -> sub.get(n).map(v => math.min(v, t)).getOrElse(t)
     }
 
+  /** Family-level drift re-pass (round-15 verdict item 1): when ≥
+    * [[FamilyDriftK]] queries of ONE family prefix still sit past the
+    * per-query drift bar AFTER the isolation resample, the family
+    * moved together — on zero-diff code that is a sustained co-tenant
+    * burst spanning both passes (r15: d02/d04/d06/d09 read 0.26–0.48×
+    * while the same-round 8-core run beat the 32-core total; the
+    * per-query resample fired but the burst outlasted it). One more
+    * fresh-JVM pass over the still-drifted members settles it for
+    * seconds of wall and keeps the next round's PERF geomean from
+    * being a machine-state artifact. Returns the names to re-pass —
+    * empty when no family is coherently drifted. */
+  private[graft] val FamilyDriftK = 3
+  private[graft] def familyRepass(results: Seq[(String, Double)],
+      prior: Map[String, Double]): Seq[String] =
+    results.filter { case (n, t) => needsResample(n, t, prior) }
+      .groupBy(_._1.takeWhile(!_.isDigit))
+      .filter(_._2.size >= FamilyDriftK)
+      .values.flatten.map(_._1).toSeq.sorted
+
   /** Fast-path eligibility: a query whose prior committed value and
     * whose first sample are both under the scheduling-floor threshold
     * needs no confirmation sample — at that size the measurement is
@@ -448,16 +467,44 @@ object Bench {
     // and stack-trace "SparkEnv not active" into the harness capture.
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     spark.stop()
+    var results = measured
+    var windows = 1
     if (drifted.nonEmpty) {
       try {
         System.err.println(
           s"[bench] resampling ${drifted.size} drifted in fresh JVM: " +
             drifted.mkString(","))
         val sub = BenchSub.runIsolated(drifted, sfDir, cpus)
-        if (sub.nonEmpty) publish(reconcile(measured, sub), nWindows = 2)
+        if (sub.nonEmpty) {
+          results = reconcile(results, sub)
+          windows += 1
+          publish(results, nWindows = windows)
+        }
       } catch { case e: Throwable =>
         System.err.println(
           s"[bench] resample phase failed, in-run artifact stands: " +
+            e.getMessage)
+      }
+    }
+    // Family-level re-pass (see familyRepass): a whole family still
+    // past the drift bar after the per-query isolation pass gets one
+    // more fresh-JVM window; the burst has to outlast THREE windows
+    // to park a family at an inflated value.
+    val famDrifted = familyRepass(results, prior)
+    if (famDrifted.nonEmpty) {
+      try {
+        System.err.println(
+          s"[bench] family drift re-pass (${famDrifted.size} queries): " +
+            famDrifted.mkString(","))
+        val sub = BenchSub.runIsolated(famDrifted, sfDir, cpus)
+        if (sub.nonEmpty) {
+          results = reconcile(results, sub)
+          windows += 1
+          publish(results, nWindows = windows)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] family re-pass failed, prior artifact stands: " +
             e.getMessage)
       }
     }

@@ -27,22 +27,31 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val selected =
-      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+    // unknown names still get an auditable file (the docstring's
+    // contract), and only non-fatal failures are swallowed — an OOM
+    // must kill the dump, not masquerade as one query's parse error
+    val selected: Seq[(String, Option[(SparkSession, String) =>
+        org.apache.spark.sql.DataFrame])] =
+      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries.get(n))
       else SparkEntry.queries.toSeq.sortBy(_._1)
-    for ((name, fn) <- selected) {
+        .map { case (n, f) => n -> Some(f) }
+    for ((name, fnOpt) <- selected) {
       spark.sparkContext.setJobDescription(s"plan: $name")
-      val txt =
-        try {
-          val df = fn(spark, d)
-          // queryExecution.explainString gives the formatted plan
-          // without executing the (already-constructed) DataFrame
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-        } catch {
-          case e: Throwable =>
-            s"PLAN DUMP FAILED: ${e.getClass.getName}: ${e.getMessage}"
-        }
+      val txt = fnOpt match {
+        case None =>
+          s"UNKNOWN QUERY: $name (valid names are SparkEntry.queries keys)"
+        case Some(fn) =>
+          try {
+            val df = fn(spark, d)
+            // queryExecution.explainString gives the formatted plan
+            // without executing the (already-constructed) DataFrame
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              s"PLAN DUMP FAILED: ${e.getClass.getName}: ${e.getMessage}"
+          }
+      }
       java.nio.file.Files.write(
         outDir.resolve(s"${name}_$suffix.txt"), txt.getBytes)
       System.err.println(s"[plans] $name -> ${name}_$suffix.txt")

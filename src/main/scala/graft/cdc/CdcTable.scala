@@ -18,6 +18,43 @@ import org.apache.spark.sql.types.StructType
 class ConcurrentCommitException(msg: String)
   extends graft.util.Retry.RecoverableSourceException(msg)
 
+object CdcTable {
+  /** Resolved bucket-union relations, memoized per (session, dir list
+    * with per-dir mtimes). Bucket dirs are IMMUTABLE once published
+    * ([[CdcTable.publishDir]] is an atomic move that refuses existing
+    * names; manifests CAS), so a dir set's file listing and merged
+    * footer schema can only go stale if the dirs are deleted and
+    * recreated at the same names — which the mtime fingerprint in the
+    * key detects. Values are LAZY plans: every action still reads the
+    * parquet bytes fresh from disk; what the memo removes is the
+    * per-read DRIVER cost — one file listing plus one distributed
+    * mergeSchema footer-inference job per `spark.read` — that every
+    * stateAt/changeFeed resolve was re-paying (guide §5 driver work,
+    * §6 I/O; the c-family lifecycle gates resolve the same immutable
+    * versions dozens of times per run, and at 100 TB a follower
+    * folding a commit log pays this once per version per consumer).
+    * Bounded: entries of stopped sessions are purged and the map is
+    * cleared wholesale past [[RelationCacheMax]] (values are plans,
+    * not data — the bound is about key accumulation in long-lived
+    * multi-session JVMs like the test runner). */
+  private val RelationCacheMax = 512
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, Seq[(String, Long)]), DataFrame]()
+  private def mtimeOf(p: String): Long =
+    try Files.getLastModifiedTime(Paths.get(p)).toMillis
+    catch { case _: Exception => -1L }
+  private[cdc] def cachedRead(spark: SparkSession, paths: Seq[String])
+      (mk: => DataFrame): DataFrame = {
+    if (relationCache.size > RelationCacheMax) {
+      relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      if (relationCache.size > RelationCacheMax) relationCache.clear()
+    }
+    relationCache.computeIfAbsent(
+      (spark, paths.map(p => p -> mtimeOf(p))), _ => mk)
+  }
+}
+
 /** Bucket-partitioned, versioned parquet table used as the CDC merge
   * target — a deliberately tiny stand-in for a lakehouse format (the
   * runtime ships no Delta/Iceberg jars) that still has the property
@@ -68,13 +105,20 @@ class CdcTable(
       case v => Some(v)
     }
 
-  /** bucket id → relative dir name, for a manifest version. */
-  private def manifest(v: Long): Map[Int, String] = {
-    val txt = new String(Files.readAllBytes(dir.resolve(s"manifest-$v.json")))
-    // minimal parser for the {"0":"b0-v1",...} shape we write
-    "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
-  }
+  /** bucket id → relative dir name, for a manifest version. Memoized
+    * per instance: a committed manifest is immutable (the hard-link
+    * CAS in [[writeManifest]] makes `manifest-<v>.json` write-once),
+    * so the parse can never go stale; callers existence-check before
+    * resolving, which keeps vacuum semantics intact. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, String]]()
+  private def manifest(v: Long): Map[Int, String] =
+    manifestCache.computeIfAbsent(v, _ => {
+      val txt = new String(Files.readAllBytes(dir.resolve(s"manifest-$v.json")))
+      // minimal parser for the {"0":"b0-v1",...} shape we write
+      "\"(\\d+)\"\\s*:\\s*\"([^\"]+)\"".r.findAllMatchIn(txt)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+    })
 
   private[graft] def writeManifest(v: Long, m: Map[Int, String]): Unit = {
     val body = m.toSeq.sortBy(_._1)
@@ -110,8 +154,11 @@ class CdcTable(
 
   private def readBuckets(dirs: Seq[String]): Option[DataFrame] =
     if (dirs.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$path/$d"): _*))
+    else {
+      val paths = dirs.map(d => s"$path/$d")
+      Some(CdcTable.cachedRead(spark, paths)(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)))
+    }
 
   /** Full current state (all buckets), None before the first commit. */
   def state: Option[DataFrame] =

@@ -448,9 +448,16 @@ class ConsolidatedStore(
   // vacuum legitimately removed while every needed one survived —
   // e.g. an untouched table's empty feed at a version whose OTHER
   // tables' segments aged out (found by the round-15 partial-gap leg)
+  // memoized per instance: segments are immutable once published
+  // (atomic move under a nonce'd name), so a footer-probed shape can
+  // never go stale — and the probe costs a file listing + footer read
+  // per call otherwise, paid on every stateAt/feed resolve
+  private val sortKeyTypeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.DataType]()
   private def sortKeyTypeOf(seg: String)
       : org.apache.spark.sql.types.DataType =
-    spark.read.parquet(s"$path/$seg").schema("_sort_key").dataType
+    sortKeyTypeCache.computeIfAbsent(seg, s =>
+      spark.read.parquet(s"$path/$s").schema("_sort_key").dataType)
 
   /** Post-image change feed for one table at commit `v` — the same
     * contract as [[CdcTable.changeFeed]], so IVM consumers keep

@@ -1125,19 +1125,32 @@ object Dedup {
     * by maxDf² per gram — the d22 one-relation discipline, no
     * self-join), one map-side-combined (a,b) count, two broadcastable
     * per-doc-size joins. Output: ordered pairs a-contained-in-b with
-    * exact containment and jaccard. */
+    * exact containment and jaccard.
+    *
+    * `hashGrams` swaps the gram STRING for xxhash64 as the
+    * materialize/group/join key — the [[substringTrim]] `hashWindows`
+    * discipline: the gram text never reaches the output (every use is
+    * an opaque equality key), so 8-byte keys shrink the checkpointed
+    * shingle relation, the df shuffle and the per-gram doc-list
+    * aggregate by the full gram-text width (guide: narrower types,
+    * shuffle fewer bytes). A birthday-in-2^64 gram collision is the
+    * only behavior delta (it could merge two grams' postings); the
+    * DF cap bounds even that fan-out. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.9, maxDf: Int = 64): DataFrame = {
+      k: Int = 3, threshold: Double = 0.9, maxDf: Int = 64,
+      hashGrams: Boolean = false): DataFrame = {
     // the shingle relation feeds THREE consumers (df aggregate, index
     // join, per-doc denominators) — materialize the explode once
     // (eager local checkpoint, the recallGate discipline) instead of
     // paying the split+transform+explode three times per run
+    val gramKey = if (hashGrams) xxhash64(col("__g")) else col("__g")
     val sh = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
       .filter(size(col("t")) >= k)
       .select(col("id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("t")) - (k - 1)),
-          i => array_join(slice(col("t"), i, lit(k)), " ")))).as("g"))
+          i => array_join(slice(col("t"), i, lit(k)), " ")))).as("__g"))
+      .select(col("id"), gramKey.as("g"))
       .localCheckpoint(true)
     val idx = sh.join(
       sh.groupBy("g").agg(count(lit(1)).as("df"))

@@ -61,12 +61,16 @@ object DedupQueries {
     * pick) consumes. Deterministic: decimal-summed contributions are
     * partitioning-order-insensitive by construction. */
   private val rankCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
       DataFrame]()
-  private def sharedRank(s: SparkSession, d: String): DataFrame =
-    rankCache.computeIfAbsent((s, d), _ =>
+  // keyed on iters too (round-15 verdict item 4): a future consumer
+  // with a different iteration count gets its own relation instead of
+  // silently sharing the 6-round one
+  private def sharedRank(s: SparkSession, d: String,
+      iters: Int = 6): DataFrame =
+    rankCache.computeIfAbsent((s, d, iters), _ =>
       Dedup.nearDupRank(load(s, d, "documents"), "doc_id",
-        sharedPairs(s, d), iters = 6).localCheckpoint(true))
+        sharedPairs(s, d), iters = iters).localCheckpoint(true))
 
   /** Session-memoized PERSISTED near-dup index (members/ + buckets/)
     * — the artifact the d19 ingest loop maintains at 100 TB, shared
@@ -278,10 +282,14 @@ object DedupQueries {
     // exact agreement, not asymmetric coverage.
     "d30_containment" -> { (s, d) =>
       import s.implicits._
+      // hashGrams: 8-byte gram keys through the checkpoint/df/posting
+      // shuffles (the substringTrim hashWindows discipline) — grams
+      // never reach the output, oracle-verified identical
       Dedup.containmentPairs(
           load(s, d, "documents")
             .repartition(s.sparkContext.defaultParallelism),
-          "doc_id", "text", k = 3, threshold = 0.9, maxDf = 64)
+          "doc_id", "text", k = 3, threshold = 0.9, maxDf = 64,
+          hashGrams = true)
         .orderBy($"a", $"b")
     },
 

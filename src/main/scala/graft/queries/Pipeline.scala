@@ -37,9 +37,16 @@ object Pipeline {
     * consumer (c24's serving loop had three head() jobs per folded
     * version; guide §5: the driver should not re-run data work it
     * already holds one row of). */
-  private def localStats(st: DataFrame): DataFrame =
+  private def localStats(st: DataFrame): DataFrame = {
+    // take(2) + require: an empty or >1-row stats relation must fail
+    // with a diagnosis, not a bare NoSuchElementException / a silent
+    // truncation that skews the exceptAll diffs downstream
+    val rows = st.take(2)
+    require(rows.length == 1,
+      s"localStats: expected exactly one stats row, got ${rows.length}")
     st.sparkSession.createDataFrame(
-      java.util.Collections.singletonList(st.head()), st.schema)
+      java.util.Collections.singletonList(rows(0)), st.schema)
+  }
 
   /** Memoized three-commit CDC documents table for c24 (v0 snapshot =
     * the 90% base split, v1 re-texts as update pre/post images, v2

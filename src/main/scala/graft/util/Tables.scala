@@ -91,6 +91,20 @@ object Cols {
   * (which never sets it) byte-identical. */
 object StreamConf {
   def statePartitions(default: Int): Int =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim.toInt)
-      .getOrElse(default)
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.trim)
+      .filter(_.nonEmpty) match {
+      case None => default
+      case Some(v) =>
+        // fail fast with the variable named: a malformed value would
+        // otherwise surface as an opaque NumberFormatException — or
+        // worse, pin a broken state layout at the query's first run
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_STATE_PARTITIONS must be a positive integer, " +
+              s"got '$v'")
+        }
+        require(n > 0,
+          s"SPARK_GRAFT_STATE_PARTITIONS must be > 0, got $n")
+        n
+    }
 }

@@ -61,6 +61,34 @@ class BenchHarnessSpec extends AnyFunSuite {
     assert(!Bench.needsResample("tiny", Bench.FastPathSec, prior))
   }
 
+  test("familyRepass: a family coherently past the drift bar after " +
+      "reconcile gets one more window; scattered or sub-K drift does " +
+      "not (round-15: d02/d04/d06/d09 drifted together on zero-diff " +
+      "code and the burst outlasted the per-query isolation pass)") {
+    val prior = Map("d02_minhash" -> 2.0, "d04_jaccard" -> 1.0,
+      "d06_clusters" -> 0.8, "d09_decontam" -> 0.8,
+      "q05_revenue" -> 0.6, "t07_trigrams" -> 0.5)
+    // four d-entries still >1.5x prior and >0.4s absolute → the whole
+    // drifted set of that family re-passes, nothing else
+    val hotFamily = Seq("d02_minhash" -> 7.4, "d04_jaccard" -> 4.4,
+      "d06_clusters" -> 1.8, "d09_decontam" -> 1.7,
+      "q05_revenue" -> 0.7, "t07_trigrams" -> 0.5)
+    assert(Bench.familyRepass(hotFamily, prior) ==
+      Seq("d02_minhash", "d04_jaccard", "d06_clusters", "d09_decontam"))
+    // two drifted members (< FamilyDriftK): not a family signal
+    val twoDrift = Seq("d02_minhash" -> 7.4, "d04_jaccard" -> 4.4,
+      "d06_clusters" -> 0.8, "d09_decontam" -> 0.8)
+    assert(Bench.familyRepass(twoDrift, prior).isEmpty)
+    // three drifted across THREE families: scattered, not coherent
+    val scattered = Seq("d02_minhash" -> 7.4, "q05_revenue" -> 2.4,
+      "t07_trigrams" -> 1.6)
+    assert(Bench.familyRepass(scattered, prior).isEmpty)
+    // settled values (post-reconcile) never re-pass
+    val settled = Seq("d02_minhash" -> 2.1, "d04_jaccard" -> 1.1,
+      "d06_clusters" -> 0.9, "d09_decontam" -> 0.8)
+    assert(Bench.familyRepass(settled, prior).isEmpty)
+  }
+
   test("canaryVerdict: hot window iff a canary reads >2x its committed " +
       "value; no prior or subset runs degrade to unknown, never to a " +
       "false quiet") {
